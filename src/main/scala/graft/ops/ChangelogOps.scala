@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{Envelope, Operation}
+
+/** The relational operator library over changelog envelopes — §2 of
+  * SURVEY.md, expressed as declarative DataFrame transforms so
+  * Catalyst owns the physical plan.
+  */
+object ChangelogOps {
+
+  /** THE analytics query of the engine: merge-on-read compaction of an
+    * append-only changelog into current table state.
+    *
+    * `row_number() over (partition by pk order by timestamp desc,
+    * lsn desc, sequence desc)` filtered to the first row, excluding
+    * DELETEs (reference: pkg/sinks/bigquery/schema_builders.go:146-161,
+    * golden SQL pkg/sinks/bigquery/testdata/view.example.sql).
+    *
+    * The (lsn, sequence) tie-breaks total-order updates within one
+    * commit (reference: pkg/subscription/sequence.go:13-17).
+    *
+    * Scale: this shuffles once on the PK — correct and unavoidable for
+    * a global latest-row answer. At 100 TB the raw table is
+    * time-partitioned (see WarehouseSink) so readers prune partitions
+    * before this window runs; AQE handles skewed keys.
+    *
+    * @param keyCols payload primary-key columns, e.g. `$"after.id"`.
+    */
+  def latestRowView(changelog: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(Envelope.TimestampCol).desc, col(Envelope.LsnCol).desc_nulls_last,
+        col(Envelope.SequenceCol).desc_nulls_last)
+    changelog
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col(Envelope.OperationCol) =!= Operation.Delete)
+      .drop("_rn")
+  }
+
+  /** Convenience: latest-row view keyed on `after.<pk>` fields and
+    * projected back to plain rows (`select payload.*`), like the
+    * reference's generated view.
+    */
+  def latestRows(changelog: DataFrame, primaryKeys: Seq[String]): DataFrame = {
+    val image = Envelope.afterOrBefore(changelog)
+    val keyed = changelog.withColumn("_img", image)
+    latestRowView(keyed, primaryKeys.map(k => col(s"_img.$k")))
+      .select(col("_img.*"))
+  }
+
+  /** Per-transaction sequence numbers: each modification between a
+    * Begin/Commit pair gets a monotonically increasing sequence so
+    * multiple updates to one row within a transaction are totally
+    * ordered (reference: pkg/subscription/sequence.go:24-52).
+    *
+    * Batch form: row_number over (transaction, arrival order).
+    */
+  def sequenceWithinTransaction(
+      df: DataFrame, txnCol: Column, orderCol: Column): DataFrame =
+    df.withColumn(Envelope.SequenceCol,
+      row_number().over(Window.partitionBy(txnCol).orderBy(orderCol)).cast("long"))
+
+  /** The ack watermark: fold a batch to (row count, max LSN) —
+    * exactly the InsertResult fold the sink framework threads through
+    * every inserter (reference: pkg/sinks/generic/inserter.go:42-66,
+    * insert_result.go:19-96). Spark's partial aggregation subsumes the
+    * promise tree.
+    */
+  def insertResult(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("count"), max(col(Envelope.LsnCol)).as("lsn"))
+
+  /** Set reconciliation: rows of `these` whose key tuple is absent
+    * from `those` — the watched∖published / published∖imported
+    * anti-join (reference: pkg/changelog/table.go:17-26,
+    * pkg/subscription/manager.go:120-145). Spark plans a broadcast
+    * anti join when `those` is small — the common case for table
+    * lists.
+    */
+  def reconcileDiff(these: DataFrame, those: DataFrame, keys: Seq[String]): DataFrame =
+    these.join(those, keys, "left_anti")
+
+  /** Membership: rows of `these` present in `those` (reference:
+    * pkg/changelog/table.go:28-36). */
+  def reconcileIncludes(these: DataFrame, those: DataFrame, keys: Seq[String]): DataFrame =
+    these.join(those, keys, "left_semi")
+
+  /** Route-by-table partitioning: the Router's exchange
+    * (reference: pkg/sinks/generic/router.go:82-99). In Spark this is
+    * a hash repartition on the qualified table name so each output
+    * task writes one table's rows contiguously.
+    */
+  def routeByTable(df: DataFrame, namespaceCol: Column, nameCol: Column): DataFrame =
+    df.repartition(concat_ws(".", namespaceCol, nameCol))
+
+  /** Exponential retry backoff, capped:
+    * `LEAST(max, base * exp^errorCount)` in seconds
+    * (reference: pkg/imports/worker.go:140-161 computes
+    * `LEAST('1h', '5s' * 3 ^ error_count)` in SQL).
+    */
+  def backoffSeconds(errorCount: Column,
+      baseSeconds: Double = 5.0, exponent: Double = 3.0,
+      maxSeconds: Double = 3600.0): Column =
+    least(lit(maxSeconds), lit(baseSeconds) * pow(lit(exponent), errorCount))
+
+  /** Import-job eligibility: not completed, not expired, and past the
+    * backoff deadline (reference: pkg/imports/worker.go:174-184).
+    */
+  def jobEligible(completedAt: Column, expiredAt: Column,
+      errorCount: Column, lastErrorAt: Column, now: Column): Column =
+    completedAt.isNull && expiredAt.isNull &&
+      (errorCount < 1 ||
+        now.cast("double") > lastErrorAt.cast("double") + backoffSeconds(errorCount))
+}
