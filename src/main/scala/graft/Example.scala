@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.sinks.WarehouseSink
+import graft.sources.{ChangelogBuilder, ImportSource, PgOutput}
+import graft.streaming.CdcPipeline
+
+/** End-to-end demo of the full CDC path on real test data:
+  * batch import → raw warehouse table, then a binary pgoutput stream
+  * decoded → sequenced → appended, and finally the latest-row view —
+  * the minimum end-to-end slice of SURVEY.md §7.2, runnable with
+  * `sbt "runMain graft.Example"`.
+  */
+object Example {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft-example").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. batch import: region table -> IMPORT envelopes -> warehouse raw
+    val table = Envelope.tableSchemaOf(1L, "public", "region",
+      ImportSource.table(spark, sfDir, "region").schema, Seq("r_regionkey"))
+    val sink = new WarehouseSink(spark, out)
+    val watermark = new CdcPipeline.AckWatermark
+    val imported = CdcPipeline.consumeBatch(
+      ImportSource.importTable(spark, sfDir, "region",
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+      table, sink, watermark)
+    println(s"imported: $imported")
+
+    // 2. a binary pgoutput transaction: rename region 0, delete region 4
+    import PgOutput._
+    val rel = Relation(1L, "public", "region", 'd'.toByte, Seq(
+      RelationColumn(key = true, "r_regionkey", PgTypes.Int4, -1),
+      RelationColumn(key = false, "r_name", PgTypes.Text, -1)))
+    def cell(v: String) = Element('t'.toByte, Some(v.getBytes("UTF-8")))
+    val wire: Seq[Array[Byte]] = Seq(
+      encodeBegin(Begin(1000L, 775180800000000L, 7L)), // 2024-07-25 in pg micros
+      encodeRelation(rel),
+      encodeUpdate(Update(1L, None, None, TupleData(Seq(cell("0"), cell("RENAMED"))))),
+      encodeDelete(Delete(1L, 'K'.toByte, TupleData(Seq(cell("4"), Element('n'.toByte, None))))),
+      encodeCommit(Commit(0, 1000L, 1001L, 775180800000000L)))
+
+    // decode -> changelog entries -> envelope rows for the table's plan
+    val entries = ChangelogBuilder.build(wire.iterator.map(decode)).toVector
+    val payloadType = table.payloadStruct
+    def image(m: Option[Map[String, Any]]): Row = m.map { values =>
+      Row.fromSeq(payloadType.fields.toIndexedSeq.map(f => values.get(f.name).orNull))
+    }.orNull
+    val rows = entries.collect { case m: ChangelogBuilder.ModificationEntry =>
+      Row(m.timestamp, m.lsn.orNull, m.sequence.orNull,
+        Envelope.operationOf(m.lsn, m.before, m.after),
+        image(m.before), image(m.after))
+    }
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Envelope.schemaFor(payloadType))
+    val streamed = CdcPipeline.consumeBatch(batch, table, sink, watermark)
+    println(s"streamed: $streamed, ack watermark: ${watermark.position}")
+
+    // 3. the latest-row view: merge-on-read current state
+    sink.registerViews(table)
+    spark.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").show()
+    spark.sql("SELECT operation, count(*) AS n FROM region_raw GROUP BY operation ORDER BY operation").show()
+    spark.stop()
+  }
+}

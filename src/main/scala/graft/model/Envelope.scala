@@ -48,6 +48,14 @@ object Envelope {
       .when(after.isNull, Operation.Delete)
       .otherwise(Operation.Update)
 
+  /** Scala-side operation derivation, same nullness rules as
+    * [[operationCol]] (reference: pkg/changelog/modification.go:103-123). */
+  def operationOf(lsn: Option[Long], before: Option[Any], after: Option[Any]): String =
+    if (lsn.isEmpty) Operation.Import
+    else if (before.isEmpty) Operation.Insert
+    else if (after.isEmpty) Operation.Delete
+    else Operation.Update
+
   /** The last row image: after, falling back to before for deletes
     * (reference: pkg/changelog/modification.go:127-133).
     */
