@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.{Envelope, Operation}
-import graft.ops.ChangelogOps
+import graft.ops.{ChangelogOps, DedupOps, SimilarityOps, TextOps}
 import graft.sources.ImportSource
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
@@ -147,6 +147,159 @@ object SparkEntry {
         .select(col("o_orderkey"), col("operation"))
         .orderBy(col("o_orderkey"))
     }),
+    // ----- §2.2 filter: table watch list (include/exclude) -----
+    "q13_table_filter" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .where(col("n_regionkey").isin(0, 1, 2) &&
+          !col("n_name").isin("CHINA", "JAPAN"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+    // ----- §2.2 predicate: import-job eligibility with backoff -----
+    "q14_job_eligibility" -> ((s, dir) => {
+      val now = lit("1996-01-01 00:00:00").cast(TimestampType)
+      val jobs = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        when(col("o_orderstatus") === "F", col("o_orderdate"))
+          .otherwise(lit(null).cast(TimestampType)).as("completed_at"),
+        lit(null).cast(TimestampType).as("expired_at"),
+        (col("o_orderkey") % 4).as("error_count"),
+        col("o_orderdate").as("last_error_at"))
+      jobs.where(ChangelogOps.jobEligible(col("completed_at"), col("expired_at"),
+          col("error_count"), col("last_error_at"), now,
+          baseSeconds = 86400.0, exponent = 3.0, maxSeconds = 1e9))
+        .select(col("id"), col("error_count"))
+        .orderBy(col("id"))
+    }),
+    // ----- §2.6 sort/limit: job acquisition order -----
+    "q15_job_acquire" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast(StringType))
+            .otherwise(lit("err")).as("error"))
+        .orderBy(col("error").isNull.desc, col("id"))
+        .limit(1)
+    }),
+    // ----- §2.4 agg: group-by-table collecting jobs (sorted list) -----
+    "q16_group_tables" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          max(col("o_orderdate")).as("latest"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+    // ----- §2.8 scalar: JSON payload extraction -----
+    "q17_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- §2.7/§7.2 union: import + stream slices -> latest-row state -----
+    "q18_changelog_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val imports = ev.where(col("event_id") < 5000).select(
+        col("ts").as(Envelope.TimestampCol),
+        lit(null).cast(LongType).as(Envelope.LsnCol),
+        col("user_id"), lit(Operation.Import).as(Envelope.OperationCol),
+        col("value"))
+      val stream = ev.where(col("event_id") >= 5000).select(
+        col("ts").as(Envelope.TimestampCol),
+        col("event_id").as(Envelope.LsnCol),
+        col("user_id"),
+        when(col("event_type") === "error", Operation.Delete)
+          .otherwise(Operation.Update).as(Envelope.OperationCol),
+        col("value"))
+      val cl = imports.unionByName(stream)
+        .withColumn(Envelope.SequenceCol, lit(null).cast(LongType))
+      ChangelogOps.latestRowView(cl, Seq(col("user_id")))
+        .select(col("user_id"), col(Envelope.OperationCol),
+          col(Envelope.LsnCol).as("lsn"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+    // ----- §2.1 sink layout: time-partitioned raw table profile -----
+    "q19_time_partition" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+        .orderBy(col("day"))
+    }),
+    // ----- §2.6 top-k -----
+    "q20_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // ----- LLM ops: exact dedup -----
+    "q21_dedup_exact" -> ((s, dir) => {
+      DedupOps.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    }),
+    // ----- LLM ops: token statistics -----
+    "q22_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextOps.subwordCountApprox(col("text")).as("n_subwords"),
+          round(TextOps.meanTokenLength(col("text")), 6).as("mean_token_len"),
+          round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- LLM ops: language identification -----
+    "q23_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.languageId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- LLM ops: quality score -----
+    "q24_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- LLM ops: minhash signatures -----
+    "q25_minhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          DedupOps.minhashSignature(col("text"), 4).as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- LLM ops: simhash fingerprint -----
+    "q26_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- LLM ops: brute-force cosine top-k -----
+    "q27_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      SimilarityOps.cosineTopK(emb, "vec_id", "embedding", query, 10)
+    }),
+    // ----- LLM ops: MinHash-LSH near-duplicate pairs + jaccard -----
+    "q28_near_dups" -> ((s, dir) => {
+      DedupOps.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ----- streaming extension: gap sessionization -----
+    "q29_sessionize" -> ((s, dir) => {
+      ChangelogOps.sessionize(t(s, dir, "events"), col("user_id"), col("ts"), 1800L)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
+    "q30_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.minShingleFingerprint(col("text")).as("min_shingle_fp"),
+          TextOps.normalizedFingerprint(col("text")).as("norm_fp"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -215,6 +368,183 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |  source || '.' || lang AS table_ref
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q13_table_filter" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (0,1,2) AND n_name NOT IN ('CHINA','JAPAN')
+        |ORDER BY n_nationkey""".stripMargin,
+    "q14_job_eligibility" ->
+      """WITH jobs AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_orderdate END AS completed_at,
+        |    CAST(NULL AS TIMESTAMP) AS expired_at,
+        |    o_orderkey % 4 AS error_count,
+        |    o_orderdate AS last_error_at
+        |  FROM orders)
+        |SELECT id, error_count FROM jobs
+        |WHERE completed_at IS NULL AND expired_at IS NULL
+        |  AND (error_count < 1 OR
+        |    epoch(TIMESTAMP '1996-01-01 00:00:00') >
+        |      epoch(last_error_at) + least(1e9, 86400.0 * power(3.0, error_count)))
+        |ORDER BY id""".stripMargin,
+    "q15_job_acquire" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'err' END AS error
+        |FROM orders
+        |ORDER BY (error IS NULL) DESC, id LIMIT 1""".stripMargin,
+    "q16_group_tables" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+        |  max(o_orderdate) AS latest, count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_changelog_union" ->
+      """WITH imports AS (
+        |  SELECT ts AS "timestamp", CAST(NULL AS BIGINT) AS lsn, user_id,
+        |    'IMPORT' AS operation, value
+        |  FROM events WHERE event_id < 5000),
+        |stream AS (
+        |  SELECT ts, event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END, value
+        |  FROM events WHERE event_id >= 5000),
+        |cl AS (SELECT * FROM imports UNION ALL SELECT * FROM stream),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY "timestamp" DESC, lsn DESC NULLS LAST) AS rn FROM cl)
+        |SELECT user_id, operation, lsn, value FROM r
+        |WHERE rn = 1 AND operation <> 'DELETE'
+        |ORDER BY user_id""".stripMargin,
+    "q19_time_partition" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q20_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q22_token_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    regexp_replace(lower(text), '\s', '', 'g') AS stripped
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(toks, w -> CAST(ceil(len(w)/4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subwords,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_aggregate(list_transform(toks, w -> CAST(len(w) AS BIGINT)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 6) AS mean_token_len,
+        |  round(CASE WHEN len(stripped) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_replace(stripped, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(len(stripped) AS DOUBLE) END, 6) AS alpha_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q23_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','en'], x))) AS s_es
+        |FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+        |  ELSE 'unknown' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q24_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    regexp_replace(lower(text), '\s', '', 'g') AS stripped
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS DOUBLE) AS n,
+        |  CASE WHEN len(stripped) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_replace(stripped, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(len(stripped) AS DOUBLE) END AS alpha,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','of','and','to','in','is','it',
+        |     'der','die','das','und','ist','nicht','ein',
+        |     'le','la','les','et','est','une','dans',
+        |     'el','la','los','y','es','una','en'], x))) AS DOUBLE) AS hits,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_aggregate(list_transform(toks, w -> CAST(len(w) AS BIGINT)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS wl
+        |FROM t)
+        |SELECT doc_id, round(
+        |  0.3 * least(n / 64.0, 1.0) + 0.3 * alpha +
+        |  0.2 * least((CASE WHEN n = 0 THEN 0.0 ELSE hits / n END) * 4.0, 1.0) +
+        |  0.2 * (CASE WHEN wl >= 2.5 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q25_minhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
+        |  FROM t)
+        |SELECT doc_id, list_transform(range(4),
+        |  i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q26_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS hv
+        |  FROM t, unnest(toks) AS u(tok)),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+        |  FROM h, unnest(range(32)) AS r(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q27_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+        |FROM embeddings, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q28_near_dups" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
+        |  FROM t),
+        |sig AS (SELECT doc_id, list_transform(range(16),
+        |    i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS m
+        |  FROM sh),
+        |bands AS (SELECT doc_id, unnest(list_transform(range(4),
+        |    bi -> md5(bi::VARCHAR || '|' || array_to_string(list_slice(m, bi*4+1, bi*4+4), '|')))) AS bucket
+        |  FROM sig),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bands a JOIN bands b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |toksets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(ta.ts, tb.ts))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) END, 6) AS jaccard
+        |FROM pairs
+        |JOIN toksets ta ON ta.doc_id = id_a
+        |JOIN toksets tb ON tb.doc_id = id_b
+        |WHERE true
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q29_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, event_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
+    "q30_fingerprints" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, text, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
+        |  FROM t)
+        |SELECT doc_id,
+        |  list_min(list_transform(s, x -> md5(x))) AS min_shingle_fp,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "q12_operation_derive" ->
       """WITH o AS (
         |  SELECT o_orderkey,

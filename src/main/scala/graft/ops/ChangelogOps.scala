@@ -104,12 +104,39 @@ object ChangelogOps {
       maxSeconds: Double = 3600.0): Column =
     least(lit(maxSeconds), lit(baseSeconds) * pow(lit(exponent), errorCount))
 
+  /** Event sessionization: assign a session index per key using the
+    * classic gap rule — a new session starts when the time since the
+    * previous event exceeds `gapSeconds`. One shuffle on the key, two
+    * stacked window passes (lag + running sum), no state store needed
+    * in batch; the streaming twin is `session_window`.
+    */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val gap = tsCol.cast("double") - lag(tsCol, 1).over(w).cast("double")
+    df.withColumn("_new_session",
+        when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new_session")
+  }
+
   /** Import-job eligibility: not completed, not expired, and past the
     * backoff deadline (reference: pkg/imports/worker.go:174-184).
     */
   def jobEligible(completedAt: Column, expiredAt: Column,
-      errorCount: Column, lastErrorAt: Column, now: Column): Column =
+      errorCount: Column, lastErrorAt: Column, now: Column,
+      baseSeconds: Double = 5.0, exponent: Double = 3.0,
+      maxSeconds: Double = 3600.0): Column =
     completedAt.isNull && expiredAt.isNull &&
       (errorCount < 1 ||
-        now.cast("double") > lastErrorAt.cast("double") + backoffSeconds(errorCount))
+        epochSeconds(now) > epochSeconds(lastErrorAt) +
+          backoffSeconds(errorCount, baseSeconds, exponent, maxSeconds))
+
+  /** Epoch seconds as double; goes via TIMESTAMP because Spark 4
+    * refuses a direct TIMESTAMP_NTZ→DOUBLE cast (session TZ is UTC,
+    * so NTZ wall-clock == UTC instant). */
+  private def epochSeconds(ts: Column): Column =
+    ts.cast("timestamp").cast("double")
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for 100 TB:
+  * signatures are computed map-side with pure column expressions
+  * (no UDFs, no shuffle), candidate generation shuffles only on
+  * band-hash keys (tiny compared to the corpus), and no step ever
+  * compares all pairs.
+  */
+object DedupOps {
+
+  /** Exact dedup: group identical normalized content, keep the lowest
+    * id as canonical. One hash-shuffle on a 32-byte key — the minimal
+    * possible exact-dedup plan.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        TextOps.normalizedFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k independent hash functions over word
+    * 3-gram shingles, h_i(s) = md5(i + "|" + s), each position the
+    * minimum over shingles. Engine-portable (md5) and computed
+    * entirely map-side via higher-order array functions.
+    */
+  def minhashSignature(text: Column, k: Int, shingleSize: Int = 3): Column = {
+    val sh = TextOps.shingles(text, shingleSize)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+  }
+
+  /** LSH banding: split the k-length signature into b bands of r rows
+    * (k = b*r); each band hashes to one bucket key. Docs sharing any
+    * band bucket are candidate pairs — the standard S-curve
+    * probability amplification.
+    */
+  def lshBandHashes(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|",
+        b.cast("string"),
+        concat_ws("|", slice(signature, b * rows + 1, lit(rows))))))
+
+  /** Candidate near-duplicate pairs via MinHash LSH.
+    * Shuffle cost: explode to (band-hash, id) — b rows per doc —
+    * then a self-equi-join on the 32-byte bucket key. At 100 TB the
+    * join keys are ~b×corpus-cardinality small strings; skewed
+    * buckets (boilerplate text) are handled by AQE skew-join.
+    */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rows: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val sig = minhashSignature(col(textCol), bands * rows, shingleSize)
+    val buckets = df.select(col(idCol).as("id"),
+        explode(lshBandHashes(sig, bands, rows)).as("bucket"))
+    val a = buckets.alias("a"); val b = buckets.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Token-set Jaccard similarity between two text columns. */
+  def jaccard(textA: Column, textB: Column): Column = {
+    val ta = array_distinct(TextOps.tokens(textA))
+    val tb = array_distinct(TextOps.tokens(textB))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    val union = size(array_union(ta, tb)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding,
+    * verified by exact token Jaccard >= threshold. The join back to
+    * text is by id — two broadcast-or-shuffle hash joins, never a
+    * cross product.
+    */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, bands: Int = 4, rows: Int = 4): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, bands, rows)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    pairs
+      .join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("text_a"), col("text_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash: a single locality-sensitive integer per document.
+    * Each token votes ±1 per bit position of its 32-bit md5-derived
+    * hash; the sign pattern packs into one long. Near-dups differ in
+    * few bits (Hamming distance). Pure map-side column expressions —
+    * no explode, no shuffle; the per-token hash is computed once and
+    * reused across all 32 bit positions.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val hashes = transform(array_distinct(TextOps.tokens(text)),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitCols = transform(sequence(lit(0), lit(bits - 1)), j => {
+      // shift-by-column via exact double pow (values < 2^32 << 2^53)
+      val bitOfH = (h: Column) =>
+        pmod(floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long"), lit(2L))
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(bitOfH(h) === 1, 1L).otherwise(-1L))
+      when(vote >= 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))
+    })
+    aggregate(bitCols, lit(0L), (acc, b) => acc + b)
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

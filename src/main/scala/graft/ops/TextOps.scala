@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting. All are pure
+  * column expressions (no UDFs) so they stay inside whole-stage
+  * codegen and scale linearly with no shuffle — at 100 TB these run
+  * map-side on the parquet scan.
+  */
+object TextOps {
+
+  /** Whitespace word tokens, lowercased. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count approximation: word pieces of <=4 chars
+    * plus punctuation marks — the standard chars/4 heuristic blended
+    * with exact word boundaries, cheap enough for a 100 TB sweep. */
+  def subwordCountApprox(text: Column): Column = {
+    val words = tokens(text)
+    // each word contributes ceil(len/4) pieces
+    aggregate(words, lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+  }
+
+  /** Language-specific stopword hit count: how many tokens appear in
+    * the given stopword list. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Tiny deterministic language-ID heuristic: argmax of stopword
+    * hits across per-language profiles, ties broken by profile order,
+    * UNKNOWN when nothing matches. Real pipelines plug in fastText et
+    * al; the operator contract (deterministic label per row, pure
+    * map-side) is what matters at scale.
+    */
+  val languageProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en"))
+
+  def languageId(text: Column): Column = {
+    val scored = languageProfiles.map { case (lang, words) =>
+      (lang, stopwordHits(text, words))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("unknown")) { case ((lang, score), elseCol) =>
+      when(score === best && score > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Alphabetic-character ratio (letters / non-space chars). */
+  def alphaRatio(text: Column): Column = {
+    val stripped = regexp_replace(lower(text), "\\s", "")
+    when(length(stripped) === 0, 0.0)
+      .otherwise(
+        length(regexp_replace(stripped, "[^a-z]", "")).cast("double") /
+          length(stripped).cast("double"))
+  }
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0)
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / size(t).cast("double"))
+  }
+
+  /** Composite document quality score in [0,1]: blends length,
+    * alpha ratio, stopword ratio, and mean word length — the shape of
+    * the classic heuristic quality filters for web-scale corpora
+    * (length/punct/stopword ratios). Deterministic, pure map-side.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTokens = tokenCount(text).cast("double")
+    val lengthScore = least(nTokens / lit(64.0), lit(1.0))
+    val alpha = alphaRatio(text)
+    val stopRatio = when(nTokens === 0, 0.0).otherwise(
+      stopwordHits(text, languageProfiles.flatMap(_._2)).cast("double") / nTokens)
+    val wordLen = meanTokenLength(text)
+    val wordLenScore = when(wordLen >= 2.5 && wordLen <= 8.0, 1.0).otherwise(0.0)
+    round(
+      lit(0.3) * lengthScore + lit(0.3) * alpha +
+        lit(0.2) * least(stopRatio * 4.0, lit(1.0)) + lit(0.2) * wordLenScore,
+      6)
+  }
+
+  /** Word n-gram shingles (the unit for minhash/jaccard dedup). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Content-defined document fingerprint: the lexicographic min of
+    * md5 over word 3-gram shingles (winnowing reduced to one band).
+    * Two documents sharing their minimal shingle hash collide —
+    * a cheap near-dup prefilter; md5 keeps it engine-portable.
+    */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Exact content fingerprint over normalized text (whitespace
+    * collapsed, lowercased). */
+  def normalizedFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  def docs = graft.sources.ImportSource.table(spark, sf, "documents")
+  def embeddings = graft.sources.ImportSource.table(spark, sf, "embeddings")
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq(
+      (1L, "Hello   world"), (2L, "hello world"), (3L, "different")
+    ).toDF("doc_id", "text")
+    val groups = DedupOps.exactDuplicates(df, "doc_id", "text")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L))) // case+whitespace-normalized dup
+  }
+
+  test("minhash: identical docs share signatures; near-dups share most positions") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // identical
+      (3L, "a b c d e f g h i k"), // one token differs
+      (4L, "z y x w v u t s r q") // disjoint
+    ).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id",
+        DedupOps.minhashSignature($"text", 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val sharedNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val sharedFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(sharedNear > sharedFar)
+    assert(sharedFar == 0)
+  }
+
+  test("LSH near-dup pipeline surfaces the duplicate pair with jaccard 1.0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text about spark query engines here")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.nearDuplicates(df, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: hamming distance near for near-dups, far for unrelated") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val hashes = df.select($"doc_id", DedupOps.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val near = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    val far = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    assert(near < far)
+    // distributed hammingDistance column agrees with local bitCount
+    val viaCol = spark.range(1).select(
+      DedupOps.hammingDistance(lit(hashes(1L)), lit(hashes(2L)))).collect()(0).getInt(0)
+    assert(viaCol == near)
+  }
+
+  test("cosine top-k: self-similarity is 1.0 and ranks first") {
+    val query = embeddings.where($"vec_id" === 0)
+      .select($"embedding").collect()(0).getSeq[Float](0)
+    val top = SimilarityOps.cosineTopK(embeddings, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && math.abs(top.head._2 - 1.0) < 1e-6)
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1))) // descending
+  }
+
+  test("ANN top-k recall vs brute force is reasonable with multi-probe") {
+    val query = embeddings.where($"vec_id" === 7)
+      .select($"embedding").collect()(0).getSeq[Float](0)
+    val exact = SimilarityOps.cosineTopK(embeddings, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ann = SimilarityOps.annTopK(embeddings, "vec_id", "embedding", query,
+        10, planes = 4, probe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // 4 planes + probe-1 covers 5/16 of bucket space; self must be found
+    assert(ann.contains(7L))
+    assert((exact intersect ann).size >= 3,
+      s"recall too low: ${(exact intersect ann).size}/10")
+  }
+
+  test("bucketed neighbor pairs never cross buckets and are cosine-filtered") {
+    val pairs = SimilarityOps.bucketedNeighborPairs(
+      embeddings, "vec_id", "embedding", planes = 2, minCosine = 0.5)
+    val withB = embeddings.select($"vec_id",
+      SimilarityOps.srpBucket($"embedding", 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    pairs.as[(Long, Long, Double)].collect().foreach { case (a, b, c) =>
+      assert(withB(a) == withB(b))
+      assert(c >= 0.5)
+    }
+  }
+
+  test("language id picks profile with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog in a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy qwerty asdf")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.languageId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("quality score is in [0,1] and ranks real text above junk") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the house in the field"),
+      (2L, "!!!! #### $$$$ %%%% 1234 !!!! #### $$$$")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  test("token count handles empty and whitespace-only text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 3))
+  }
+
+  test("sessionize splits on gap and is contiguous per user") {
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
+      (1L, "2024-01-01 01:10:00"), // > 30 min gap -> session 2
+      (2L, "2024-01-01 05:00:00")) // other user -> own session 1
+    val df = rows.map { case (u, ts) => (u, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("user_id", "ts")
+    val got = ChangelogOps.sessionize(df, $"user_id", $"ts", 1800L)
+      .select("user_id", "ts", "session_id")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0", 1L), (1L, "2024-01-01 00:10:00.0", 1L),
+      (1L, "2024-01-01 01:10:00.0", 2L), (2L, "2024-01-01 05:00:00.0", 1L)))
+  }
+
+  test("multimodal: stub decode plumbing produces per-row features and frames") {
+    import MultimodalOps._
+    val payload1 = Array.tabulate[Byte](100)(i => i.toByte)
+    val payload2 = Array.tabulate[Byte](50)(i => (i * 3).toByte)
+    val rows = Seq(
+      Row(1L, payload1, Row("image", 10, 10, null, null)),
+      Row(2L, payload2, Row("video", 5, 5, null, 2000)),
+      Row(3L, Array.emptyByteArray, Row("audio", null, null, 16000, 1000)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema())
+    val decoder = new StubDecoder(featureDim = 4)
+    val feats = extractFeatures(media, decoder, batchSize = 2)
+    val collected = feats.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(collected.keySet == Set(1L, 2L, 3L))
+    assert(collected(1L).length == 4)
+    assert(collected(3L).forall(_ == 0.0f)) // empty payload -> zero features
+    // determinism: same input, same features
+    val again = extractFeatures(media, decoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(again == collected)
+    // frame sampling: only video rows, offsets every Nth byte
+    val frames = sampleFrames(media, decoder, everyNth = 20)
+    val f = frames.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(f.forall(_._1 == 2L))
+    assert(f.map(_._3).toSeq == Seq(0L, 20L, 40L))
+    // metadata filter never touches payload
+    assert(wellFormed(media).count() == 2) // row 3 has empty payload
+  }
+}
