@@ -262,6 +262,9 @@ object SparkEntry {
     }),
     // ----- LLM ops: minhash signatures -----
     "q25_minhash" -> ((s, dir) => {
+      // scalar signature: k=4 used once -> single map-side projection
+      // beats the explode+agg shape (that shape wins inside LSH where
+      // the signature feeds a self-join; see DedupOps scaladoc)
       t(s, dir, "documents")
         .select(col("doc_id"),
           DedupOps.minhashSignature(col("text"), 4).as("sig"))

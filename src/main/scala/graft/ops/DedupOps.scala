@@ -45,6 +45,29 @@ object DedupOps {
         b.cast("string"),
         concat_ws("|", slice(signature, b * rows + 1, lit(rows))))))
 
+  /** MinHash signatures as a table: (id, sig) — the scale shape.
+    *
+    * Computed by exploding shingles and taking k `min` aggregates,
+    * NOT by one giant nested-transform expression: the scalar
+    * [[minhashSignature]] column duplicates the shingle computation k
+    * times inside a single projection (and optimizer rules like
+    * CollapseProject re-inline it further), which measured 3 orders
+    * of magnitude slower at sf0.1. The explode shape is plain
+    * codegen'd hash aggregation: one md5 per (shingle, hash-function)
+    * pair, partial-aggregated map-side, one shuffle on the id.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleSize: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"_h$i"))
+    exploded.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH.
     * Shuffle cost: explode to (band-hash, id) — b rows per doc —
     * then a self-equi-join on the 32-byte bucket key. At 100 TB the
@@ -54,9 +77,9 @@ object DedupOps {
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rows: Int = 4, shingleSize: Int = 3): DataFrame = {
-    val sig = minhashSignature(col(textCol), bands * rows, shingleSize)
-    val buckets = df.select(col(idCol).as("id"),
-        explode(lshBandHashes(sig, bands, rows)).as("bucket"))
+    val sigs = minhashSignatures(df, idCol, textCol, bands * rows, shingleSize)
+    val buckets = sigs.select(col("id"),
+      explode(lshBandHashes(col("sig"), bands, rows)).as("bucket"))
     val a = buckets.alias("a"); val b = buckets.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -81,11 +104,16 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, bands: Int = 4, rows: Int = 4): DataFrame = {
     val pairs = lshCandidatePairs(df, idCol, textCol, bands, rows)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // token sets materialised once per doc, not re-tokenized per pair
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    val union = size(array_union(col("toks_a"), col("toks_b"))).cast("double")
     pairs
-      .join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", round(jaccard(col("text_a"), col("text_b")), 6))
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard",
+        round(when(union === 0, 0.0).otherwise(inter / union), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

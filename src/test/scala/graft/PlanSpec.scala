@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+import graft.sources.ImportSource
+
+/** Physical-plan assertions: these lock in the properties that make
+  * the operators viable at 100 TB — filters reaching the parquet
+  * scan, dimension joins broadcasting, map-side-only expression
+  * pipelines, and bounded shuffle counts. A regression here is a
+  * performance bug even if results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  def planString(df: DataFrame): String = plan(df).toString
+  // string-count because AdaptiveSparkPlanExec hides its input plan
+  // from TreeNode.collect until execution
+  def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|Single)".r.findAllIn(planString(df)).size
+
+  test("filter + projection push down to the parquet scan") {
+    val df = ImportSource.table(spark, sf, "lineitem")
+      .where(col("l_shipdate") <= lit("1995-01-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_quantity"))
+    val s = planString(df)
+    assert(s.contains("PushedFilters:") && s.contains("l_shipdate"),
+      s"expected shipdate filter pushed to scan:\n$s")
+    // column pruning: payload columns not read
+    assert(s.contains("ReadSchema") && !s.contains("l_comment") &&
+      !s.contains("l_extendedprice"), "expected pruned read schema")
+  }
+
+  test("keyset page plans as pushed filter + global TakeOrdered (no full sort)") {
+    val df = ImportSource.keysetPage(
+      ImportSource.table(spark, sf, "orders"), "o_orderkey", Some(100L), 50)
+    val s = planString(df)
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$s")
+    assert(s.contains("GreaterThan(o_orderkey,100"), s"expected cursor pushdown:\n$s")
+  }
+
+  test("dimension joins broadcast, fact side never shuffles") {
+    val q = SparkEntry.queries("q09_tables_listing")(spark, sf)
+    val s = planString(q)
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+  }
+
+  test("text/dedup expression pipelines are map-side only (zero shuffles)") {
+    val docs = ImportSource.table(spark, sf, "documents")
+    val exprs = docs.select(
+      TextOps.tokenCount(col("text")),
+      TextOps.languageId(col("text")),
+      TextOps.qualityScore(col("text")),
+      DedupOps.simhash(col("text")),
+      TextOps.minShingleFingerprint(col("text")))
+    assert(shuffles(exprs) == 0,
+      s"text analysis must not shuffle:\n${planString(exprs)}")
+  }
+
+  test("exact dedup is a single hash-aggregate shuffle") {
+    val df = DedupOps.exactDuplicates(
+      ImportSource.table(spark, sf, "documents"), "doc_id", "text")
+    assert(shuffles(df) == 1, s"expected exactly one exchange:\n${planString(df)}")
+  }
+
+  test("minhash signature table: one shuffle (the id aggregation)") {
+    val df = DedupOps.minhashSignatures(
+      ImportSource.table(spark, sf, "documents"), "doc_id", "text", 16)
+    assert(shuffles(df) == 1,
+      s"expected exactly one exchange:\n${planString(df)}")
+  }
+
+  test("cosine top-k plans as TakeOrderedAndProject, not global sort") {
+    val emb = ImportSource.table(spark, sf, "embeddings")
+    val q = Seq.fill(64)(0.1f)
+    val df = SimilarityOps.cosineTopK(emb, "vec_id", "embedding", q, 10)
+    val s = planString(df)
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$s")
+    assert(shuffles(df) == 0, "brute-force top-k needs no exchange")
+  }
+
+  test("latest-row view: one shuffle on the partition keys") {
+    val cl = ImportSource.table(spark, sf, "events").select(
+      col("ts").as("timestamp"), col("event_id").as("lsn"),
+      lit(null).cast(LongType).as("sequence"),
+      lit("UPDATE").as("operation"), col("user_id"), col("value"))
+    val df = ChangelogOps.latestRowView(cl, Seq(col("user_id")))
+    assert(shuffles(df) == 1,
+      s"window dedup must shuffle exactly once:\n${planString(df)}")
+  }
+}
