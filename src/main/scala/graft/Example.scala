@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.model._
 import graft.sinks.WarehouseSink
-import graft.sources.{ChangelogBuilder, ImportSource, PgOutput}
+import graft.sources.{ChangelogBuilder, ImportSource, PgOutput, PgOutputFrameLog}
 import graft.streaming.CdcPipeline
 
 /** End-to-end demo of the full CDC path on real test data:
@@ -38,7 +38,9 @@ object Example {
       table, sink, watermark)
     println(s"imported: $imported")
 
-    // 2. a binary pgoutput transaction: rename region 0, delete region 4
+    // 2. a binary pgoutput transaction — rename region 0, delete
+    // region 4 — appended to a frame log and consumed through the
+    // DSv2 micro-batch source + streaming pipeline
     import PgOutput._
     val rel = Relation(1L, "public", "region", 'd'.toByte, Seq(
       RelationColumn(key = true, "r_regionkey", PgTypes.Int4, -1),
@@ -50,22 +52,12 @@ object Example {
       encodeUpdate(Update(1L, None, None, TupleData(Seq(cell("0"), cell("RENAMED"))))),
       encodeDelete(Delete(1L, 'K'.toByte, TupleData(Seq(cell("4"), Element('n'.toByte, None))))),
       encodeCommit(Commit(0, 1000L, 1001L, 775180800000000L)))
-
-    // decode -> changelog entries -> envelope rows for the table's plan
-    val entries = ChangelogBuilder.build(wire.iterator.map(decode)).toVector
-    val payloadType = table.payloadStruct
-    def image(m: Option[Map[String, Any]]): Row = m.map { values =>
-      Row.fromSeq(payloadType.fields.toIndexedSeq.map(f => values.get(f.name).orNull))
-    }.orNull
-    val rows = entries.collect { case m: ChangelogBuilder.ModificationEntry =>
-      Row(m.timestamp, m.lsn.orNull, m.sequence.orNull,
-        Envelope.operationOf(m.lsn, m.before, m.after),
-        image(m.before), image(m.after))
-    }
-    val batch = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), Envelope.schemaFor(payloadType))
-    val streamed = CdcPipeline.consumeBatch(batch, table, sink, watermark)
-    println(s"streamed: $streamed, ack watermark: ${watermark.position}")
+    val frameDir = s"$out/frames"
+    PgOutputFrameLog.append(frameDir, "seg-000", wire)
+    val query = graft.streaming.FrameStreamPipeline.start(
+      spark, frameDir, sink, watermark, s"$out/ckpt", "1 seconds")
+    try query.processAllAvailable() finally query.stop()
+    println(s"streamed frames: ${wire.length}, ack watermark: ${watermark.position}")
 
     // 3. the latest-row view: merge-on-read current state
     sink.registerViews(table)

@@ -41,16 +41,44 @@ object ChangelogBuilder {
       extends RuntimeException(
         s"received row for unknown relation $id: relation message must precede rows")
 
-  /** Single pass over an ordered message stream. */
-  def build(messages: Iterator[PgOutput.Message]): Iterator[Entry] = {
-    // guaranteed ordering => plain mutable maps, like the reference's
-    // deliberately unsynchronised relation cache (changelog.go:34-41)
-    val relations = scala.collection.mutable.Map.empty[Long, TableSchema]
-    val fingerprints = scala.collection.mutable.Map.empty[Long, String]
-    var txnLsn: Option[Long] = None
-    var txnTime: Timestamp = new Timestamp(0)
-    var sequence = 0L
+  /** One-shot build over a complete ordered stream. */
+  def build(messages: Iterator[PgOutput.Message]): Iterator[Entry] =
+    new ChangelogBuilder().push(messages)
 
+  private[sources] def micros2ts(unixMicros: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(unixMicros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(unixMicros, 1000000L) * 1000L).toInt)
+    ts
+  }
+}
+
+/** Stateful builder: the relation cache and transaction frame survive
+  * across `push` calls, so a streaming consumer can feed successive
+  * micro-batches and relations declared in earlier batches remain
+  * known — exactly the lifetime of the reference's relation cache
+  * across its receive loop (pkg/subscription/changelog.go:27-63).
+  */
+final class ChangelogBuilder {
+  import ChangelogBuilder._
+
+  // guaranteed ordering => plain mutable maps, like the reference's
+  // deliberately unsynchronised relation cache (changelog.go:34-41)
+  private val relations = scala.collection.mutable.Map.empty[Long, TableSchema]
+  private val fingerprints = scala.collection.mutable.Map.empty[Long, String]
+  private var txnLsn: Option[Long] = None
+  private var txnTime: Timestamp = new Timestamp(0)
+  private var sequence = 0L
+
+  /** Known schema for a relation id, if seen. */
+  def relationOf(id: Long): Option[TableSchema] = relations.get(id)
+
+  /** Known schema by qualified `namespace.name` — lets a consumer
+    * resolve tables whose Schema entry arrived in an earlier batch
+    * (the cache outlives flush epochs, like the reference's). */
+  def schemaOf(qualified: String): Option[TableSchema] =
+    relations.values.find(_.ref.qualified == qualified)
+
+  def push(messages: Iterator[PgOutput.Message]): Iterator[Entry] = {
     messages.flatMap {
       case PgOutput.Begin(finalLsn, tsMicros, _) =>
         txnLsn = Some(finalLsn)
@@ -106,12 +134,6 @@ object ChangelogBuilder {
         out += col.name -> TextDecode.decode(col.pgOid, cell.text.get)
     }
     out.result()
-  }
-
-  private def micros2ts(unixMicros: Long): Timestamp = {
-    val ts = new Timestamp(Math.floorDiv(unixMicros, 1000000L) * 1000L)
-    ts.setNanos((Math.floorMod(unixMicros, 1000000L) * 1000L).toInt)
-    ts
   }
 }
 

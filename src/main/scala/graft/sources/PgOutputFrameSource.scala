@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource v2 streaming source for pgoutput frame logs — the
+  * offline stand-in for a replication-socket `MicroBatchStream`
+  * (reference: pkg/subscription/stream.go:78-232 receives CopyData
+  * frames from a slot; here frames come from an append-only log
+  * directory, which is what the offline environment can provide).
+  *
+  * Log format: files named in lexicographic order, each a sequence of
+  * `[int32 big-endian length][frame bytes]` records — one record per
+  * pgoutput wire message. Use `PgOutputFrameLog.append` to produce.
+  *
+  * Semantics mirrored from the reference:
+  * - offsets are *frame positions*; a committed offset is never
+  *   redelivered after restart (confirmed_flush_lsn semantics,
+  *   subscription_test.go:205-262) — Spark's checkpoint holds the
+  *   position, `commit` is where a socket source would send
+  *   StandbyStatusUpdate.
+  * - a single input partition per batch: the frame stream is ordered
+  *   and the downstream ChangelogBuilder relies on Relation messages
+  *   preceding their rows. Parallelism starts after decode, on the
+  *   envelope DataFrame (see SCALING.md "Streaming decode").
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.PgOutputFrameSource")
+  *   .option("path", dir).load()          // (position LONG, frame BINARY)
+  * }}}
+  */
+class PgOutputFrameSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgOutputFrameSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PgOutputFrameTable(properties.get("path"))
+}
+
+object PgOutputFrameSource {
+  val schema: StructType = StructType(Seq(
+    StructField("position", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+}
+
+final class PgOutputFrameTable(path: String) extends Table with SupportsRead {
+  require(path != null, "option 'path' is required")
+  override def name(): String = s"pgoutput-frames(`$path`)"
+  override def schema(): StructType = PgOutputFrameSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = PgOutputFrameSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PgOutputFrameStream(path)
+      }
+    }
+}
+
+/** Offset = count of frames ever appended (positions 0..n-1). */
+final case class FramePosition(position: Long) extends Offset {
+  override def json(): String = s"""{"position":$position}"""
+}
+
+final class PgOutputFrameStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = FramePosition(0L)
+
+  override def latestOffset(): Offset =
+    FramePosition(PgOutputFrameLog.frameCount(path))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"position\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+    FramePosition(m.group(1).toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FramePosition].position
+    val e = end.asInstanceOf[FramePosition].position
+    if (e <= s) Array.empty
+    // ONE partition: frame order is the correctness contract
+    else Array(FrameRange(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val range = partition.asInstanceOf[FrameRange]
+        new FrameReader(range)
+      }
+    }
+
+  /** Where a socket-backed source would ack the upstream slot
+    * (StandbyStatusUpdate); the file log needs nothing — the
+    * checkpoint already persists the position. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class FrameRange(path: String, start: Long, end: Long)
+  extends InputPartition
+
+final class FrameReader(range: FrameRange)
+    extends PartitionReader[InternalRow] {
+  private val frames = PgOutputFrameLog.readRange(range.path, range.start, range.end)
+  private var idx = -1
+  override def next(): Boolean = { idx += 1; idx < frames.length }
+  override def get(): InternalRow =
+    InternalRow(range.start + idx, frames(idx))
+  override def close(): Unit = ()
+}
+
+/** The frame-log codec: length-prefixed frames in ordered files. */
+object PgOutputFrameLog {
+  import java.io.{DataInputStream, DataOutputStream, FileOutputStream, FileInputStream, File}
+
+  /** Append frames as a new log segment file. */
+  def append(dir: String, segment: String, frames: Seq[Array[Byte]]): Unit = {
+    new File(dir).mkdirs()
+    val out = new DataOutputStream(new FileOutputStream(new File(dir, segment)))
+    try frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    finally out.close()
+  }
+
+  private def segments(dir: String): Seq[File] = {
+    val d = new File(dir)
+    if (!d.exists()) Nil
+    else d.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+  }
+
+  def frameCount(dir: String): Long =
+    segments(dir).map(countIn).sum
+
+  private def countIn(f: File): Long = {
+    val in = new DataInputStream(new FileInputStream(f))
+    try {
+      var n = 0L
+      while (in.available() >= 4) {
+        val len = in.readInt()
+        in.skipBytes(len)
+        n += 1
+      }
+      n
+    } finally in.close()
+  }
+
+  /** Frames at positions [start, end) across all segments, in order. */
+  def readRange(dir: String, start: Long, end: Long): Array[Array[Byte]] = {
+    val out = Array.newBuilder[Array[Byte]]
+    var pos = 0L
+    segments(dir).foreach { f =>
+      if (pos < end) {
+        val in = new DataInputStream(new FileInputStream(f))
+        try {
+          while (in.available() >= 4 && pos < end) {
+            val len = in.readInt()
+            if (pos >= start) {
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              out += buf
+            } else in.skipBytes(len)
+            pos += 1
+          }
+        } finally in.close()
+      }
+    }
+    out.result()
+  }
+}

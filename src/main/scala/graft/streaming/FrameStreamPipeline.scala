@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.model.{Envelope, TableSchema}
+import graft.sinks.Sink
+import graft.sources.{ChangelogBuilder, PgOutput}
+
+/** The complete streaming CDC lifecycle (SURVEY §3.1) on Spark:
+  * frame source → ordered decode → route per table → sink insert →
+  * ack. One streaming query; the driver-side decode is the ordered,
+  * stateful stage (relation cache + transaction framing live across
+  * micro-batches in a [[ChangelogBuilder]]); everything from the
+  * envelope DataFrame on is distributed.
+  *
+  * This mirrors the reference's thread chain — receive loop,
+  * Sequence, BuildChangelog, router, sink (cmd/pgsink/cmd/app.go:
+  * 340-346) — collapsed onto Structured Streaming's micro-batch
+  * clock: trigger = flush interval, foreachBatch = flush epoch,
+  * checkpoint commit + AckWatermark = Confirm.
+  */
+object FrameStreamPipeline {
+
+  def start(
+      spark: SparkSession,
+      frameDir: String,
+      sink: Sink,
+      watermark: CdcPipeline.AckWatermark,
+      checkpoint: String,
+      flushInterval: String = "5 seconds"): StreamingQuery = {
+    val builder = new ChangelogBuilder // driver-side, lives across batches
+
+    spark.readStream
+      .format("graft.sources.PgOutputFrameSource")
+      .option("path", frameDir)
+      .load()
+      .writeStream
+      .queryName(s"cdc-frames($frameDir)")
+      .trigger(Trigger.ProcessingTime(flushInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, builder, sink, watermark)
+        ()
+      }
+      .start()
+  }
+
+  /** One flush epoch: decode the batch's frames in position order,
+    * dispatch Schema entries to sink DDL, group modifications per
+    * table (the Router), append, and confirm the max LSN. */
+  private[streaming] def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      builder: ChangelogBuilder,
+      sink: Sink,
+      watermark: CdcPipeline.AckWatermark): Unit = {
+    // frame payloads are small control-plane bytes; a micro-batch of
+    // them is bounded by the trigger interval, not the corpus
+    val frames = batch.orderBy("position").collect()
+      .map(_.getAs[Array[Byte]]("frame"))
+    if (frames.isEmpty) return
+    val entries = builder.push(frames.iterator.map(PgOutput.decode)).toVector
+
+    val schemas = scala.collection.mutable.Map.empty[String, TableSchema]
+    entries.foreach {
+      case ChangelogBuilder.SchemaEntry(_, _, schema) =>
+        sink.handleSchema(schema)
+        schemas(schema.ref.qualified) = schema
+      case _ =>
+    }
+
+    val mods = entries.collect { case m: ChangelogBuilder.ModificationEntry => m }
+    var maxLsn: Option[Long] = None
+    mods.groupBy(m => s"${m.namespace}.${m.name}").foreach { case (table, ms) =>
+      // schema from this batch, or the builder's cache when the
+      // Relation message arrived in an earlier flush epoch
+      val schema = schemas.getOrElse(table, builder.schemaOf(table)
+        .getOrElse(throw new IllegalStateException(
+          s"no schema known for $table: relation must precede rows")))
+      val payloadType = schema.payloadStruct
+      val rows = ms.map(m => Row(
+        m.timestamp, m.lsn.orNull, m.sequence.orNull,
+        Envelope.operationOf(m.lsn, m.before, m.after),
+        imageRow(payloadType, m.before), imageRow(payloadType, m.after)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Envelope.schemaFor(payloadType))
+      val result = sink.insert(schema, df)
+      maxLsn = (maxLsn ++ result.lsn).reduceOption(_ max _)
+    }
+    maxLsn.foreach(watermark.confirm)
+  }
+
+  private def imageRow(payload: StructType, m: Option[Map[String, Any]]): Row =
+    m.map { values =>
+      Row.fromSeq(payload.fields.toIndexedSeq.map(f => values.get(f.name).orNull))
+    }.orNull
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.PgTypes
+import graft.sources._
+
+class FrameSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import PgOutput._
+
+  def tmp(): String = Files.createTempDirectory("graft-frames").toString
+
+  val rel = Relation(1L, "public", "one", 'd'.toByte, Seq(
+    RelationColumn(key = true, "id", PgTypes.Int8, -1),
+    RelationColumn(key = false, "msg", PgTypes.Text, -1)))
+  def cell(v: String) = Element('t'.toByte, Some(v.getBytes("UTF-8")))
+  def txn(lsn: Long, inserts: (Long, String)*): Seq[Array[Byte]] =
+    encodeBegin(Begin(lsn, 0L, lsn)) +:
+      encodeRelation(rel) +:
+      inserts.map { case (id, msg) =>
+        encodeInsert(Insert(1L, TupleData(Seq(cell(id.toString), cell(msg)))))
+      } :+ encodeCommit(Commit(0, lsn, lsn + 1, 0L))
+
+  test("frame log round-trips ranges across segments") {
+    val dir = tmp()
+    val frames = txn(100L, 1L -> "a", 2L -> "b")
+    PgOutputFrameLog.append(dir, "seg-000", frames.take(3))
+    PgOutputFrameLog.append(dir, "seg-001", frames.drop(3))
+    assert(PgOutputFrameLog.frameCount(dir) == frames.length)
+    val mid = PgOutputFrameLog.readRange(dir, 2, 4)
+    assert(mid.length == 2)
+    assert(mid.map(_.toSeq).toSeq == frames.slice(2, 4).map(_.toSeq))
+  }
+
+  test("micro-batch stream delivers frames once, decodable, and survives restart") {
+    val dir = tmp(); val ckpt = tmp()
+    PgOutputFrameLog.append(dir, "seg-000", txn(100L, 1L -> "meow"))
+
+    val decoded = scala.collection.mutable.ArrayBuffer.empty[ChangelogBuilder.Entry]
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.PgOutputFrameSource")
+        .option("path", dir)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // ordered decode: frames sorted by position inside the batch
+          val frames = batch.orderBy("position").collect()
+            .map(_.getAs[Array[Byte]]("frame"))
+          decoded.synchronized {
+            decoded ++= ChangelogBuilder.build(
+              frames.iterator.map(PgOutput.decode))
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run()
+    val mods1 = decoded.collect { case m: ChangelogBuilder.ModificationEntry => m }
+    assert(mods1.map(_.after.get("msg")) == Seq("meow"))
+    assert(mods1.head.lsn.contains(100L))
+
+    // restart with the same checkpoint + new data: old frames are NOT
+    // redelivered (confirmed_flush_lsn semantics), new ones are
+    PgOutputFrameLog.append(dir, "seg-001", txn(200L, 2L -> "woof"))
+    run()
+    val msgs = decoded.collect { case m: ChangelogBuilder.ModificationEntry =>
+      m.after.get("msg")
+    }
+    assert(msgs == Seq("meow", "woof"), s"got $msgs")
+  }
+}
