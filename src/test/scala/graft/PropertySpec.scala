@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.InsertResult
+import graft.sources.TextDecode
+import graft.model.PgTypes
+
+/** Property tests for the algebraic invariants the engine's
+  * correctness rests on (SURVEY §5: the promise-fold/LSN-watermark
+  * and dedup-view properties). Raw ScalaCheck under ScalaTest (the
+  * scalatestplus bridge is not on the offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  val genResult: Gen[InsertResult] = for {
+    n <- Gen.chooseNum(0L, 1000000L)
+    lsn <- Gen.option(Gen.chooseNum(0L, Long.MaxValue / 2))
+  } yield InsertResult(n, lsn)
+
+  test("InsertResult fold is associative and commutative (any fold tree, same watermark)") {
+    check("assoc", Prop.forAll(genResult, genResult, genResult) { (a, b, c) =>
+      a.merge(b.merge(c)) == a.merge(b).merge(c)
+    })
+    check("comm", Prop.forAll(genResult, genResult) { (a, b) =>
+      a.merge(b) == b.merge(a)
+    })
+    check("identity", Prop.forAll(genResult) { a =>
+      a.merge(InsertResult.empty) == a
+    })
+  }
+
+  test("backoff is monotonic in error count and capped") {
+    def backoff(n: Int) = math.min(3600.0, 5.0 * math.pow(3.0, n.toDouble))
+    check("monotone-capped",
+      Prop.forAll(Gen.chooseNum(0, 40), Gen.chooseNum(0, 40)) { (a, b) =>
+        (a > b || backoff(a) <= backoff(b)) && backoff(a) <= 3600.0
+      })
+  }
+
+  test("postgres array literal round-trips") {
+    val elem = Gen.oneOf(
+      Gen.alphaNumStr.map(s => if (s == "NULL") "x" + s else s),
+      Gen.const(null: String))
+    check("array-roundtrip", Prop.forAll(Gen.nonEmptyListOf(elem)) { xs =>
+      val literal = xs.map {
+        case null => "NULL"
+        case s if s.isEmpty || s.contains(",") || s.contains("\"") ||
+          s.contains("\\") =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case s => s
+      }.mkString("{", ",", "}")
+      TextDecode.decode(PgTypes.TextArr, literal) == xs
+    })
+  }
+
+  test("scalar text decode round-trips") {
+    check("int8", Prop.forAll { (v: Long) =>
+      TextDecode.decode(PgTypes.Int8, v.toString) == v
+    })
+    check("int4", Prop.forAll { (v: Int) =>
+      TextDecode.decode(PgTypes.Int4, v.toString) == v
+    })
+    check("float8", Prop.forAll { (v: Double) =>
+      v.isNaN || TextDecode.decode(PgTypes.Float8, v.toString) == v
+    })
+    check("bytea", Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bytes =>
+      val hex = "\\x" + bytes.map(b => f"${b & 0xff}%02x").mkString
+      TextDecode.decode(PgTypes.Bytea, hex)
+        .asInstanceOf[Array[Byte]].toSeq == bytes
+    })
+  }
+
+  test("schema fingerprint: permutation-invariant, content-sensitive") {
+    import graft.model.{ColumnSpec, TableSchema}
+    val genCol = for {
+      name <- Gen.identifier.suchThat(_.nonEmpty)
+      oid <- Gen.oneOf(PgTypes.supported.keys.toSeq)
+      key <- Gen.oneOf(true, false)
+    } yield ColumnSpec(name, oid, key)
+    check("fingerprint", Prop.forAll(Gen.nonEmptyListOf(genCol)) { cols0 =>
+      val cols = cols0.distinctBy(_.name)
+      val s1 = TableSchema(1, "public", "t", cols)
+      val s2 = TableSchema(1, "public", "t", scala.util.Random.shuffle(cols))
+      val mutated = cols.head.copy(key = !cols.head.key) +: cols.tail
+      s1.fingerprint == s2.fingerprint &&
+        TableSchema(1, "public", "t", mutated).fingerprint != s1.fingerprint
+    })
+  }
+}
