@@ -512,10 +512,13 @@ object SparkEntry {
         |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
         |  FROM t),
         |sig AS (SELECT doc_id, list_transform(range(16),
-        |    i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS m
+        |    i -> list_min(list_transform(s, x ->
+        |      (((('0x' || substr(md5(x), 1, 8))::UBIGINT)::BIGINT % 2147483647)
+        |        * (((2*i + 1) * 2654435761) % 2147483647)
+        |        + ((i * 40503 + 17) % 2147483647)) % 2147483647))) AS m
         |  FROM sh),
         |bands AS (SELECT doc_id, unnest(list_transform(range(4),
-        |    bi -> md5(bi::VARCHAR || '|' || array_to_string(list_slice(m, bi*4+1, bi*4+4), '|')))) AS bucket
+        |    bi -> md5(bi::VARCHAR || '|' || array_to_string(list_transform(list_slice(m, bi*4+1, bi*4+4), v -> v::VARCHAR), '|')))) AS bucket
         |  FROM sig),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
         |  FROM bands a JOIN bands b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),

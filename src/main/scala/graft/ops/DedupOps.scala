@@ -43,7 +43,8 @@ object DedupOps {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|",
         b.cast("string"),
-        concat_ws("|", slice(signature, b * rows + 1, lit(rows))))))
+        concat_ws("|", transform(slice(signature, b * rows + 1, lit(rows)),
+          v => v.cast("string"))))))
 
   /** MinHash signatures as a table: (id, sig) — the scale shape.
     *
@@ -56,13 +57,25 @@ object DedupOps {
     * codegen'd hash aggregation: one md5 per (shingle, hash-function)
     * pair, partial-aggregated map-side, one shuffle on the id.
     */
+  /** Mersenne prime modulus for the affine hash family. */
+  val MinhashPrime: Long = 2147483647L
+
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleSize: Int = 3): DataFrame = {
+    val p = MinhashPrime
+    // standard affine family over ONE base hash per shingle:
+    // h_i(s) = (a_i * base(s) + b_i) mod p — one md5 per shingle
+    // instead of k, then k cheap integer aggregates
     val exploded = df.select(col(idCol).as("id"),
-      explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"_h$i"))
+        explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
+      .select(col("id"),
+        (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % p).as("base"))
+    val aggs = (0 until k).map { i =>
+      val a = ((2L * i + 1L) * 2654435761L) % p
+      val b = (i.toLong * 40503L + 17L) % p
+      min((col("base") * a + b) % p).as(s"_h$i")
+    }
     exploded.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
