@@ -295,6 +295,27 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("session_id"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // ----- §2.9 extension: tumbling-window aggregation (batch twin of
+    // the streaming windowed agg; see StreamingWindowSpec) -----
+    "q31_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+    // ----- LLM ops: embedding column statistics -----
+    "q32_vector_stats" -> ((s, dir) => {
+      val e = col("embedding")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(SimilarityOps.norm(e), 6).as("l2_norm"),
+          round(aggregate(e, lit(0.0), (acc, x) => acc + x.cast("double")) /
+            size(e).cast("double"), 6).as("mean_component"))
+        .orderBy(col("vec_id"))
+    }),
     // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -541,6 +562,16 @@ object SparkEntry {
         |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM g ORDER BY user_id, event_id""".stripMargin,
+    "q31_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q32_vector_stats" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
+        |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q30_fingerprints" ->
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
