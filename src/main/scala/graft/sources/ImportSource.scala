@@ -22,6 +22,24 @@ import graft.model.Envelope
   */
 object ImportSource {
 
+  /** Import requires exactly one primary-key column for keyset
+    * cursors (reference: pkg/imports/import.go:235-270 —
+    * `NoPrimaryKeyError` on none, `multiplePrimaryKeysError` on
+    * composite, key names sorted for deterministic messages). */
+  final case class NoPrimaryKeyError(table: String)
+      extends RuntimeException(s"no primary key found for table $table")
+  final case class MultiplePrimaryKeysError(table: String, keys: Seq[String])
+      extends RuntimeException(
+        s"unsupported multiple primary keys for table $table: ${keys.sorted.mkString(",")}")
+
+  /** The single cursor column, or fail like the reference. */
+  def primaryKeyColumn(schema: graft.model.TableSchema): String =
+    schema.primaryKeys match {
+      case Seq(one) => one
+      case Seq() => throw NoPrimaryKeyError(schema.ref.qualified)
+      case many => throw MultiplePrimaryKeysError(schema.ref.qualified, many)
+    }
+
   /** Read a source table from a scale-factor directory. Column
     * pruning and predicate pushdown reach the parquet scan because the
     * read stays declarative.

@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
@@ -42,7 +42,8 @@ class PgOutputFrameSource extends TableProvider {
     PgOutputFrameSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PgOutputFrameTable(properties.get("path"))
+    new PgOutputFrameTable(properties.get("path"),
+      Option(properties.get("maxFramesPerTrigger")).map(_.toLong))
 }
 
 object PgOutputFrameSource {
@@ -51,7 +52,8 @@ object PgOutputFrameSource {
     StructField("frame", BinaryType, nullable = false)))
 }
 
-final class PgOutputFrameTable(path: String) extends Table with SupportsRead {
+final class PgOutputFrameTable(path: String, maxFramesPerTrigger: Option[Long])
+    extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"pgoutput-frames(`$path`)"
   override def schema(): StructType = PgOutputFrameSource.schema
@@ -62,7 +64,7 @@ final class PgOutputFrameTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PgOutputFrameSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PgOutputFrameStream(path)
+          new PgOutputFrameStream(path, maxFramesPerTrigger)
       }
     }
 }
@@ -72,11 +74,26 @@ final case class FramePosition(position: Long) extends Offset {
   override def json(): String = s"""{"position":$position}"""
 }
 
-final class PgOutputFrameStream(path: String) extends MicroBatchStream {
+/** @param maxFramesPerTrigger backpressure bound per micro-batch —
+  *   the analogue of the reference's bounded channel between source
+  *   and sink (BufferSize=5000, pkg/imports/importer.go:34) and of
+  *   `maxOffsetsPerTrigger` in Spark's built-in sources. */
+final class PgOutputFrameStream(path: String, maxFramesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = FramePosition(0L)
 
   override def latestOffset(): Offset =
     FramePosition(PgOutputFrameLog.frameCount(path))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFramesPerTrigger.map(m => ReadLimit.maxRows(m))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FramePosition].position
+    val total = PgOutputFrameLog.frameCount(path)
+    FramePosition(maxFramesPerTrigger.fold(total)(m => math.min(total, s + m)))
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"position\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)

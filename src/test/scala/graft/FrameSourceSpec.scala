@@ -24,6 +24,46 @@ class FrameSourceSpec extends AnyFunSuite {
         encodeInsert(Insert(1L, TupleData(Seq(cell(id.toString), cell(msg)))))
       } :+ encodeCommit(Commit(0, lsn, lsn + 1, 0L))
 
+  test("maxFramesPerTrigger bounds each micro-batch (backpressure)") {
+    val dir = tmp(); val ckpt = tmp()
+    PgOutputFrameLog.append(dir, "seg-000",
+      txn(100L, 1L -> "a", 2L -> "b") ++ txn(200L, 3L -> "c", 4L -> "d"))
+    val total = PgOutputFrameLog.frameCount(dir)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft.sources.PgOutputFrameSource")
+      .option("path", dir)
+      .option("maxFramesPerTrigger", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.sum == total)
+    assert(batchSizes.forall(_ <= 3), s"batches exceeded limit: $batchSizes")
+    assert(batchSizes.length >= (total / 3).toInt)
+  }
+
+  test("primary key discovery: single key ok, none/composite rejected") {
+    import graft.model.{ColumnSpec, TableSchema}
+    import graft.sources.ImportSource._
+    val ok = TableSchema(1, "public", "one", Seq(
+      ColumnSpec("id", PgTypes.Int8, key = true), ColumnSpec("msg", PgTypes.Text)))
+    assert(primaryKeyColumn(ok) == "id")
+    val keyless = TableSchema(1, "public", "keyless", Seq(
+      ColumnSpec("id", PgTypes.Int8), ColumnSpec("msg", PgTypes.Text)))
+    assertThrows[NoPrimaryKeyError](primaryKeyColumn(keyless))
+    val composite = TableSchema(1, "public", "composite", Seq(
+      ColumnSpec("id", PgTypes.Int8, key = true),
+      ColumnSpec("msg", PgTypes.Text, key = true)))
+    val e = intercept[MultiplePrimaryKeysError](primaryKeyColumn(composite))
+    assert(e.getMessage.contains("id,msg")) // deterministic sorted order
+  }
+
   test("frame log round-trips ranges across segments") {
     val dir = tmp()
     val frames = txn(100L, 1L -> "a", 2L -> "b")
