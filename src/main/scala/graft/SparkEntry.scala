@@ -316,6 +316,12 @@ object SparkEntry {
             size(e).cast("double"), 6).as("mean_component"))
         .orderBy(col("vec_id"))
     }),
+    // ----- skew: salted two-stage aggregation (same result, hot keys split) -----
+    "q33_salted_agg" -> ((s, dir) => {
+      ChangelogOps.saltedAgg(t(s, dir, "events"),
+          col("user_id"), col("value").cast(DecimalType(18, 4)), 8)
+        .orderBy(col("key"))
+    }),
     // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -572,6 +578,10 @@ object SparkEntry {
         |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
         |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q33_salted_agg" ->
+      """SELECT user_id AS key, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS total
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
     "q30_fingerprints" ->
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -104,6 +104,28 @@ object ChangelogOps {
       maxSeconds: Double = 3600.0): Column =
     least(lit(maxSeconds), lit(baseSeconds) * pow(lit(exponent), errorCount))
 
+  /** Skew-resistant aggregation: salt the hot key space into
+    * `saltBuckets` sub-keys, partially aggregate, then merge — the
+    * classic two-stage plan for keys whose row counts dwarf a single
+    * task (one celebrity user, one boilerplate document). Correct for
+    * any algebraic aggregate; exposed here for count+sum, the shapes
+    * the engine needs. The salt is derived from stable row content
+    * (not rand()) so results are deterministic and retries are safe.
+    *
+    * At 100 TB: AQE's skew handling covers joins, but a single
+    * pathological GROUP BY key still funnels to one reducer — this
+    * is the explicit escape hatch.
+    */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+      saltBuckets: Int): DataFrame = {
+    val salted = df.groupBy(key.as("_key"),
+        (abs(hash(value)) % saltBuckets).as("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(value).as("_sum"))
+    salted.groupBy(col("_key"))
+      .agg(sum(col("_n")).as("n"), sum(col("_sum")).as("total"))
+      .withColumnRenamed("_key", "key")
+  }
+
   /** Event sessionization: assign a session index per key using the
     * classic gap rule — a new session starts when the time since the
     * previous event exceeds `gapSeconds`. One shuffle on the key, two
