@@ -322,6 +322,28 @@ object SparkEntry {
           col("user_id"), col("value").cast(DecimalType(18, 4)), 8)
         .orderBy(col("key"))
     }),
+    // ----- LLM ops: embedding near-dup pairs via SRP-LSH buckets -----
+    "q34_embedding_neardups" -> ((s, dir) => {
+      SimilarityOps.bucketedNeighborPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 8, minCosine = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ----- §2.3 headline: shipping-priority multi-join (Q3 shape) -----
+    "q35_ship_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
     // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -578,6 +600,34 @@ object SparkEntry {
         |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
         |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q34_embedding_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  CAST(list_aggregate(list_transform(range(8), p -> CASE WHEN
+        |    list_aggregate(list_transform(range(len(v)), d ->
+        |      v[d+1] * (((('0x' || substr(md5('plane' || p::VARCHAR || '|' || d::VARCHAR), 1, 8))::UBIGINT)::BIGINT::DOUBLE / 2147483648.0) - 1.0)
+        |    ), 'sum') >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END), 'sum') AS BIGINT) AS bucket
+        |  FROM e),
+        |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |    round(CASE WHEN sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        |               sqrt(list_aggregate(list_transform(b2.v, x -> x*x), 'sum')) = 0 THEN 0.0
+        |      ELSE list_aggregate(list_transform(range(len(a.v)), d -> a.v[d+1] * b2.v[d+1]), 'sum') /
+        |        (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        |         sqrt(list_aggregate(list_transform(b2.v, x -> x*x), 'sum'))) END, 6) AS cosine
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q35_ship_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q33_salted_agg" ->
       """SELECT user_id AS key, count(*) AS n,
         |  sum(CAST(value AS DECIMAL(18,4))) AS total
