@@ -46,27 +46,46 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic hyperplane component: md5("plane<p>|<d>") first 8
+    * hex chars as uint32, scaled to [-1, 1) — identical math to the
+    * oracle SQL, but evaluated ONCE driver-side: the hyperplane
+    * matrix is a (planes × dims) constant, so it bakes into the plan
+    * as literal arrays instead of 8×64 md5 calls per row (which
+    * measured ~5s for 2k vectors at sf0.1; literals run in ~1 map
+    * pass).
+    */
+  private[ops] def srpWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$p|$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    (java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 31)) - 1.0
+  }
+
   /** Sign-random-projection bucket id: one bit per hyperplane =
     * sign of the projection; packs to a long. Vectors in the same
     * bucket are likely neighbors (cosine LSH).
+    *
+    * @param dims embedding dimensionality (hyperplanes are baked as
+    *             literals, so the width must be known at plan time)
     */
-  def srpBucket(vec: Column, planes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), pIdx => {
-      // projection of vec onto plane pIdx: sum_d vec[d] * w(p, d)
+  def srpBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val w = lit((0 until dims).map(srpWeight(p, _)).toArray)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, d) => v.cast("double") * srpWeight(pIdx, d)),
+        zip_with(vec, w, (v, wt) => v.cast("double") * wt),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, pow(lit(2.0), pIdx.cast("double")).cast("long")).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc + b)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
   }
 
-  private def srpWeight(p: Column, d: Column): Column = {
-    val h = conv(substring(md5(concat(lit("plane"), p.cast("string"), lit("|"),
-      d.cast("string"))), 1, 8), 16, 10).cast("long")
-    (h.cast("double") / lit(math.pow(2, 31))) - lit(1.0)
-  }
+  /** Driver-side bucket of one query vector (same math). */
+  def srpBucketOf(query: Seq[Float], planes: Int): Long =
+    (0 until planes).map { p =>
+      val proj = query.zipWithIndex
+        .map { case (v, d) => v.toDouble * srpWeight(p, d) }.sum
+      if (proj >= 0) 1L << p else 0L
+    }.sum
 
   /** ANN top-k via SRP-LSH: score only rows whose bucket matches the
     * query's bucket (multi-probe: optionally also buckets at Hamming
@@ -76,16 +95,13 @@ object SimilarityOps {
   def annTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, planes: Int = 8, probe: Int = 1): DataFrame = {
-    val spark = embeddings.sparkSession
     val q = lit(query.toArray)
-    // query bucket computed once, driver-side, via a literal row
-    val qBucket = spark.range(1)
-      .select(srpBucket(q, planes).as("b")).collect()(0).getLong(0)
+    val qBucket = srpBucketOf(query, planes)
     val probed: Seq[Long] =
       if (probe <= 0) Seq(qBucket)
       else qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
     embeddings
-      .withColumn("_bucket", srpBucket(col(vecCol), planes))
+      .withColumn("_bucket", srpBucket(col(vecCol), planes, query.length))
       .where(col("_bucket").isin(probed: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -99,9 +115,11 @@ object SimilarityOps {
   def bucketedNeighborPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       planes: Int = 8, minCosine: Double = 0.9): DataFrame = {
+    // hyperplanes bake as literals; width read once from the data
+    val dims = embeddings.select(size(col(vecCol))).first().getInt(0)
     val withBucket = embeddings.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      srpBucket(col(vecCol), planes).as("bucket"))
+      srpBucket(col(vecCol), planes, dims).as("bucket"))
     val a = withBucket.alias("a"); val b = withBucket.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

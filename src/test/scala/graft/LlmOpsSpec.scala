@@ -96,7 +96,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val pairs = SimilarityOps.bucketedNeighborPairs(
       embeddings, "vec_id", "embedding", planes = 2, minCosine = 0.5)
     val withB = embeddings.select($"vec_id",
-      SimilarityOps.srpBucket($"embedding", 2).as("b"))
+      SimilarityOps.srpBucket($"embedding", 2, 64).as("b"))
       .as[(Long, Long)].collect().toMap
     pairs.as[(Long, Long, Double)].collect().foreach { case (a, b, c) =>
       assert(withB(a) == withB(b))
