@@ -63,6 +63,22 @@ object Example {
     sink.registerViews(table)
     spark.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").show()
     spark.sql("SELECT operation, count(*) AS n FROM region_raw GROUP BY operation ORDER BY operation").show()
+
+    // 4. similarity search over embeddings: exact vs SRP-LSH vs IVF
+    import graft.ops.SimilarityOps
+    val emb = ImportSource.table(spark, sfDir, "embeddings")
+    val all = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qVec = all(1L)
+    val centroids = Seq(0L, 2L, 3L, 4L).map(all(_).toSeq)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).mkString(",")
+    println("exact top-5:   " +
+      ids(SimilarityOps.cosineTopK(emb, "vec_id", "embedding", qVec, 5)))
+    println("srp-lsh top-5: " +
+      ids(SimilarityOps.annTopK(emb, "vec_id", "embedding", qVec, 5, planes = 4)))
+    println("ivf top-5:     " +
+      ids(SimilarityOps.ivfTopK(emb, "vec_id", "embedding", qVec, centroids, 5, nprobe = 2)))
     spark.stop()
   }
 }

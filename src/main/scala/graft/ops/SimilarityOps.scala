@@ -108,6 +108,52 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantization: assign each vector to
+    * its nearest centroid; search probes only the `nprobe` nearest
+    * cells. Centroids come from the caller (k-means, or any sampled
+    * seed set) and bake into the plan as literals — like the SRP
+    * hyperplanes, assignment is a pure map-side expression, so the
+    * cell id can be materialised as a partition column and a probe
+    * prunes partitions before reading any vectors.
+    */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      (cosine(vec, lit(c.toArray)), i)
+    }
+    // argmax by cosine, ties to the lower cell id
+    val best = sims.map(_._1).reduce((a, b) => greatest(a, b))
+    sims.foldRight(lit(-1)) { case ((sim, i), elseCol) =>
+      when(sim === best, lit(i)).otherwise(elseCol)
+    }
+  }
+
+  /** Driver-side twin of [[ivfAssign]] for the query vector. */
+  def ivfCellOf(query: Seq[Float], centroids: Seq[Seq[Float]]): Seq[Int] = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    centroids.indices.sortBy(i => -cos(query, centroids(i)))
+  }
+
+  /** ANN top-k via IVF: score only vectors in the query's `nprobe`
+    * nearest cells. */
+  def ivfTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], centroids: Seq[Seq[Float]],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val probeCells = ivfCellOf(query, centroids).take(nprobe)
+    val q = lit(query.toArray)
+    embeddings
+      .withColumn("_cell", ivfAssign(col(vecCol), centroids))
+      .where(col("_cell").isin(probeCells: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top neighbors within LSH buckets — the corpus-scale
     * "find my duplicates" shape: bucket first (shuffle on bucket id),
     * pair only within buckets, never a cross join.

@@ -92,6 +92,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("IVF top-k: probing nearest cells finds the query's own vector and real neighbors") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    // centroids = a fixed seed sample (stand-in for trained k-means)
+    val centroids = Seq(0L, 100L, 200L, 300L).map(all(_))
+    val query = all(42L)
+    val exact = SimilarityOps.cosineTopK(embeddings, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf = SimilarityOps.ivfTopK(embeddings, "vec_id", "embedding",
+        query, centroids, 10, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ivf.contains(42L))
+    assert((exact intersect ivf).size >= 3,
+      s"IVF recall too low: ${(exact intersect ivf).size}/10")
+    // cell assignment is deterministic and total
+    val cells = embeddings.select(
+        SimilarityOps.ivfAssign($"embedding", centroids).as("c"))
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < centroids.size))
+  }
+
   test("bucketed neighbor pairs never cross buckets and are cosine-filtered") {
     val pairs = SimilarityOps.bucketedNeighborPairs(
       embeddings, "vec_id", "embedding", planes = 2, minCosine = 0.5)

@@ -11,6 +11,10 @@ import graft.sources.ImportSource
   * watermark (late-data bound) over the events table replayed as a
   * stream — SURVEY §2.9's extension surface.
   */
+// top-level so spark.implicits can derive Encoders
+case class StateE(user: Long, lsn: Long)
+case class StateS(n: Long, maxLsn: Long)
+
 class StreamingWindowSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -46,6 +50,54 @@ class StreamingWindowSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("mapGroupsWithState keeps per-key running state across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // per-user running event count + max lsn — the distributed,
+    // stateful form of the ack-watermark fold (SURVEY §2.9): state
+    // lives in the state store, not the driver
+    def update(user: Long, events: Iterator[StateE],
+        state: GroupState[StateS]): StateS = {
+      val prev = state.getOption.getOrElse(StateS(0, -1))
+      val es = events.toSeq
+      val next = StateS(prev.n + es.size,
+        (prev.maxLsn +: es.map(_.lsn)).max)
+      state.update(next)
+      next
+    }
+
+    val src = Files.createTempDirectory("graft-state").toString
+    val ckpt = Files.createTempDirectory("graft-state-ckpt").toString
+
+    def run(name: String): Seq[StateS] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[StateS]
+      val q = spark.readStream.schema("user LONG, lsn LONG")
+        .parquet(s"$src/*").as[StateE]
+        .groupByKey(_.user)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update _)
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StateS], _: Long) =>
+          got.synchronized { got ++= batch.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      got.toSeq
+    }
+
+    Seq(StateE(1, 10), StateE(1, 12), StateE(2, 5)).toDF().write.parquet(s"$src/b0")
+    val first = run("state_out1")
+    assert(first.contains(StateS(2, 12)) && first.contains(StateS(1, 5)))
+
+    // second query, same checkpoint: state must carry over
+    Seq(StateE(1, 20), StateE(3, 1)).toDF().write.mode("append").parquet(s"$src/b1")
+    val second = run("state_out2")
+    // user 1: one new event on top of checkpointed (n=2, maxLsn=12)
+    assert(second.contains(StateS(3, 20)), s"got $second")
+    // user 3 is new
+    assert(second.contains(StateS(1, 1)))
   }
 
   test("instrumented sink records batch counts, durations, schema outcomes") {
