@@ -62,6 +62,15 @@ object MultimodalOps {
     }
     override def frameOffsets(payload: Array[Byte], everyNth: Int): Array[Long] =
       (0L until payload.length.toLong by everyNth.toLong).toArray
+
+    /** Deterministic fake resize: byte decimation proportional to the
+      * target area — STUB for a real scaler. */
+    def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (payload.isEmpty) return payload
+      val target = math.max(1, math.min(payload.length, w * h))
+      val step = math.max(1, payload.length / target)
+      payload.indices.by(step).map(payload).toArray
+    }
   }
 
   /** Decode features for every media row: batched per-partition
@@ -125,6 +134,42 @@ object MultimodalOps {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize/transcode plan: payload → transformed payload with
+    * updated metadata, batched per partition like
+    * [[extractFeatures]]. The stub decoder "resizes" by deterministic
+    * byte decimation; a real codec slots in without changing the
+    * plan, schema, or partitioning.
+    */
+  def resize(
+      media: DataFrame,
+      decoder: MediaDecoder,
+      targetWidth: Int,
+      targetHeight: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val schema = media.schema
+    val idIdx = schema.fieldIndex("media_id")
+    val payloadIdx = schema.fieldIndex("payload")
+    val metaIdx = schema.fieldIndex("meta")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val meta = r.getStruct(metaIdx)
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val resized = decoder match {
+            case s: StubDecoder => s.resizeStub(payload, targetWidth, targetHeight)
+            case _ => payload // real codecs override via StubDecoder-like hooks
+          }
+          Row(r.get(idIdx), resized,
+            if (meta == null) null
+            else Row(meta.getString(0), targetWidth, targetHeight,
+              meta.get(3), meta.get(4)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Declarative metadata checks that never touch the payload —

@@ -198,5 +198,11 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(f.map(_._3).toSeq == Seq(0L, 20L, 40L))
     // metadata filter never touches payload
     assert(wellFormed(media).count() == 2) // row 3 has empty payload
+    // resize: payload decimated, metadata dims rewritten, schema kept
+    val resized = resize(media, decoder, 4, 4)
+    assert(resized.schema == media.schema)
+    val r1 = resized.where(col("media_id") === 1L).collect()(0)
+    assert(r1.getAs[Array[Byte]]("payload").length <= 16 + 1)
+    assert(r1.getStruct(2).getInt(1) == 4 && r1.getStruct(2).getInt(2) == 4)
   }
 }

@@ -52,6 +52,33 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("native session_window streaming agg matches ChangelogOps.sessionize session count") {
+    import graft.ops.ChangelogOps
+    val src = Files.createTempDirectory("graft-sess").toString
+    val ev = ImportSource.table(spark, sf, "events")
+      .select($"user_id", $"ts", $"value")
+    ev.write.parquet(s"$src/b0")
+
+    // streaming: native session_window with a 30-minute gap
+    val q = spark.readStream.schema(ev.schema).parquet(s"$src/*")
+      .withWatermark("ts", "1 minute")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedSessions = spark.table("sess_out")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    // batch: our gap-rule sessionize
+    val batchSessions = ChangelogOps.sessionize(ev, $"user_id", $"ts", 1800L)
+      .groupBy($"user_id").agg(max($"session_id").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamedSessions == batchSessions)
+    assert(streamedSessions.nonEmpty)
+  }
+
   test("mapGroupsWithState keeps per-key running state across micro-batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // per-user running event count + max lsn — the distributed,
