@@ -344,6 +344,37 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
+    // ----- §7.2 flagship at scale: CDC apply over lineitem.
+    // Import the whole table, apply a deterministic synthetic stream
+    // (updates for orderkey%10==0, deletes for %10==5), compact with
+    // the latest-row view, and checksum. The oracle computes the end
+    // state INDEPENDENTLY (plain CASE/WHERE, no changelog) — this
+    // checks the merge-on-read semantics themselves, not a mirrored
+    // query shape. -----
+    "q36_cdc_apply" -> ((s, dir) => {
+      // orders is the keyed table here: o_orderkey is unique in the
+      // synthetic data (lineitem's (orderkey, linenumber) is not, so
+      // a latest-row tie there would be arbitrary)
+      val o = t(s, dir, "orders")
+      val imports = Envelope.importEnvelope(o, asOf)
+      val day2 = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
+      val lsn = col("after.o_orderkey")
+      val updates = Envelope.importEnvelope(
+          o.where(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000), day2)
+        .withColumn(Envelope.LsnCol, lsn)
+      val deletes = Envelope.importEnvelope(
+          o.where(col("o_orderkey") % 10 === 5), day2)
+        .withColumn(Envelope.LsnCol, lsn)
+        .withColumn(Envelope.BeforeCol, col(Envelope.AfterCol))
+        .withColumn(Envelope.AfterCol, lit(null).cast(imports.schema("after").dataType))
+      val changelog = imports.unionByName(updates).unionByName(deletes)
+        .withColumn(Envelope.OperationCol, Envelope.operationCol(
+          col(Envelope.LsnCol), col(Envelope.BeforeCol), col(Envelope.AfterCol)))
+      ChangelogOps.latestRows(changelog, Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+    }),
     // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -600,6 +631,11 @@ object SparkEntry {
         |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
         |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q36_cdc_apply" ->
+      """SELECT count(*) AS n,
+        |  sum(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |           ELSE o_totalprice END AS DECIMAL(18,2))) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 <> 5""".stripMargin,
     "q34_embedding_neardups" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |b AS (SELECT vec_id, v,
