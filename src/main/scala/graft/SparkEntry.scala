@@ -375,6 +375,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
     }),
+    // ----- §2.11/§7.4 custom aggregate: grouped top-k via bounded
+    // heap (partial-aggregates k rows per partition before shuffle,
+    // unlike a window sort) -----
+    "q37_grouped_topk" -> ((s, dir) => {
+      import s.implicits._
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top_orders"))
+        .orderBy(col("o_custkey"))
+    }),
     // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -631,6 +642,13 @@ object SparkEntry {
         |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
         |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q37_grouped_topk" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, list(o_orderkey ORDER BY rn) AS top_orders
+        |FROM r WHERE rn <= 3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q36_cdc_apply" ->
       """SELECT count(*) AS n,
         |  sum(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
