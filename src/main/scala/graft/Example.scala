@@ -64,6 +64,19 @@ object Example {
     spark.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").show()
     spark.sql("SELECT operation, count(*) AS n FROM region_raw GROUP BY operation ORDER BY operation").show()
 
+    // 3b. the same wire frames through the generic (MapType) plane:
+    // one plan for any number of tables, typed projection at read
+    val entries = ChangelogBuilder.build(wire.iterator.map(decode)).toVector
+    val mods = entries.collect { case m: ChangelogBuilder.ModificationEntry => m }
+    val generic = graft.streaming.GenericPlane.toGeneric(spark, mods)
+    graft.streaming.GenericPlane.append(generic, s"$out/generic")
+    val typedBack = graft.streaming.GenericPlane.latestRows(spark, s"$out/generic",
+      "public", "region", Seq("r_regionkey"),
+      Map("r_regionkey" -> org.apache.spark.sql.types.IntegerType,
+        "r_name" -> org.apache.spark.sql.types.StringType))
+    println("generic plane latest rows: " + typedBack.select("r_regionkey", "r_name")
+      .collect().map(r => s"${r.get(0)}=${r.get(1)}").mkString(","))
+
     // 4. similarity search over embeddings: exact vs SRP-LSH vs IVF
     import graft.ops.SimilarityOps
     val emb = ImportSource.table(spark, sfDir, "embeddings")
