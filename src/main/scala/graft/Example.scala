@@ -64,6 +64,13 @@ object Example {
     spark.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").show()
     spark.sql("SELECT operation, count(*) AS n FROM region_raw GROUP BY operation ORDER BY operation").show()
 
+    // 3a. compaction + time travel: same state, bounded read
+    sink.compact(table)
+    val compacted = sink.latestViewCompacted(table).count()
+    val asOfImport = sink.asOf(table,
+      java.sql.Timestamp.valueOf("2024-06-15 00:00:00")).count()
+    println(s"compacted view rows: $compacted, as-of pre-stream rows: $asOfImport")
+
     // 3b. the same wire frames through the generic (MapType) plane:
     // one plan for any number of tables, typed projection at read
     val entries = ChangelogBuilder.build(wire.iterator.map(decode)).toVector

@@ -67,4 +67,94 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     raw(table).createOrReplaceTempView(s"${table.name}_raw")
     latestView(table).createOrReplaceTempView(table.name)
   }
+
+  /** Time travel: table state as of an instant — the reason the
+    * reference time-partitions its raw table ("drop old data …
+    * time-travelling", schema_builders.go:103-106). The `_date`
+    * partition filter prunes before the window runs.
+    */
+  def asOf(table: TableSchema, ts: java.sql.Timestamp): DataFrame =
+    ChangelogOps.latestRows(
+      raw(table)
+        .where(col("_date") <= to_date(lit(ts)) &&
+          col(Envelope.TimestampCol) <= lit(ts)),
+      table.primaryKeys)
+
+  // ---- compaction: bound the window's read amplification ----
+
+  private def compactedPath(table: TableSchema) =
+    s"$root/compacted/${table.ref.qualified}"
+  private def watermarkPath(table: TableSchema) =
+    s"$root/compacted/${table.ref.qualified}.watermark"
+
+  /** Fold the current latest-row state into a compacted baseline and
+    * record the LSN watermark it covers. The raw table stays
+    * append-only and untouched (replay/audit/time-travel intact);
+    * readers via [[latestView]] scan baseline + tail instead of full
+    * history. Run periodically — the streaming analogue of
+    * merge-on-read table services.
+    */
+  def compact(table: TableSchema): Unit = {
+    val current = raw(table)
+    val wmRow = current.agg(max(col(Envelope.LsnCol)),
+      max(col(Envelope.TimestampCol))).collect()(0)
+    val wmLsn = if (wmRow.isNullAt(0)) -1L else wmRow.getLong(0)
+    val wmTs = wmRow.getTimestamp(1)
+    val state = latestViewFull(table)
+    state.write.mode("overwrite").parquet(compactedPath(table))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(watermarkPath(table)), s"$wmLsn\n$wmTs")
+  }
+
+  private def compactionWatermark(
+      table: TableSchema): Option[(Long, java.sql.Timestamp)] = {
+    val p = java.nio.file.Paths.get(watermarkPath(table))
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val Array(lsn, ts) = java.nio.file.Files.readString(p).trim.split("\n")
+      Some((lsn.toLong, java.sql.Timestamp.valueOf(ts)))
+    }
+  }
+
+  /** Latest rows from the full raw history (ignores compaction). */
+  private def latestViewFull(table: TableSchema): DataFrame =
+    ChangelogOps.latestRows(raw(table), table.primaryKeys)
+
+  /** Latest rows, compaction-aware: baseline rows (as IMPORT-like
+    * images at epoch timestamp, watermark LSN) unioned with the raw
+    * tail past the watermark, deduped by the same window. Identical
+    * result to the full-history view — the equivalence is tested —
+    * but the window input is |state| + |tail| instead of |history|.
+    */
+  def latestViewCompacted(table: TableSchema): DataFrame =
+    compactionWatermark(table) match {
+      case None => latestViewFull(table)
+      case Some((wmLsn, wmTs)) =>
+        val baseline = spark.read.parquet(compactedPath(table))
+        val pks = table.primaryKeys
+        // baseline rows re-enter the window at epoch timestamp so any
+        // tail change (including DELETEs) wins over them
+        val baseEnv = baseline.select(
+          lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+            .cast("timestamp").as(Envelope.TimestampCol),
+          lit(wmLsn).as(Envelope.LsnCol),
+          lit(null).cast("long").as(Envelope.SequenceCol),
+          lit(graft.model.Operation.Import).as(Envelope.OperationCol),
+          struct(baseline.columns.map(col).toIndexedSeq: _*).as("_img"))
+        // tail = stream rows past the LSN watermark, plus lsn-null
+        // (import) rows past the timestamp watermark. Contract: rows
+        // at or before both watermarks are fully represented by the
+        // baseline — i.e. compaction assumes watermark-ordered
+        // arrival, the same at-least-once contract as the ack.
+        val tail = raw(table)
+          .where(col(Envelope.LsnCol) > wmLsn ||
+            (col(Envelope.LsnCol).isNull && col(Envelope.TimestampCol) > lit(wmTs)))
+          .withColumn("_img",
+            coalesce(col(Envelope.AfterCol), col(Envelope.BeforeCol)))
+          .select(col(Envelope.TimestampCol), col(Envelope.LsnCol),
+            col(Envelope.SequenceCol), col(Envelope.OperationCol), col("_img"))
+        ChangelogOps.latestRowView(baseEnv.unionByName(tail),
+            pks.map(k => col(s"_img.$k")))
+          .select(col("_img.*"))
+    }
 }

@@ -54,6 +54,49 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction-aware view equals full-history view, before and after new writes") {
+    import graft.model._
+    import graft.sinks.WarehouseSink
+    import org.apache.spark.sql.Row
+    import graft.streaming.CdcPipeline
+    val root = Files.createTempDirectory("graft-compact").toString
+    val sink = new WarehouseSink(spark, root)
+    val table = TableSchema(1, "public", "one", Seq(
+      ColumnSpec("id", PgTypes.Int8, key = true),
+      ColumnSpec("msg", PgTypes.Text)))
+    val payload = table.payloadStruct
+    def batch(rows: Seq[(String, Option[Long], String, Long, String)]) = {
+      val data = rows.map { case (ts, lsn, op, id, msg) =>
+        val img = Row(id, msg)
+        Row(java.sql.Timestamp.valueOf(ts), lsn.orNull, 1L, op,
+          if (op == "DELETE") img else null,
+          if (op == "DELETE") null else img)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data),
+        graft.model.Envelope.schemaFor(payload))
+    }
+    sink.insert(table, batch(Seq(
+      ("2024-01-01 00:00:00", None, "IMPORT", 1L, "a"),
+      ("2024-01-01 00:00:00", None, "IMPORT", 2L, "b"),
+      ("2024-01-02 00:00:00", Some(10L), "UPDATE", 1L, "a2"))))
+    sink.compact(table)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "msg").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // identical immediately after compaction
+    assert(rowsOf(sink.latestViewCompacted(table)) == rowsOf(sink.latestView(table)))
+    assert(rowsOf(sink.latestViewCompacted(table)) == Set(1L -> "a2", 2L -> "b"))
+    // new tail past the watermark: update + delete + insert
+    sink.insert(table, batch(Seq(
+      ("2024-01-03 00:00:00", Some(11L), "UPDATE", 1L, "a3"),
+      ("2024-01-03 00:00:01", Some(12L), "DELETE", 2L, "b"),
+      ("2024-01-03 00:00:02", Some(13L), "INSERT", 3L, "c"))))
+    assert(rowsOf(sink.latestViewCompacted(table)) == rowsOf(sink.latestView(table)))
+    assert(rowsOf(sink.latestViewCompacted(table)) == Set(1L -> "a3", 3L -> "c"))
+    // time travel: state as of Jan 2 ignores Jan 3 changes
+    assert(rowsOf(sink.asOf(table,
+      java.sql.Timestamp.valueOf("2024-01-02 12:00:00"))) == Set(1L -> "a2", 2L -> "b"))
+  }
+
   test("warehouse raw table evolves by adding columns (mergeSchema)") {
     import graft.model._
     import graft.sinks.WarehouseSink
