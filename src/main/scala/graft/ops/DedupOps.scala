@@ -93,10 +93,19 @@ object DedupOps {
     val sigs = minhashSignatures(df, idCol, textCol, bands * rows, shingleSize)
     val buckets = sigs.select(col("id"),
       explode(lshBandHashes(col("sig"), bands, rows)).as("bucket"))
-    val a = buckets.alias("a"); val b = buckets.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // pairs via grouped combination generation, NOT a self-join: one
+    // aggregation instead of re-computing the signature subplan for
+    // both join sides. Bucket membership lists are small by
+    // construction (hot buckets = boilerplate; cap upstream if needed).
+    val pairs = buckets.groupBy(col("bucket"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b"))))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    pairs.distinct()
   }
 
   /** Token-set Jaccard similarity between two text columns. */
