@@ -54,10 +54,14 @@ object Example {
       encodeCommit(Commit(0, 1000L, 1001L, 775180800000000L)))
     val frameDir = s"$out/frames"
     PgOutputFrameLog.append(frameDir, "seg-000", wire)
+    val listener = new graft.streaming.CdcQueryListener
+    spark.streams.addListener(listener)
     val query = graft.streaming.FrameStreamPipeline.start(
       spark, frameDir, sink, watermark, s"$out/ckpt", "1 seconds")
     try query.processAllAvailable() finally query.stop()
     println(s"streamed frames: ${wire.length}, ack watermark: ${watermark.position}")
+    Thread.sleep(500) // listener events are async
+    println(s"query stats: ${listener.statsOf(s"cdc-frames($frameDir)")}")
 
     // 3. the latest-row view: merge-on-read current state
     sink.registerViews(table)

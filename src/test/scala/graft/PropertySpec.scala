@@ -78,6 +78,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("latest-row view: idempotent under replay, insensitive to batch arrival order") {
+    // the invariant that makes at-least-once delivery + append-only
+    // raw tables safe (SURVEY §5 dedup-view property)
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genMod = for {
+      pk <- Gen.chooseNum(1L, 5L)
+      lsn <- Gen.chooseNum(1L, 50L)
+      op <- Gen.oneOf("INSERT", "UPDATE", "DELETE")
+      v <- Gen.alphaNumStr.map(_.take(6))
+    } yield (pk, lsn, op, v)
+    val prop = Prop.forAllNoShrink(
+      Gen.listOfN(12, genMod), Gen.chooseNum(1L, 1000L)) { (mods0, seed) =>
+      // distinct (pk, lsn) so ordering is total
+      val mods = mods0.distinctBy(m => (m._1, m._2))
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def df(ms: Seq[(Long, Long, String, String)]) =
+        ms.map { case (pk, lsn, op, v) => (pk, ts, lsn, Option.empty[Long], op, v) }
+          .toDF("pk", "timestamp", "lsn", "sequence", "operation", "value")
+      def result(ms: Seq[(Long, Long, String, String)]): Map[Long, (Long, String)] =
+        graft.ops.ChangelogOps.latestRowView(df(ms), Seq(col("pk")))
+          .select("pk", "lsn", "value").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val base = result(mods)
+      val replayed = result(mods ++ mods) // full duplicate delivery
+      val shuffled = result(new scala.util.Random(seed).shuffle(mods))
+      base == replayed && base == shuffled
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("schema fingerprint: permutation-invariant, content-sensitive") {
     import graft.model.{ColumnSpec, TableSchema}
     val genCol = for {

@@ -127,6 +127,29 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(second.contains(StateS(1, 1)))
   }
 
+  test("query listener accumulates per-batch progress for named CDC queries") {
+    import graft.streaming.CdcQueryListener
+    val listener = new CdcQueryListener
+    spark.streams.addListener(listener)
+    try {
+      val src = Files.createTempDirectory("graft-listen").toString
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.parquet(s"$src/b0")
+      val q = spark.readStream.schema("id LONG, v STRING").parquet(s"$src/*")
+        .writeStream.queryName("listened")
+        .format("memory").start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are async; wait briefly for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      var stats = listener.statsOf("listened")
+      while (stats.forall(_.rows < 3) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); stats = listener.statsOf("listened")
+      }
+      assert(stats.exists(_.rows == 3), s"got $stats")
+      assert(stats.exists(_.batches >= 1))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("instrumented sink records batch counts, durations, schema outcomes") {
     import graft.sinks._
     import graft.model._
