@@ -386,6 +386,17 @@ object SparkEntry {
         .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top_orders"))
         .orderBy(col("o_custkey"))
     }),
+    // ----- LLM ops: int8 embedding quantization (4x storage at scale) -----
+    "q38_quantize" -> ((s, dir) => {
+      val e = col("embedding")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(SimilarityOps.quantizeScale(e), 6).as("scale"),
+          aggregate(SimilarityOps.quantize(e), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("q_sum"),
+          array_max(SimilarityOps.quantize(e)).as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
     // ----- LLM ops: content fingerprint (min-shingle + normalized) -----
     "q30_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -642,6 +653,16 @@ object SparkEntry {
         |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
         |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q38_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |      ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS sc
+        |  FROM e)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  CAST(list_aggregate(list_transform(v, x -> CAST(round(x * sc) AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_max(list_transform(v, x -> CAST(round(x * sc) AS INTEGER))) AS INTEGER) AS q_max
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q37_grouped_topk" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey

@@ -154,6 +154,26 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of an embedding: per-vector scale
+    * = 127 / max(|x|), values rounded to [-127, 127]. Quarters the
+    * storage and memory bandwidth of a float32 embedding column — at
+    * corpus scale the scan, not the arithmetic, is the ANN
+    * bottleneck. Dequantize ≈ value / scale; cosine on int8 is
+    * close enough for candidate generation, with exact re-scoring on
+    * the float column for the final top-k.
+    */
+  def quantizeScale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(maxAbs === 0, 1.0).otherwise(lit(127.0) / maxAbs)
+  }
+
+  def quantize(vec: Column): Column =
+    transform(vec, x =>
+      round(x.cast("double") * quantizeScale(vec)).cast("int"))
+
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, x => x.cast("double") / scale)
+
   /** All-pairs top neighbors within LSH buckets — the corpus-scale
     * "find my duplicates" shape: bucket first (shuffle on bucket id),
     * pair only within buckets, never a cross join.

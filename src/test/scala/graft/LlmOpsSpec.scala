@@ -125,6 +125,25 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization round-trips within 1/127 of max component") {
+    val got = embeddings.select(
+        $"embedding",
+        SimilarityOps.quantizeScale($"embedding").as("scale"),
+        SimilarityOps.dequantize(
+          SimilarityOps.quantize($"embedding"),
+          SimilarityOps.quantizeScale($"embedding")).as("back"))
+      .collect()
+    got.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val back = r.getSeq[Double](2)
+      val maxAbs = orig.map(x => math.abs(x.toDouble)).max
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o.toDouble - b) <= maxAbs / 127.0 / 2 + 1e-9,
+          s"quantization error too large: $o vs $b")
+      }
+    }
+  }
+
   test("language id picks profile with most stopword hits") {
     val df = Seq(
       (1L, "the cat and the dog in a house"),
