@@ -126,6 +126,24 @@ object ChangelogOps {
       .withColumnRenamed("_key", "key")
   }
 
+  /** Skew-resistant fact-to-dimension join: the fact side gets a
+    * content-derived salt, the dimension side is replicated across
+    * all salt values, and the join runs on (key, salt) — so one hot
+    * key spreads over `saltBuckets` tasks instead of funnelling into
+    * one. Use when a dimension is too large to broadcast AND the
+    * fact's key distribution is pathological beyond what AQE's
+    * runtime skew splitting handles (e.g. a single null-like key
+    * holding half the table). Result is identical to the plain join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      abs(hash(struct(fact.columns.map(col).toIndexedSeq: _*))) % saltBuckets)
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Event sessionization: assign a session index per key using the
     * classic gap rule — a new session starts when the time since the
     * previous event exceeds `gapSeconds`. One shuffle on the key, two

@@ -113,6 +113,20 @@ class CoreSpec extends AnyFunSuite {
     assert(got == Seq(5.0, 15.0, 45.0, 135.0, 405.0, 1215.0, 3600.0))
   }
 
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // pathological skew: 90% of fact rows share one key
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = ChangelogOps.saltedJoin(fact, dim, "k", 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 901)
+  }
+
   test("all declared queries run and oracle keys align") {
     // every oracle key has a query; every query returns rows at sf0.001
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
