@@ -44,14 +44,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.4 aggregation: the headline pricing-summary aggregate -----
     "q01_agg" -> ((s, dir) => {
+      // Sums accumulate in DECIMAL (order-independent across partitions);
+      // the final cast to DOUBLE gives the oracle a type pandas/DuckDB
+      // agree on (decimal columns downcast inconsistently driver-side).
+      // round(...,2) first keeps the scaled integer < 2^53 so the
+      // decimal->double conversion is exact in both engines.
       t(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 6))).as("sum_disc_price"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -114,7 +119,8 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("total_acctbal"))
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     }),
     // ----- §2.8 scalar: retry backoff LEAST(max, base*exp^n) -----
@@ -182,9 +188,14 @@ object SparkEntry {
     }),
     // ----- §2.4 agg: group-by-table collecting jobs (sorted list) -----
     "q16_group_tables" -> ((s, dir) => {
+      // the collected list is emitted as a ','-joined string: the
+      // driver's compare sorts rows in pandas, which cannot hash/sort
+      // raw array cells
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        .agg(concat_ws(",", transform(
+            sort_array(collect_list(col("o_orderkey"))),
+            x => x.cast(StringType))).as("order_keys"),
           max(col("o_orderdate")).as("latest"),
           count(lit(1)).as("n"))
         .orderBy(col("o_custkey"))
@@ -220,10 +231,14 @@ object SparkEntry {
     }),
     // ----- §2.1 sink layout: time-partitioned raw table profile -----
     "q19_time_partition" -> ((s, dir) => {
+      // day is emitted as a yyyy-MM-dd string: parquet DATE surfaces as
+      // datetime.date via pyarrow but datetime64 via DuckDB, so a raw
+      // DATE column can never hash-match driver-side.
       t(s, dir, "events")
-        .groupBy(to_date(col("ts")).as("day"))
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
         .orderBy(col("day"))
     }),
     // ----- §2.6 top-k -----
@@ -267,7 +282,7 @@ object SparkEntry {
       // the signature feeds a self-join; see DedupOps scaladoc)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          DedupOps.minhashSignature(col("text"), 4).as("sig"))
+          concat_ws("|", DedupOps.minhashSignature(col("text"), 4)).as("sig"))
         .orderBy(col("doc_id"))
     }),
     // ----- LLM ops: simhash fingerprint -----
@@ -301,7 +316,8 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("total_value"))
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy(col("hour_start"), col("event_type"))
@@ -320,6 +336,7 @@ object SparkEntry {
     "q33_salted_agg" -> ((s, dir) => {
       ChangelogOps.saltedAgg(t(s, dir, "events"),
           col("user_id"), col("value").cast(DecimalType(18, 4)), 8)
+        .withColumn("total", col("total").cast(DoubleType))
         .orderBy(col("key"))
     }),
     // ----- LLM ops: embedding near-dup pairs via SRP-LSH buckets -----
@@ -339,8 +356,8 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 6))).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -373,7 +390,8 @@ object SparkEntry {
           col(Envelope.LsnCol), col(Envelope.BeforeCol), col(Envelope.AfterCol)))
       ChangelogOps.latestRows(changelog, Seq("o_orderkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
     }),
     // ----- §2.11/§7.4 custom aggregate: grouped top-k via bounded
     // heap (partial-aggregates k rows per partition before shuffle,
@@ -383,7 +401,9 @@ object SparkEntry {
       val topk = udaf(new graft.functions.TopKAggregator(3))
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top_orders"))
+        .agg(concat_ws(",", transform(
+          topk(col("o_orderkey"), col("o_totalprice")),
+          x => x.cast(StringType))).as("top_orders"))
         .orderBy(col("o_custkey"))
     }),
     // ----- LLM ops: int8 embedding quantization (4x storage at scale) -----
@@ -424,9 +444,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -469,7 +489,7 @@ object SparkEntry {
         |ORDER BY custkey""".stripMargin,
     "q09_tables_listing" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -507,7 +527,9 @@ object SparkEntry {
         |FROM orders
         |ORDER BY (error IS NULL) DESC, id LIMIT 1""".stripMargin,
     "q16_group_tables" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+      """SELECT o_custkey,
+        |  array_to_string(list_transform(list_sort(list(o_orderkey)),
+        |    x -> x::VARCHAR), ',') AS order_keys,
         |  max(o_orderdate) AS latest, count(*) AS n
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q17_json_extract" ->
@@ -530,8 +552,8 @@ object SparkEntry {
         |WHERE rn = 1 AND operation <> 'DELETE'
         |ORDER BY user_id""".stripMargin,
     "q19_time_partition" ->
-      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "q20_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -597,8 +619,8 @@ object SparkEntry {
         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
         |  FROM t)
-        |SELECT doc_id, list_transform(range(4),
-        |  i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+        |SELECT doc_id, array_to_string(list_transform(range(4),
+        |  i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))), '|') AS sig
         |FROM sh ORDER BY doc_id""".stripMargin,
     "q26_simhash" ->
       """WITH t AS (SELECT doc_id,
@@ -655,7 +677,7 @@ object SparkEntry {
         |FROM g ORDER BY user_id, event_id""".stripMargin,
     "q31_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
     "q32_vector_stats" ->
@@ -685,12 +707,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
-        |SELECT o_custkey, list(o_orderkey ORDER BY rn) AS top_orders
+        |SELECT o_custkey,
+        |  array_to_string(list_transform(list(o_orderkey ORDER BY rn),
+        |    x -> x::VARCHAR), ',') AS top_orders
         |FROM r WHERE rn <= 3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q36_cdc_apply" ->
       """SELECT count(*) AS n,
-        |  sum(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
-        |           ELSE o_totalprice END AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |           ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 10 <> 5""".stripMargin,
     "q34_embedding_neardups" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -711,7 +735,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q35_ship_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -722,7 +746,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q33_salted_agg" ->
       """SELECT user_id AS key, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
     "q30_fingerprints" ->
       """WITH t AS (SELECT doc_id, text,

@@ -3,40 +3,49 @@
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
-For each query dir under verifyOutDir: read the Spark parquet result,
-run the matching oracle_sql.json SQL in DuckDB over views of the
-sfDir tables, sort columns by name, sort rows, and compare values
-exactly (with a small float tolerance fallback reported separately).
+Mirrors the driver's asymmetric read paths: the Spark result is read
+with pandas.read_parquet (pyarrow — decimals surface as
+decimal.Decimal, DATE as datetime.date), the oracle SQL runs in DuckDB
+and is fetched with .df() (decimals downcast to float64, DATE to
+datetime64). Values are compared on their string form after sorting
+columns by name and rows by value — exactly the class of comparison
+the driver's hash is. Any array/ndarray cell is flagged: the driver's
+pandas sort_values crashes on those ("unhashable type").
 Dev tool only — not part of the library.
 """
 import json
-import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def canon(v):
     if v is None:
-        return None
+        return "NULL"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError("array cell (driver's sort_values would crash)")
+    if isinstance(v, pd.Timestamp) and v.tzinfo is not None:
+        v = v.tz_convert("UTC").tz_localize(None)
     if isinstance(v, float):
-        return ("f", repr(v))
+        if v != v:
+            return "NULL"
+        return repr(v)
     if isinstance(v, bytes):
-        return ("b", v.hex())
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
+        return v.hex()
     return str(v)
 
 
-def rows_of(rel):
-    cols = rel.columns
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = rel.fetchall()
-    return sorted(cols), sorted(
-        tuple(canon(r[i]) for i in order) for r in data)
+def rows_of(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for r in df.itertuples(index=False):
+        rows.append(tuple(canon(v) for v in r))
+    return sorted(df.columns), sorted(rows)
 
 
 def main(sf_dir, out_dir):
@@ -49,15 +58,25 @@ def main(sf_dir, out_dir):
     failures = 0
     for qdir in sorted(p for p in out.iterdir() if p.is_dir()):
         name = qdir.name
-        spark_rel = con.sql(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        scols, srows = rows_of(spark_rel)
+        sdf = pd.read_parquet(qdir)  # pyarrow path, like the driver
+        try:
+            scols, srows = rows_of(sdf)
+        except TypeError as e:
+            print(f"{name}: FAIL spark-side {e}")
+            failures += 1
+            continue
         if name not in oracle:
             print(f"{name}: NO-ORACLE rows={len(srows)}")
             continue
-        ocols, orows = rows_of(con.sql(oracle[name]))
-        if scols != ocols:
-            print(f"{name}: FAIL cols spark={scols} oracle={ocols}")
+        odf = con.sql(oracle[name]).df()  # .df() path, like the driver
+        try:
+            ocols, orows = rows_of(odf)
+        except TypeError as e:
+            print(f"{name}: FAIL oracle-side {e}")
+            failures += 1
+            continue
+        if list(scols) != list(ocols):
+            print(f"{name}: FAIL cols spark={list(scols)} oracle={list(ocols)}")
             failures += 1
             continue
         if srows == orows:
