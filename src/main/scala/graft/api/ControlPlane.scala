@@ -40,11 +40,17 @@ object ControlPlane {
     */
   def tablesListing(tables: DataFrame, jobs: DataFrame,
       published: DataFrame): DataFrame = {
-    // latest job per table by created_at (max-by via window-free
-    // groupBy-join: max created_at then equi-join back)
-    val latestKey = jobs.groupBy(col("schema"), col("table_name"))
-      .agg(max(col("created_at")).as("created_at"))
-    val latest = jobs.join(latestKey, Seq("schema", "table_name", "created_at"))
+    // latest job per table: max_by on (created_at, id) so two jobs
+    // sharing a created_at break the tie deterministically by id
+    // instead of duplicating the table's listing row (the reference
+    // orders by id and takes one row)
+    val latest = jobs
+      .groupBy(col("schema"), col("table_name"))
+      .agg(max_by(
+        struct(jobs.columns.filterNot(Set("schema", "table_name")).toIndexedSeq
+          .map(col): _*),
+        struct(col("created_at"), col("id"))).as("_job"))
+      .select(col("schema"), col("table_name"), col("_job.*"))
     val pub = published.select(col("schema"), col("table_name"))
       .withColumn("publication_status", lit("active"))
     tables

@@ -29,15 +29,28 @@ object Envelope {
   val OperationCol = "operation"
   val BeforeCol = "before"
   val AfterCol = "after"
+  /** Optional metadata column: names of payload columns whose after
+    * cell arrived as a pgoutput unchanged-TOAST marker — the value is
+    * not on the wire, so "NULL" and "unchanged" must stay
+    * distinguishable until merge (ChangelogOps.latestRowsMerged). */
+  val UnchangedCol = "unchanged_toast"
 
-  /** Envelope StructType for a given payload struct. */
-  def schemaFor(payload: StructType): StructType = StructType(Seq(
+  /** Envelope StructType for a given payload struct.
+    * @param withToastMarker include the [[UnchangedCol]] metadata
+    *   column (streamed CDC envelopes; import envelopes never have
+    *   unchanged cells).
+    */
+  def schemaFor(payload: StructType,
+      withToastMarker: Boolean = false): StructType = StructType(Seq(
     StructField(TimestampCol, TimestampType, nullable = false),
     StructField(LsnCol, LongType, nullable = true),
     StructField(SequenceCol, LongType, nullable = true),
     StructField(OperationCol, StringType, nullable = false),
     StructField(BeforeCol, payload, nullable = true),
-    StructField(AfterCol, payload, nullable = true)))
+    StructField(AfterCol, payload, nullable = true)) ++
+    (if (withToastMarker)
+      Seq(StructField(UnchangedCol, ArrayType(StringType), nullable = true))
+    else Nil))
 
   /** Operation derived from null-ness — never stored
     * (reference: pkg/changelog/modification.go:103-123).

@@ -50,6 +50,54 @@ object ChangelogOps {
       .select(col("_img.*"))
   }
 
+  /** Latest rows with unchanged-TOAST merge: like [[latestRows]], but
+    * payload cells whose name appears in the row's
+    * `unchanged_toast` marker column (see Envelope.UnchangedCol) are
+    * filled from the most recent earlier version of the same key —
+    * pgoutput omits TOASTed values that an UPDATE didn't touch, so
+    * without this merge they would surface as NULL (the reference
+    * conflates the two: pkg/subscription/marshal.go:29-40).
+    *
+    * Plan shape: one shuffle on the PK, ONE ascending sort; the
+    * carry-forward (`last(_, ignoreNulls)` over a growing frame) and
+    * the keep-newest filter (row_number == count) share that sort.
+    * Genuine NULLs survive because cells are wrapped in a struct
+    * before the fill — only marked-unchanged cells are transparent.
+    * Falls back to [[latestRows]] when the marker column is absent.
+    */
+  def latestRowsMerged(changelog: DataFrame, primaryKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    if (!changelog.columns.contains(Envelope.UnchangedCol))
+      return latestRows(changelog, primaryKeys)
+    val keyed = changelog.withColumn("_img", Envelope.afterOrBefore(changelog))
+    val imgType = keyed.schema("_img").dataType.asInstanceOf[StructType]
+    val keyCols = primaryKeys.map(k => col(s"_img.$k"))
+    val wAsc = Window.partitionBy(keyCols: _*)
+      .orderBy(col(Envelope.TimestampCol).asc, col(Envelope.LsnCol).asc_nulls_first,
+        col(Envelope.SequenceCol).asc_nulls_first)
+    val wFill = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unchanged = coalesce(col(Envelope.UnchangedCol),
+      array().cast("array<string>"))
+    val merged = imgType.fields.toIndexedSeq.map { f =>
+      if (primaryKeys.contains(f.name)) col(s"_img.${f.name}").as(f.name)
+      else {
+        // null out marked cells (struct-wrapped so real NULLs stay
+        // visible), then carry the last visible cell forward
+        val cell = when(array_contains(unchanged, f.name), lit(null))
+          .otherwise(struct(col(s"_img.${f.name}").as("v")))
+        last(cell, ignoreNulls = true).over(wFill).getField("v").as(f.name)
+      }
+    }
+    keyed
+      .withColumn("_rn", row_number().over(wAsc))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(keyCols: _*)))
+      .select(merged :+ col("_rn") :+ col("_n") :+ col(Envelope.OperationCol): _*)
+      .where(col("_rn") === col("_n") &&
+        col(Envelope.OperationCol) =!= Operation.Delete)
+      .drop("_rn", "_n", Envelope.OperationCol)
+  }
+
   /** Per-transaction sequence numbers: each modification between a
     * Begin/Commit pair gets a monotonically increasing sequence so
     * multiple updates to one row within a transaction are totally
@@ -119,7 +167,7 @@ object ChangelogOps {
   def saltedAgg(df: DataFrame, key: Column, value: Column,
       saltBuckets: Int): DataFrame = {
     val salted = df.groupBy(key.as("_key"),
-        (abs(hash(value)) % saltBuckets).as("_salt"))
+        pmod(hash(value), lit(saltBuckets)).as("_salt"))
       .agg(count(lit(1)).as("_n"), sum(value).as("_sum"))
     salted.groupBy(col("_key"))
       .agg(sum(col("_n")).as("n"), sum(col("_sum")).as("total"))
@@ -137,8 +185,11 @@ object ChangelogOps {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
+    // pmod, not abs(...)%n: hash can return Int.MinValue, whose abs is
+    // still negative — that salt would match no replicated dimension
+    // row and silently drop the fact row
     val saltedFact = fact.withColumn("_salt",
-      abs(hash(struct(fact.columns.map(col).toIndexedSeq: _*))) % saltBuckets)
+      pmod(hash(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

@@ -57,9 +57,11 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     spark.read.option("mergeSchema", "true").parquet(rawPath(table))
 
   /** The latest-row view over the raw table
-    * (reference: pkg/sinks/bigquery/schema_builders.go:146-161). */
+    * (reference: pkg/sinks/bigquery/schema_builders.go:146-161).
+    * Unchanged-TOAST cells merge from the previous image when the
+    * marker column is present (ChangelogOps.latestRowsMerged). */
   def latestView(table: TableSchema): DataFrame =
-    ChangelogOps.latestRows(raw(table), table.primaryKeys)
+    ChangelogOps.latestRowsMerged(raw(table), table.primaryKeys)
 
   /** Register both as SQL-queryable views, like the reference's
     * `CREATE VIEW <name>` DDL. */
@@ -74,7 +76,7 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     * partition filter prunes before the window runs.
     */
   def asOf(table: TableSchema, ts: java.sql.Timestamp): DataFrame =
-    ChangelogOps.latestRows(
+    ChangelogOps.latestRowsMerged(
       raw(table)
         .where(col("_date") <= to_date(lit(ts)) &&
           col(Envelope.TimestampCol) <= lit(ts)),
@@ -98,27 +100,39 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     val current = raw(table)
     val wmRow = current.agg(max(col(Envelope.LsnCol)),
       max(col(Envelope.TimestampCol))).collect()(0)
+    // empty raw table: nothing to fold, and a watermark of "null"
+    // would poison the next read — skip
+    if (wmRow.isNullAt(1)) return
     val wmLsn = if (wmRow.isNullAt(0)) -1L else wmRow.getLong(0)
     val wmTs = wmRow.getTimestamp(1)
     val state = latestViewFull(table)
     state.write.mode("overwrite").parquet(compactedPath(table))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(watermarkPath(table)), s"$wmLsn\n$wmTs")
+    // Hadoop FileSystem API, not java.nio: root may be any supported
+    // filesystem (hdfs://, s3a://), same as the parquet writes
+    val p = new org.apache.hadoop.fs.Path(watermarkPath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$wmLsn\n$wmTs".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def compactionWatermark(
       table: TableSchema): Option[(Long, java.sql.Timestamp)] = {
-    val p = java.nio.file.Paths.get(watermarkPath(table))
-    if (!java.nio.file.Files.exists(p)) None
+    val p = new org.apache.hadoop.fs.Path(watermarkPath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else {
-      val Array(lsn, ts) = java.nio.file.Files.readString(p).trim.split("\n")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val Array(lsn, ts) = text.trim.split("\n")
       Some((lsn.toLong, java.sql.Timestamp.valueOf(ts)))
     }
   }
 
   /** Latest rows from the full raw history (ignores compaction). */
   private def latestViewFull(table: TableSchema): DataFrame =
-    ChangelogOps.latestRows(raw(table), table.primaryKeys)
+    ChangelogOps.latestRowsMerged(raw(table), table.primaryKeys)
 
   /** Latest rows, compaction-aware: baseline rows (as IMPORT-like
     * images at epoch timestamp, watermark LSN) unioned with the raw
@@ -130,31 +144,39 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     compactionWatermark(table) match {
       case None => latestViewFull(table)
       case Some((wmLsn, wmTs)) =>
+        val rawDf = raw(table)
+        val payloadType = rawDf.schema(Envelope.AfterCol).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
         val baseline = spark.read.parquet(compactedPath(table))
-        val pks = table.primaryKeys
-        // baseline rows re-enter the window at epoch timestamp so any
-        // tail change (including DELETEs) wins over them
+        // baseline rows re-enter the window as IMPORT-like envelopes
+        // at epoch timestamp so any tail change (including DELETEs)
+        // wins over them; their cells are fully materialised, so tail
+        // rows with unchanged-TOAST markers merge from them
         val baseEnv = baseline.select(
           lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
             .cast("timestamp").as(Envelope.TimestampCol),
           lit(wmLsn).as(Envelope.LsnCol),
           lit(null).cast("long").as(Envelope.SequenceCol),
           lit(graft.model.Operation.Import).as(Envelope.OperationCol),
-          struct(baseline.columns.map(col).toIndexedSeq: _*).as("_img"))
+          lit(null).cast(payloadType).as(Envelope.BeforeCol),
+          struct(payloadType.fields.toIndexedSeq.map(f => col(f.name)): _*)
+            .cast(payloadType).as(Envelope.AfterCol))
         // tail = stream rows past the LSN watermark, plus lsn-null
         // (import) rows past the timestamp watermark. Contract: rows
         // at or before both watermarks are fully represented by the
         // baseline — i.e. compaction assumes watermark-ordered
         // arrival, the same at-least-once contract as the ack.
-        val tail = raw(table)
+        val envCols = Seq(Envelope.TimestampCol, Envelope.LsnCol,
+          Envelope.SequenceCol, Envelope.OperationCol, Envelope.BeforeCol,
+          Envelope.AfterCol) ++
+          (if (rawDf.columns.contains(Envelope.UnchangedCol))
+            Seq(Envelope.UnchangedCol) else Nil)
+        val tail = rawDf
           .where(col(Envelope.LsnCol) > wmLsn ||
             (col(Envelope.LsnCol).isNull && col(Envelope.TimestampCol) > lit(wmTs)))
-          .withColumn("_img",
-            coalesce(col(Envelope.AfterCol), col(Envelope.BeforeCol)))
-          .select(col(Envelope.TimestampCol), col(Envelope.LsnCol),
-            col(Envelope.SequenceCol), col(Envelope.OperationCol), col("_img"))
-        ChangelogOps.latestRowView(baseEnv.unionByName(tail),
-            pks.map(k => col(s"_img.$k")))
-          .select(col("_img.*"))
+          .select(envCols.map(col): _*)
+        ChangelogOps.latestRowsMerged(
+          baseEnv.unionByName(tail, allowMissingColumns = true),
+          table.primaryKeys)
     }
 }

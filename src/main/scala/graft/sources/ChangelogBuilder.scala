@@ -28,6 +28,11 @@ object ChangelogBuilder {
   /** Row change stamped with commit timestamp + begin LSN + sequence
     * (reference: pkg/changelog/modification.go:11-18,
     * subscription/changelog.go:66-124). */
+  /** @param unchangedToast column names whose *after* cell arrived as
+    *   an unchanged-TOAST marker ('u'): the value is not on the wire
+    *   and must be merged from the row's previous image at read time
+    *   (see ChangelogOps.latestRowsMerged). Empty for inserts/deletes.
+    */
   final case class ModificationEntry(
       timestamp: Timestamp,
       namespace: String,
@@ -35,7 +40,8 @@ object ChangelogBuilder {
       lsn: Option[Long],
       sequence: Option[Long],
       before: Option[Map[String, Any]],
-      after: Option[Map[String, Any]]) extends Entry
+      after: Option[Map[String, Any]],
+      unchangedToast: Seq[String] = Nil) extends Entry
 
   final case class UnknownRelationException(id: Long)
       extends RuntimeException(
@@ -110,7 +116,8 @@ final class ChangelogBuilder {
         val rel = relations.getOrElse(relId, throw UnknownRelationException(relId))
         sequence += 1
         Seq(ModificationEntry(txnTime, rel.namespace, rel.name, txnLsn,
-          Some(sequence), oldTuple.map(marshal(rel, _)), Some(marshal(rel, newTuple))))
+          Some(sequence), oldTuple.map(marshal(rel, _)), Some(marshal(rel, newTuple)),
+          unchangedToast = unchangedColumns(rel, newTuple)))
       case PgOutput.Delete(relId, _, oldTuple) =>
         val rel = relations.getOrElse(relId, throw UnknownRelationException(relId))
         sequence += 1
@@ -123,8 +130,13 @@ final class ChangelogBuilder {
   /** Decode one tuple through the relation's per-column OID decoders
     * into a column-name-keyed row (reference:
     * pkg/subscription/marshal.go:15-44: 'n' => nil, 'u' => skip,
-    * 't' => scanner decode). Unchanged-TOAST cells are omitted, like
-    * the reference, so sinks merge them from the previous image.
+    * 't' => scanner decode). Unchanged-TOAST cells are omitted from
+    * the map; their column names travel separately on
+    * [[ModificationEntry.unchangedToast]] so readers can distinguish
+    * "column is NULL" from "column unchanged" and merge the value
+    * from the previous image (ChangelogOps.latestRowsMerged). The
+    * reference emits such cells as nulls (marshal.go:29-40), silently
+    * conflating the two — we keep the marker instead.
     */
   def marshal(rel: TableSchema, tuple: PgOutput.TupleData): Map[String, Any] = {
     val out = Map.newBuilder[String, Any]
@@ -135,6 +147,12 @@ final class ChangelogBuilder {
     }
     out.result()
   }
+
+  /** Column names carried as unchanged-TOAST markers in this tuple. */
+  def unchangedColumns(rel: TableSchema, tuple: PgOutput.TupleData): Seq[String] =
+    rel.columns.zip(tuple.elements).collect {
+      case (col, cell) if cell.isUnchangedToast => col.name
+    }
 }
 
 /** Postgres text-format decoding per OID — the engine-side analogue

@@ -43,10 +43,20 @@ class PgOutputFrameSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new PgOutputFrameTable(properties.get("path"),
-      Option(properties.get("maxFramesPerTrigger")).map(_.toLong))
+      Option(properties.get("maxFramesPerTrigger")).map(_.toLong)
+        .orElse(Some(PgOutputFrameSource.DefaultMaxFramesPerTrigger))
+        .filter(_ > 0))
 }
 
 object PgOutputFrameSource {
+  /** Default admission-control bound. Batches are decoded on the
+    * driver (ordering contract), so an unbounded first batch after a
+    * restart would pull the whole backlog into driver memory; the
+    * default mirrors the reference's 5000-entry channel buffer
+    * (pkg/imports/importer.go:34). Pass maxFramesPerTrigger<=0 for
+    * explicitly unbounded reads. */
+  val DefaultMaxFramesPerTrigger = 5000L
+
   val schema: StructType = StructType(Seq(
     StructField("position", LongType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))

@@ -55,8 +55,10 @@ object FrameStreamPipeline {
       builder: ChangelogBuilder,
       sink: Sink,
       watermark: CdcPipeline.AckWatermark): Unit = {
-    // frame payloads are small control-plane bytes; a micro-batch of
-    // them is bounded by the trigger interval, not the corpus
+    // the driver-side collect here is bounded by the source's
+    // admission control (maxFramesPerTrigger, default 5000 — see
+    // PgOutputFrameSource), not by backlog size: a restart against a
+    // large frame log drains in bounded micro-batches
     val frames = batch.orderBy("position").collect()
       .map(_.getAs[Array[Byte]]("frame"))
     if (frames.isEmpty) return
@@ -82,9 +84,11 @@ object FrameStreamPipeline {
       val rows = ms.map(m => Row(
         m.timestamp, m.lsn.orNull, m.sequence.orNull,
         Envelope.operationOf(m.lsn, m.before, m.after),
-        imageRow(payloadType, m.before), imageRow(payloadType, m.after)))
+        imageRow(payloadType, m.before), imageRow(payloadType, m.after),
+        if (m.unchangedToast.isEmpty) null else m.unchangedToast))
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows), Envelope.schemaFor(payloadType))
+        spark.sparkContext.parallelize(rows),
+        Envelope.schemaFor(payloadType, withToastMarker = true))
       val result = sink.insert(schema, df)
       maxLsn = (maxLsn ++ result.lsn).reduceOption(_ max _)
     }

@@ -50,6 +50,26 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(got("f") == (("unknown", "active", None))) // published, never imported
   }
 
+  test("tables listing breaks created_at ties by id without duplicating rows") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val tables = Seq(("public", "a", 100L))
+      .toDF("schema", "table_name", "approximate_row_count")
+    // two jobs share created_at; the higher id must win, once
+    val noTs = Option.empty[java.sql.Timestamp]
+    val jobs = Seq(
+      (1L, "public", "a", Some("c1"), noTs, noTs, Some("boom"), ts("2024-01-01 00:00:00"), 10L),
+      (2L, "public", "a", Some("c2"), noTs, noTs, Option.empty[String], ts("2024-01-01 00:00:00"), 90L)
+    ).toDF("id", "schema", "table_name", "cursor", "completed_at",
+      "expired_at", "error", "created_at", "rows_processed_total")
+    val published = Seq.empty[(String, String)].toDF("schema", "table_name")
+
+    val rows = ControlPlane.tablesListing(tables, jobs, published)
+      .select("import_status", "import_rows_processed_total").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "in_progress")
+    assert(rows(0).getLong(1) == 90L)
+  }
+
   test("watched tables: schema filter, excludes, includes whitelist") {
     val catalog = Seq(TableRef("public", "a"), TableRef("public", "b"),
       TableRef("internal", "x"))
