@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Session extension wiring for graft's native expressions.
+  *
+  * Production path: `spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  * (or `.withExtensions(new GraftSparkExtensions)`) makes
+  * `vector_dot` / `vector_cosine` available to plain SQL on every
+  * session of the cluster.
+  *
+  * [[GraftSparkExtensions.register]] does the same on an
+  * already-built session (tests, notebooks).
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.functions.foreach(ext.injectFunction)
+}
+
+object GraftSparkExtensions {
+  def register(spark: SparkSession): Unit =
+    VectorExpressions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding arithmetic — the hot
+  * inner loop of every similarity operator (SimilarityOps). The
+  * higher-order-function formulation (`aggregate(zip_with(...))`)
+  * is correct but builds per-element closures and boxes through
+  * InternalRow; these expressions instead compile to a tight primitive
+  * `while` loop via `doGenCode`, staying inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the fold formulation, bit for bit:
+  * left-to-right double accumulation, null result when lengths differ
+  * or any scanned element is null (zip_with pads/propagates null the
+  * same way), so swapping them in changes no query result.
+  *
+  * Extension ladder (per the design brief): these are level (b) —
+  * custom scalar `Expression`s — used where level (a) composition had
+  * a measurable constant-factor cost; no custom plan node is needed
+  * because the surrounding operators (top-k, bucket join) are already
+  * optimal Spark plans.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** JVM getter name for the element type ("getFloat"/"getDouble"). */
+  protected def getter(e: Expression): String = elemType(e) match {
+    case FloatType => "getFloat"
+    case _ => "getDouble"
+  }
+
+  protected def elemAt(arr: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+}
+
+/** `vector_dot(a, b)` — Σ aᵢ·bᵢ accumulated left-to-right in double. */
+case class VectorDot(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "vector_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lt = elemType(left); val rt = elemType(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += elemAt(x, lt, i) * elemAt(y, rt, i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += (double) $a.${getter(left)}($i) * (double) $b.${getter(right)}($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
+         |}
+       """.stripMargin
+    })
+}
+
+/** `vector_cosine(a, b)` — cosine similarity in one array traversal
+  * (dot and both norms accumulate in the same pass), 0.0 for a zero
+  * vector. Equals `dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))` exactly: each
+  * of the three sums accumulates left-to-right like its fold twin.
+  */
+case class VectorCosine(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "vector_cosine"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorCosine =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lt = elemType(left); val rt = elemType(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = elemAt(x, lt, i); val yv = elemAt(y, rt, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xv = (double) $a.${getter(left)}($i);
+         |    final double $yv = (double) $b.${getter(right)}($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  }
+         |}
+       """.stripMargin
+    })
+}
+
+object VectorExpressions {
+
+  /** Column over the native dot product. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorDot(
+      org.apache.spark.sql.graftbridge.Bridge.expression(a), org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** Column over the native single-pass cosine. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorCosine(
+      org.apache.spark.sql.graftbridge.Bridge.expression(a), org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
+
+  /** Function descriptors for SparkSessionExtensions.injectFunction /
+    * FunctionRegistry, exposing the expressions to SQL as
+    * `vector_dot(a, b)` and `vector_cosine(a, b)`.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two float/double arrays"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    (FunctionIdentifier("vector_cosine"),
+      info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => VectorCosine(es(0), es(1))))
+}

@@ -17,17 +17,33 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** Dot product of two float-array columns, accumulated in double
-    * in element order (deterministic). */
+    * in element order (deterministic). Native codegen'd expression
+    * (graft.functions.VectorDot); [[foldDot]] is the
+    * composition-only twin with identical semantics.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
+  /** Higher-order-function formulation of [[dot]] — kept as the
+    * executable specification the native expression is tested
+    * against, and as the fallback if the engine ever runs where
+    * custom expressions can't be injected (e.g. Spark Connect
+    * clients). */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; 0 when either vector is zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
+  /** Cosine similarity in [-1, 1]; 0 when either vector is zero.
+    * Single-pass native expression (graft.functions.VectorCosine). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** Composition-only twin of [[cosine]] (see [[foldDot]]). */
+  def foldCosine(a: Column, b: Column): Column = {
+    val denom = sqrt(foldDot(a, a)) * sqrt(foldDot(b, b))
+    when(denom === 0, 0.0).otherwise(foldDot(a, b) / denom)
   }
 
   /** Brute-force cosine top-k against one query vector. The query
@@ -71,9 +87,7 @@ object SimilarityOps {
   def srpBucket(vec: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
       val w = lit((0 until dims).map(srpWeight(p, _)).toArray)
-      val proj = aggregate(
-        zip_with(vec, w, (v, wt) => v.cast("double") * wt),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, w)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftSparkExtensions
+import graft.ops.SimilarityOps
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+    (3L, Array(-1.5f, 2.25f, -3.125f), Array(0.5f, -0.25f, 0.125f)),
+    (4L, Array.empty[Float], Array.empty[Float])
+  ).toDF("id", "a", "b")
+
+  test("native dot and cosine match the fold formulation exactly") {
+    val rows = vecs.select(
+      SimilarityOps.dot(col("a"), col("b")).as("nd"),
+      SimilarityOps.foldDot(col("a"), col("b")).as("fd"),
+      SimilarityOps.cosine(col("a"), col("b")).as("nc"),
+      SimilarityOps.foldCosine(col("a"), col("b")).as("fc")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // zero vector -> cosine 0.0, not NaN
+    assert(vecs.where(col("id") === 2)
+      .select(SimilarityOps.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("null propagation: null input, unequal lengths, null element") {
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f)))), // unequal
+      (2L, Some(Seq(Some(1.0f), None)), Some(Seq(Some(3.0f), Some(4.0f)))), // null elem
+      (3L, None, Some(Seq(Some(1.0f)))) // null array
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        SimilarityOps.dot(col("a"), col("b")).as("nd"),
+        SimilarityOps.foldDot(col("a"), col("b")).as("fd"),
+        SimilarityOps.cosine(col("a"), col("b")).as("nc"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2), r.isNullAt(3)))
+    got.foreach { case (_, nd, fd, nc) =>
+      assert(nd && nc)
+      assert(nd == fd) // same nullability as the fold twin
+    }
+  }
+
+  test("double arrays and mixed float/double sides work") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(SimilarityOps.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
+  }
+
+  test("vector_dot / vector_cosine are SQL-callable after registration") {
+    GraftSparkExtensions.register(spark)
+    vecs.createOrReplaceTempView("vex")
+    val r = spark.sql(
+      """SELECT vector_dot(a, b) AS d, vector_cosine(a, b) AS c
+        |FROM vex WHERE id = 1""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("expressions stay inside whole-stage codegen") {
+    // a parquet scan can't constant-fold away, so the projection must
+    // actually compile (a CodegenFallback expression would split the
+    // WholeStageCodegen span)
+    val emb = graft.sources.ImportSource.table(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val df = emb.select(
+      SimilarityOps.cosine(col("embedding"), col("embedding")).as("c"))
+    val hasCodegenSpan = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenSpan)
+    assert(df.where(col("c") > 0.99).count() > 0) // executes through codegen
+  }
+}
