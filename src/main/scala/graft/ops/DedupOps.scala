@@ -66,9 +66,14 @@ object DedupOps {
     val p = MinhashPrime
     // standard affine family over ONE base hash per shingle:
     // h_i(s) = (a_i * base(s) + b_i) mod p — one md5 per shingle
-    // instead of k, then k cheap integer aggregates
-    val exploded = df.select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), shingleSize)).as("s"))
+    // instead of k, then k cheap integer aggregates.
+    // Tokenize BEFORE the parallelism guard: when the guard's
+    // exchange fires, the token array materializes and the regex
+    // split runs once per doc instead of once per shingle lambda.
+    val tok = Parallelism.ensure(
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t")))
+    val exploded = tok.select(col("id"),
+        explode(TextOps.shinglesOfTokens(col("_t"), shingleSize)).as("s"))
       .select(col("id"),
         (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % p).as("base"))
     val aggs = (0 until k).map { i =>
@@ -127,8 +132,8 @@ object DedupOps {
       threshold: Double = 0.7, bands: Int = 4, rows: Int = 4): DataFrame = {
     val pairs = lshCandidatePairs(df, idCol, textCol, bands, rows)
     // token sets materialised once per doc, not re-tokenized per pair
-    val toks = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val toks = Parallelism.ensure(df.select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks")))
     val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
     val union = size(array_union(col("toks_a"), col("toks_b"))).cast("double")
     pairs

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guard for compute-heavy per-row operators.
+  *
+  * A small input (one parquet file, one kafka partition, a single
+  * coalesced AQE stage) arrives as a handful of partitions; feeding
+  * it straight into a CPU-dense projection (minhash over shingles,
+  * per-vector arithmetic) serializes the work on that handful of
+  * cores no matter how large the cluster is. [[ensure]] round-robin
+  * repartitions up to the session's default parallelism — but ONLY
+  * when the input has fewer partitions, so at production scale
+  * (where a 100 TB scan already yields thousands of splits) it is a
+  * no-op and adds no shuffle.
+  *
+  * A second, deliberate effect: the exchange materializes the
+  * projection below it. Operators that tokenize before [[ensure]]
+  * pay the tokenizing regex once per document instead of once per
+  * lambda element after Catalyst inlines the shared subexpression
+  * into every higher-order-function lambda (which are interpreted,
+  * not codegen'd, so no common-subexpression elimination applies).
+  */
+object Parallelism {
+
+  def ensure(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions forces physical planning of the (batch) frame;
+    // cheap relative to the compute this guard protects.
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

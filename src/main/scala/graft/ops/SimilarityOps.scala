@@ -55,7 +55,7 @@ object SimilarityOps {
       embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
     val q = lit(query.toArray)
-    embeddings
+    Parallelism.ensure(embeddings.select(col(idCol), col(vecCol)))
       .select(col(idCol),
         round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -114,7 +114,7 @@ object SimilarityOps {
     val probed: Seq[Long] =
       if (probe <= 0) Seq(qBucket)
       else qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
-    embeddings
+    Parallelism.ensure(embeddings.select(col(idCol), col(vecCol)))
       .withColumn("_bucket", srpBucket(col(vecCol), planes, query.length))
       .where(col("_bucket").isin(probed: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
@@ -160,7 +160,7 @@ object SimilarityOps {
       k: Int, nprobe: Int = 2): DataFrame = {
     val probeCells = ivfCellOf(query, centroids).take(nprobe)
     val q = lit(query.toArray)
-    embeddings
+    Parallelism.ensure(embeddings.select(col(idCol), col(vecCol)))
       .withColumn("_cell", ivfAssign(col(vecCol), centroids))
       .where(col("_cell").isin(probeCells: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
@@ -197,9 +197,10 @@ object SimilarityOps {
       planes: Int = 8, minCosine: Double = 0.9): DataFrame = {
     // hyperplanes bake as literals; width read once from the data
     val dims = embeddings.select(size(col(vecCol))).first().getInt(0)
-    val withBucket = embeddings.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      srpBucket(col(vecCol), planes, dims).as("bucket"))
+    val withBucket = Parallelism.ensure(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        srpBucket(col("vec"), planes, dims).as("bucket"))
     val a = withBucket.alias("a"); val b = withBucket.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -93,12 +93,19 @@ object TextOps {
   }
 
   /** Word n-gram shingles (the unit for minhash/jaccard dedup). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Shingles over an already-tokenized array column. Prefer this
+    * over [[shingles]] when the token array is a materialized
+    * attribute (e.g. past an exchange): higher-order-function lambdas
+    * are interpreted without common-subexpression elimination, so a
+    * shared `tokens(text)` subtree re-runs its regex split once per
+    * lambda element when inlined. */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) < n, array(concat_ws(" ", t)))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
 
   /** Content-defined document fingerprint: the lexicographic min of
     * md5 over word 3-gram shingles (winnowing reduced to one band).
