@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.{Envelope, Operation}
-import graft.ops.{ChangelogOps, DedupOps, SimilarityOps, TextOps}
+import graft.ops.{ChangelogOps, DedupOps, SampleOps, SimilarityOps, TemporalJoins, TextOps}
 import graft.sources.ImportSource
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
@@ -435,6 +435,57 @@ object SparkEntry {
           TextOps.normalizedFingerprint(col("text")).as("norm_fp"))
         .orderBy(col("doc_id"))
     }),
+    // ----- temporal: as-of join (latest purchase at-or-before each
+    // click, per user) — union + window, no join; see TemporalJoins -----
+    "q40_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      TemporalJoins.asOfJoin(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- temporal: keyed range join (same-user event pairs within
+    // an hour) — banded equi-join, never a per-key cross product -----
+    "q41_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val l = e.select(col("event_id").as("a_id"), col("user_id"), col("ts"))
+      val r = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      TemporalJoins.bandedRangeJoin(l, r, "user_id", "b_user", "ts", "b_ts", 3600L)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    // ----- sampling: deterministic per-stratum downsampling -----
+    "q42_stratified_sample" -> ((s, dir) => {
+      SampleOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.25), default = 0.6)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- windows: rolling per-key stats (row + time-range frames).
+    // Decimal-cast value: window sums become order-independent, so the
+    // engines agree bit-for-bit before the final round -----
+    "q43_rolling" -> ((s, dir) => {
+      ChangelogOps.rollingStats(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("value").cast(DecimalType(18, 6)),
+          rows = 5, rangeSeconds = 3600L)
+        .select(col("event_id"),
+          round(col("rolling_avg").cast(DoubleType), 4).as("rolling_avg"),
+          col("rolling_sum_range").cast(DoubleType).as("rolling_sum"),
+          col("rolling_n_range").as("rolling_n"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- LLM ops: n-gram-Jaccard dedup, min-fingerprint blocking -----
+    "q44_jaccard_dedup" -> ((s, dir) => {
+      DedupOps.jaccardNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -758,6 +809,59 @@ object SparkEntry {
         |  list_min(list_transform(s, x -> md5(x))) AS min_shingle_fp,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q40_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q41_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch(b.ts) > epoch(a.ts)
+        | AND epoch(b.ts) <= epoch(a.ts) + 3600
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q42_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |       / 4294967296.0)
+        |    < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.6 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q43_rolling" ->
+      """WITH w AS (SELECT event_id,
+        |    avg(CAST(value AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS a,
+        |    sum(CAST(value AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS sm,
+        |    count(value) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n
+        |  FROM events)
+        |SELECT event_id, round(CAST(a AS DOUBLE), 4) AS rolling_avg,
+        |  CAST(sm AS DOUBLE) AS rolling_sum, n AS rolling_n
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q44_jaccard_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
+        |  FROM t),
+        |fp AS (SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS f FROM sh),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+        |toksets AS (SELECT doc_id, list_distinct(toks) AS ts FROM t)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(ta.ts, tb.ts))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) END, 6) AS jaccard
+        |FROM pairs
+        |JOIN toksets ta ON ta.doc_id = id_a
+        |JOIN toksets tb ON tb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
     "q12_operation_derive" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -213,6 +213,31 @@ object ChangelogOps {
       .drop("_new_session")
   }
 
+  /** Rolling per-key statistics over an ordered event column — the
+    * feature-engineering shape (per-user activity rates, drift
+    * monitors). Row window: the previous `rows` events including the
+    * current one. Time window: everything within `rangeSeconds`
+    * before the current event (inclusive), via `rangeBetween` over
+    * the epoch-seconds ordering so the frame is value-based, not
+    * row-based. Both windows share one shuffle on the key and one
+    * sort — Catalyst stacks window functions over the same
+    * (partition, order) spec into a single Window operator.
+    */
+  def rollingStats(df: DataFrame, keyCol: Column, tsCol: Column,
+      valueCol: Column, rows: Int, rangeSeconds: Long): DataFrame = {
+    // integer microsecond ordering: rangeBetween needs long-typed
+    // bounds matching the order expression, and µs keeps the full
+    // timestamp precision (epoch-double would round)
+    val epoch = unix_micros(tsCol.cast("timestamp"))
+    val rowW = Window.partitionBy(keyCol).orderBy(epoch)
+      .rowsBetween(-(rows - 1).toLong, Window.currentRow)
+    val rangeW = Window.partitionBy(keyCol).orderBy(epoch)
+      .rangeBetween(-rangeSeconds * 1000000L, Window.currentRow)
+    df.withColumn("rolling_avg", avg(valueCol).over(rowW))
+      .withColumn("rolling_sum_range", sum(valueCol).over(rangeW))
+      .withColumn("rolling_n_range", count(valueCol).over(rangeW))
+  }
+
   /** Import-job eligibility: not completed, not expired, and past the
     * backoff deadline (reference: pkg/imports/worker.go:174-184).
     */

@@ -102,16 +102,23 @@ object DedupOps {
     // aggregation instead of re-computing the signature subplan for
     // both join sides. Bucket membership lists are small by
     // construction (hot buckets = boilerplate; cap upstream if needed).
-    val pairs = buckets.groupBy(col("bucket"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+    pairsWithinGroups(buckets, col("bucket"), col("id")).distinct()
+  }
+
+  /** Unordered id pairs within each group: group, collect the sorted
+    * member set, emit its combinations (id_a < id_b). The collect is
+    * safe only because blocking keys bound group size by
+    * construction; a pathological group would need capping upstream.
+    */
+  private def pairsWithinGroups(df: DataFrame, groupCol: Column, idCol: Column): DataFrame =
+    df.groupBy(groupCol)
+      .agg(sort_array(collect_set(idCol)).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b"))))).as("ps"))
       .select(explode(col("ps")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-    pairs.distinct()
-  }
 
   /** Token-set Jaccard similarity between two text columns. */
   def jaccard(textA: Column, textB: Column): Column = {
@@ -130,8 +137,17 @@ object DedupOps {
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, bands: Int = 4, rows: Int = 4): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, bands, rows)
-    // token sets materialised once per doc, not re-tokenized per pair
+    verifyByJaccard(lshCandidatePairs(df, idCol, textCol, bands, rows),
+      df, idCol, textCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: join the token
+    * sets back by id (hash joins, never a cross product; token sets
+    * materialised once per doc) and keep pairs at or above the
+    * threshold. */
+  private def verifyByJaccard(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
     val toks = Parallelism.ensure(df.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(col(textCol))).as("toks")))
     val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
@@ -143,6 +159,22 @@ object DedupOps {
         round(when(union === 0, 0.0).otherwise(inter / union), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram-Jaccard near-duplicates with single-fingerprint blocking:
+    * candidates share their minimal shingle hash
+    * (winnowing collapsed to one band — cheaper and stricter than
+    * MinHash LSH), then exact token-Jaccard verifies. One aggregation
+    * on a 32-byte key plus two id hash joins; no step is quadratic in
+    * the corpus.
+    */
+  def jaccardNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+    val fp = Parallelism.ensure(df.select(col(idCol).as("id"),
+      TextOps.minShingleFingerprint(col(textCol), shingleSize).as("fp")))
+    verifyByJaccard(pairsWithinGroups(fp, col("fp"), col("id")),
+      df, idCol, textCol, threshold)
   }
 
   /** SimHash: a single locality-sensitive integer per document.

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is neither reproducible across
+  * engines nor stable under retries — a re-run of a failed 100 TB
+  * stage must keep the same rows. These samplers decide membership
+  * from a hash of the row's id, so the sample is a pure function of
+  * the data: reproducible anywhere (md5 is engine-portable), stable
+  * under task retry and partition reshuffle, and joinable (the same
+  * id samples identically in every table that carries it).
+  */
+object SampleOps {
+
+  /** Uniform [0, 1) hash of an id column: first 8 md5 hex chars as
+    * uint32 / 2^32. */
+  def hashUnit(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Keep rows with hashUnit(id) < fraction — a deterministic
+    * Bernoulli sample. Pure map-side filter: no shuffle, prunes
+    * before any downstream compute. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(hashUnit(col(idCol)) < fraction)
+
+  /** Per-stratum deterministic sampling rates (e.g. downsample the
+    * dominant language, keep the tail): rows keep membership iff
+    * hashUnit(id) < fractions(stratum), `default` for strata not
+    * listed. The rate expression compiles to a literal CASE — no
+    * broadcast, no UDF. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double): DataFrame = {
+    val rate = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.where(hashUnit(col(idCol)) < rate)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native plan for: as-of joins
+  * and keyed range (interval) joins.
+  *
+  * Spark compiles a join whose condition mixes an equi-key with a
+  * time inequality into SortMergeJoin + post-filter at best and
+  * BroadcastNestedLoopJoin at worst — both re-scan every right row
+  * per left row within a key at 100 TB. These operators re-express
+  * the semantics as shapes Catalyst executes well:
+  *
+  *  - [[asOfJoin]]: union + one window pass — a single shuffle on
+  *    the key, one sort, zero joins. O((|L|+|R|) log) per key
+  *    instead of O(|L|·|R|).
+  *  - [[bandedRangeJoin]]: bucketize time into bands of the range
+  *    width and equi-join on (key, band) — the candidate space
+  *    shrinks from "all right rows of the key" to "two bands", and
+  *    the join stays a hash join that AQE can size and skew-split.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the single latest right row of
+    * the same key with `right.ts <= left.ts` (inclusive). Left rows
+    * with no prior right row keep null right fields — left-outer
+    * as-of semantics, matching DuckDB/QuestDB/kdb `ASOF JOIN`.
+    *
+    * Implementation: tag both sides, union, and take per key (in
+    * (ts, side) order) the last non-null right payload at or before
+    * each left row. Right rows order before left rows at an equal
+    * timestamp, so "at-or-before" is inclusive. Multiple right rows
+    * at the same (key, ts) resolve deterministically to the greatest
+    * payload struct (field-order comparison).
+    *
+    * @param rightPayload right columns to carry; they must not
+    *                     collide with left column names.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "asOfJoin needs at least one right payload column")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_k", col(leftKey))
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      col(rightKey).as("_k"),
+      col(rightTs).as("_ts"),
+      lit(0).as("_side"),
+      struct(rightPayload.map(col): _*).as("_r"))
+    // left rows gain _r = null, right rows gain null left columns
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("_match").getField(c).as(c)): _*)
+  }
+
+  /** Keyed range join: all pairs (l, r) with matching keys and
+    * `r.ts` in `(l.ts, l.ts + width]` — "right events following a
+    * left event within `width` seconds".
+    *
+    * Implementation: band both sides by `floor(epoch / width)`. A
+    * right row in `(l.ts, l.ts + width]` can only sit in the left
+    * row's band or the next one, so the left side replicates to
+    * exactly those two bands (2× amplification, constant), the join
+    * is a plain equi-join on (key, band), and the exact interval
+    * predicate filters the band-collisions. Each qualifying pair
+    * appears exactly once: a right row lives in one band only.
+    */
+  def bandedRangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      widthSec: Long): DataFrame = {
+    require(widthSec > 0, "range width must be positive")
+    val lEpoch = col(leftTs).cast("timestamp").cast("double")
+    val rEpoch = col(rightTs).cast("timestamp").cast("double")
+    val lBand = floor(lEpoch / widthSec).cast("long")
+    // aliased sides + qualified references: safe under self-joins,
+    // where unqualified attributes resolve ambiguously
+    val l = left
+      .withColumn("_lts", lEpoch)
+      .withColumn("_lband", explode(array(lBand, lBand + 1L)))
+      .alias("_gl")
+    val r = right
+      .withColumn("_rts", rEpoch)
+      .withColumn("_rband", floor(rEpoch / widthSec).cast("long"))
+      .alias("_gr")
+    l.join(r,
+        col(s"_gl.$leftKey") === col(s"_gr.$rightKey") &&
+          col("_gl._lband") === col("_gr._rband") &&
+          col("_gr._rts") > col("_gl._lts") &&
+          col("_gr._rts") <= col("_gl._lts") + widthSec)
+      .drop("_lband", "_rband", "_lts", "_rts")
+  }
+}

@@ -224,4 +224,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r1.getAs[Array[Byte]]("payload").length <= 16 + 1)
     assert(r1.getStruct(2).getInt(1) == 4 && r1.getStruct(2).getInt(2) == 4)
   }
+
+  test("jaccardNearDuplicates blocks on the min-shingle fingerprint") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // shares shingles
+      (3L, "completely unrelated text with different words entirely")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardNearDuplicates(df, "doc_id", "text", threshold = 0.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // docs 1 and 2 share their minimal shingle (prefix identical), 3 is alone
+    assert(pairs == Set((1L, 2L)))
+    // identical docs always pair with jaccard 1.0
+    val dup = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val j = DedupOps.jaccardNearDuplicates(dup, "doc_id", "text", threshold = 0.99)
+      .select($"jaccard").as[Double].collect()
+    assert(j.toSeq == Seq(1.0))
+  }
+
+  test("rollingStats: row frame and time-range frame agree with hand rolls") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00"), 1.0),
+      (2L, "u", ts("2024-01-01 10:30:00"), 2.0),
+      (3L, "u", ts("2024-01-01 11:15:00"), 4.0), // 10:15 cutoff: drops row 1
+      (4L, "u", ts("2024-01-01 13:00:00"), 8.0) // nothing within the hour
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = ChangelogOps.rollingStats(e, $"user_id", $"ts", $"value",
+        rows = 2, rangeSeconds = 3600L)
+      .select($"event_id", $"rolling_avg", $"rolling_sum_range", $"rolling_n_range")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toList
+    assert(out == List(
+      (1L, 1.0, 1.0, 1L),
+      (2L, 1.5, 3.0, 2L), // row frame: rows 1-2; range: both within 1h
+      (3L, 3.0, 6.0, 2L), // row frame: rows 2-3; range: rows 2-3
+      (4L, 6.0, 8.0, 1L))) // row frame: rows 3-4; range: alone
+  }
 }

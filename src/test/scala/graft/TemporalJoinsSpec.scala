@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:00:05"), 101.0),
+    ("A", ts("2024-01-01 10:00:10"), 102.0),
+    ("B", ts("2024-01-01 10:00:03"), 200.0)
+  ).toDF("q_sym", "q_ts", "price")
+
+  private def trades = Seq(
+    ("A", ts("2024-01-01 09:59:59"), 1L), // before any quote
+    ("A", ts("2024-01-01 10:00:05"), 2L), // exactly at a quote: inclusive
+    ("A", ts("2024-01-01 10:00:07"), 3L), // between quotes
+    ("A", ts("2024-01-01 10:00:59"), 4L), // after the last quote
+    ("B", ts("2024-01-01 10:00:04"), 5L),
+    ("C", ts("2024-01-01 10:00:04"), 6L) // key with no quotes at all
+  ).toDF("sym", "ts", "trade_id")
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val out = TemporalJoins.asOfJoin(trades, quotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out == Map(
+      1L -> None, // no quote yet
+      2L -> Some(101.0), // equal timestamp is inclusive
+      3L -> Some(101.0),
+      4L -> Some(102.0),
+      5L -> Some(200.0),
+      6L -> None)) // unseen key -> left-outer null
+  }
+
+  test("asOfJoin keeps every left row exactly once") {
+    val out = TemporalJoins.asOfJoin(trades, quotes,
+      "sym", "q_sym", "ts", "q_ts", Seq("price"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("sym", "ts", "trade_id", "price"))
+  }
+
+  test("asOfJoin ties at equal (key, ts) resolve to the greatest payload") {
+    val dupQuotes = quotes.unionByName(
+      Seq(("A", ts("2024-01-01 10:00:05"), 150.0)).toDF("q_sym", "q_ts", "price"))
+    val out = TemporalJoins.asOfJoin(trades, dupQuotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .where($"trade_id" === 2L).select($"price").as[Double].collect()
+    assert(out.toSeq == Seq(150.0))
+  }
+
+  test("asOfJoin plans one shuffle and zero joins") {
+    val out = TemporalJoins.asOfJoin(trades, quotes,
+      "sym", "q_sym", "ts", "q_ts", Seq("price"))
+    val plan = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+    assert(shuffles == 1, s"as-of must shuffle once, on the key:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must compile join-free:\n$plan")
+  }
+
+  test("bandedRangeJoin finds exactly the pairs inside (ts, ts+width]") {
+    val e = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:04:00")), // 240s after 1: in range of 1
+      (3L, "u1", ts("2024-01-01 10:05:00")), // 300s after 1: boundary, inclusive
+      (4L, "u1", ts("2024-01-01 10:20:00")), // out of range of all before
+      (5L, "u2", ts("2024-01-01 10:04:30")) // other key
+    ).toDF("event_id", "user_id", "ts")
+    val l = e.select($"event_id".as("a_id"), $"user_id", $"ts")
+    val r = e.select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val pairs = TemporalJoins.bandedRangeJoin(l, r, "user_id", "b_user", "ts", "b_ts", 300L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bandedRangeJoin emits each qualifying pair exactly once") {
+    // timestamps straddling a band boundary (width 300: bands at :00/:05)
+    val e = Seq(
+      (1L, "u", ts("2024-01-01 10:04:59")),
+      (2L, "u", ts("2024-01-01 10:05:01"))
+    ).toDF("event_id", "user_id", "ts")
+    val l = e.select($"event_id".as("a_id"), $"user_id", $"ts")
+    val r = e.select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val pairs = TemporalJoins.bandedRangeJoin(l, r, "user_id", "b_user", "ts", "b_ts", 300L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toList
+    assert(pairs == List((1L, 2L)))
+  }
+
+  test("bandedRangeJoin compiles to an equi hash join, not nested loop") {
+    val e = Seq((1L, "u", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val l = e.select($"event_id".as("a_id"), $"user_id", $"ts")
+    val r = e.select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val plan = TemporalJoins.bandedRangeJoin(l, r, "user_id", "b_user", "ts", "b_ts", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join on (key, band):\n$plan")
+  }
+}
