@@ -13,13 +13,22 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * already-built session (tests, notebooks).
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
+  }
 }
 
 object GraftSparkExtensions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     VectorExpressions.functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    // sessionState is already built here, so the optimizer rule goes
+    // through the experimental-methods escape hatch instead of
+    // injectOptimizerRule (which only works pre-build)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.VectorFoldRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.VectorFoldRewrite
+  }
 }

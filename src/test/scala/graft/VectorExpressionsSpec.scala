@@ -64,6 +64,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
   }
 
+  test("VectorFoldRewrite replaces the fold dot with the native expression") {
+    GraftSparkExtensions.register(spark)
+    // parquet-backed input so nothing constant-folds away pre-rule
+    val emb = graft.sources.ImportSource.table(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val folded = emb.select(
+      SimilarityOps.foldDot(col("embedding"), col("embedding")).as("d"))
+    val opt = folded.queryExecution.optimizedPlan.toString
+    assert(opt.contains("vector_dot"), s"fold not rewritten:\n$opt")
+    assert(!opt.contains("aggregate(zip_with"), s"fold survived:\n$opt")
+    // rewritten plan computes the same values as the unoptimized fold
+    val viaRule = folded.collect().map(_.getDouble(0))
+    val native = emb.select(
+      SimilarityOps.dot(col("embedding"), col("embedding"))).collect().map(_.getDouble(0))
+    assert(viaRule.toSeq == native.toSeq)
+  }
+
+  test("VectorFoldRewrite leaves non-dot folds alone") {
+    GraftSparkExtensions.register(spark)
+    val emb = graft.sources.ImportSource.table(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    // sum-of-abs: same aggregate/zip_with scaffolding, different body
+    val other = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => abs(x.cast("double")) + abs(y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v).as("s"))
+    val opt = other.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("vector_dot"), s"over-eager rewrite:\n$opt")
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // a parquet scan can't constant-fold away, so the projection must
     // actually compile (a CodegenFallback expression would split the
