@@ -103,6 +103,29 @@ object Example {
       ids(SimilarityOps.annTopK(emb, "vec_id", "embedding", qVec, 5, planes = 4)))
     println("ivf top-5:     " +
       ids(SimilarityOps.ivfTopK(emb, "vec_id", "embedding", qVec, centroids, 5, nprobe = 2)))
+
+    // 5. temporal joins + deterministic sampling over the event stream
+    import graft.ops.{SampleOps, TemporalJoins}
+    import org.apache.spark.sql.functions.col
+    val ev = ImportSource.table(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+    val asOfMatched = TemporalJoins.asOfJoin(clicks, purchases,
+        "user_id", "p_user", "ts", "p_ts", Seq("p_event_id"))
+      .where(col("p_event_id").isNotNull).count()
+    val l = ev.select(col("event_id").as("a_id"), col("user_id"), col("ts"))
+    val r = ev.select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val within1h = TemporalJoins.bandedRangeJoin(
+      l, r, "user_id", "b_user", "ts", "b_ts", 3600L).count()
+    val docs = ImportSource.table(spark, sfDir, "documents")
+    val sampled = SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), default = 0.6).count()
+    println(s"as-of matched clicks: $asOfMatched, pairs within 1h: $within1h, " +
+      s"stratified sample: $sampled/${docs.count()}")
     spark.stop()
   }
 }

@@ -171,8 +171,14 @@ object DedupOps {
   def jaccardNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
-    val fp = Parallelism.ensure(df.select(col(idCol).as("id"),
-      TextOps.minShingleFingerprint(col(textCol), shingleSize).as("fp")))
+    // tokenize (cheap regex, once per doc) BEFORE the guard, compute
+    // the md5-per-shingle fingerprint AFTER its exchange — otherwise
+    // the fingerprint runs inside the scan's (possibly single)
+    // partition; same shape as minhashSignatures
+    val tok = Parallelism.ensure(df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("_t")))
+    val fp = tok.select(col("id"),
+      TextOps.minShingleFingerprintOfTokens(col("_t"), shingleSize).as("fp"))
     verifyByJaccard(pairsWithinGroups(fp, col("fp"), col("id")),
       df, idCol, textCol, threshold)
   }

@@ -115,6 +115,12 @@ object TextOps {
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
+  /** [[minShingleFingerprint]] over an already-tokenized array
+    * column (see [[shinglesOfTokens]] for why that matters in
+    * compute-dense pipelines). */
+  def minShingleFingerprintOfTokens(t: Column, n: Int = 3): Column =
+    array_min(transform(shinglesOfTokens(t, n), s => md5(s)))
+
   /** Exact content fingerprint over normalized text (whitespace
     * collapsed, lowercased). */
   def normalizedFingerprint(text: Column): Column =
