@@ -486,6 +486,29 @@ object SparkEntry {
           threshold = 0.0)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ----- sketches: KMV approximate distinct — the estimate itself
+    // is engine-reproducible, so the oracle checks the approximation
+    // exactly (impossible with HLL implementations) -----
+    "q45_kmv_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val approx = graft.ops.SketchOps.kmvDistinct(ev, "event_type", "user_id", 64)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      approx.join(exact, "event_type").orderBy(col("event_type"))
+    }),
+    // ----- sampling: weight-proportional (longer docs kept more) -----
+    "q46_weighted_sample" -> ((s, dir) => {
+      SampleOps.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          ratePerUnit = 0.002)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- LLM ops: near-dup clusters (connected components, min-label) -----
+    "q47_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.jaccardNearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.0)
+      DedupOps.duplicateClusters(pairs).orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -862,6 +885,44 @@ object SparkEntry {
         |JOIN toksets ta ON ta.doc_id = id_a
         |JOIN toksets tb ON tb.doc_id = id_b
         |ORDER BY id_a, id_b""".stripMargin,
+    "q45_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |     / 4294967296.0) AS hh
+        |  FROM events),
+        |r AS (SELECT event_type, hh,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        |  FROM h),
+        |est AS (SELECT event_type,
+        |    CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |      ELSE 63.0 / max(CASE WHEN rn = 64 THEN hh END) END AS approx_distinct
+        |  FROM r GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT est.event_type, est.approx_distinct, ex.n_exact
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q46_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |       / 4294967296.0)
+        |    < least(1.0, n_chars * 0.002)
+        |ORDER BY doc_id""".stripMargin,
+    "q47_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
+        |  FROM t),
+        |fp AS (SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS f FROM sh),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM e
+        |  UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     "q12_operation_derive" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -183,6 +183,51 @@ object DedupOps {
       df, idCol, textCol, threshold)
   }
 
+  /** Duplicate clusters from a near-dup pair list: connected
+    * components with the component's minimum doc id as the cluster
+    * id — the step that turns pairwise "A≈B" into "keep one canonical
+    * doc per cluster".
+    *
+    * Min-label propagation: every node starts labeled with itself;
+    * each round a node takes the minimum label among itself and its
+    * neighbors; fixpoint = component minimum. Each round is one join
+    * + one aggregation (both on the node id), and the number of
+    * rounds is bounded by the largest component's diameter — near-dup
+    * graphs are unions of small dense cliques, so this converges in
+    * 2-3 rounds in practice (`maxIterations` guards pathological
+    * chains; the large-star/small-star variant halves round counts if
+    * diameters ever grow). The only driver-side data is the one-row
+    * convergence check per round.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      // localCheckpoint truncates the per-round lineage so the plan
+      // does not grow linearly with rounds
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), "id")
+        .where(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash: a single locality-sensitive integer per document.
     * Each token votes ±1 per bit position of its 32-bit md5-derived
     * hash; the sign pattern packs into one long. Near-dups differ in

@@ -27,6 +27,20 @@ object SampleOps {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.where(hashUnit(col(idCol)) < fraction)
 
+  /** Weight-proportional deterministic sampling: row i is kept with
+    * probability min(1, weight_i · ratePerUnit), decided by the same
+    * id-hash threshold as [[deterministicSample]]. Only multiply and
+    * compare — IEEE-exact, so membership reproduces across engines
+    * (a pow-keyed scheme like Efraimidis–Spirakis would wobble in the
+    * last ulp between libm implementations). Map-side filter, no
+    * shuffle, no global pass: the caller picks `ratePerUnit` (e.g.
+    * target_rows / total_weight from table stats). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      ratePerUnit: Double): DataFrame =
+    df.where(hashUnit(col(idCol)) <
+      least(lit(1.0), col(weightCol).cast("double") * ratePerUnit))
+
   /** Per-stratum deterministic sampling rates (e.g. downsample the
     * dominant language, keep the tail): rows keep membership iff
     * hashUnit(id) < fractions(stratum), `default` for strata not

@@ -242,6 +242,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(j.toSeq == Seq(1.0))
   }
 
+  test("duplicateClusters: components get the min id; chains converge") {
+    // two components: a triangle {1,2,3} and a 4-link chain {10..14}
+    // (the chain needs multiple propagation rounds)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)
+    ).toDF("id_a", "id_b")
+    val got = DedupOps.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
   test("rollingStats: row frame and time-range frame agree with hand rolls") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
