@@ -52,6 +52,77 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch banded range join") {
+    // clicks joined to purchases of the same user within the next hour,
+    // both sides streaming with watermarks — the streaming twin of
+    // TemporalJoins.bandedRangeJoin. The time bound is what lets Spark
+    // expire join state; an unbounded stream-stream join would grow
+    // state forever.
+    val src = Files.createTempDirectory("graft-ssj").toString
+    val ev = ImportSource.table(spark, sf, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    ev.write.parquet(s"$src/batch0")
+
+    def side(tpe: String, prefix: String) = spark.readStream
+      .schema(ev.schema).parquet(s"$src/*")
+      .where($"event_type" === tpe)
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "10 minutes")
+
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("""c_user = p_user AND
+              p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"""))
+      .select($"c_id", $"p_id")
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id".as("a_id"), $"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    val batch = graft.ops.TemporalJoins
+      .bandedRangeJoin(clicks, purchases, "user_id", "b_user", "ts", "b_ts", 3600L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked streaming dedup drops replayed event ids") {
+    // at-least-once delivery upstream -> exactly-once downstream via
+    // dropDuplicatesWithinWatermark on the event id: batch 1 is
+    // replayed in full plus new rows, duplicates must not re-emit
+    val src = Files.createTempDirectory("graft-dedup").toString
+    val ev = ImportSource.table(spark, sf, "events")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val (first, second) = (ev.where($"event_id" % 3 =!= 0), ev)
+    first.write.parquet(s"$src/batch0")
+
+    // the delay must cover the whole replay horizon: rows older than
+    // the advanced watermark are dropped as late, not deduped. The
+    // events table spans ~30 days, so 31 days keeps every replayed
+    // row inside the dedup window (the CDC contract: replays arrive
+    // within the retention period).
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$src/*")
+      .withWatermark("ts", "31 days")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      second.write.mode("append").parquet(s"$src/batch1") // full replay + the rest
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("dedup_out").select($"event_id").as[Long].collect()
+    assert(out.length == out.distinct.length, "replay must not duplicate")
+    assert(out.toSet == ev.select($"event_id").as[Long].collect().toSet)
+  }
+
   test("native session_window streaming agg matches ChangelogOps.sessionize session count") {
     import graft.ops.ChangelogOps
     val src = Files.createTempDirectory("graft-sess").toString
