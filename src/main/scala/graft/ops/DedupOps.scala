@@ -200,27 +200,33 @@ object DedupOps {
     * convergence check per round.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions from ONE pass over pairs (a union of two
+    // selects would evaluate the upstream pair pipeline twice)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("label", col("id")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      // one job per round: the node's own label rides along tagged, so
+      // the same aggregation yields both the new label (min over self +
+      // neighbors) and the old one — the convergence probe needs no
+      // second join. localCheckpoint (lazy) truncates lineage and
+      // materializes inside the probe's action.
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      // localCheckpoint truncates the per-round lineage so the plan
-      // does not grow linearly with rounds
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), "id")
-        .where(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
+        .select(edges("src").as("id"), col("label"), lit(false).as("_own"))
+      val next = labels.withColumn("_own", lit(true))
+        .unionByName(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("_own"), col("label"))).as("_old"))
+        .localCheckpoint(false)
+      val changed = next.where(col("label") < col("_old")).limit(1).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }
