@@ -87,6 +87,17 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) == 0, "brute-force top-k needs no exchange")
   }
 
+  test("kmv sketch: partial-aggregates map-side, one hash shuffle") {
+    val df = graft.ops.SketchOps.kmvDistinct(
+      ImportSource.table(spark, sf, "events"), "event_type", "user_id", 64)
+    assert(shuffles(df) == 1,
+      s"sketch agg must shuffle once:\n${planString(df)}")
+    // typed-aggregator partial phase before the exchange: two
+    // ObjectHashAggregate operators (partial + final), k-bounded state
+    val aggs = "ObjectHashAggregate".r.findAllIn(planString(df)).size
+    assert(aggs == 2, s"expected partial+final aggregation:\n${planString(df)}")
+  }
+
   test("latest-row view: one shuffle on the partition keys") {
     val cl = ImportSource.table(spark, sf, "events").select(
       col("ts").as("timestamp"), col("event_id").as("lsn"),
