@@ -94,7 +94,8 @@ object Example {
     val all = emb.collect().map(r =>
       r.getLong(0) -> r.getSeq[Float](1)).toMap
     val qVec = all(1L)
-    val centroids = Seq(0L, 2L, 3L, 4L).map(all(_).toSeq)
+    val centroids = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iterations = 3)
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getLong(0)).mkString(",")
     println("exact top-5:   " +

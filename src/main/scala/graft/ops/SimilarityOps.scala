@@ -152,6 +152,45 @@ object SimilarityOps {
     centroids.indices.sortBy(i => -cos(query, centroids(i)))
   }
 
+  /** Lloyd's k-means trainer for the IVF coarse quantizer.
+    *
+    * Deterministic seeding (the k vectors with the smallest id-hash —
+    * reproducible anywhere, no RNG state to distribute), then
+    * `iterations` rounds of: map-side cosine argmax assignment
+    * ([[ivfAssign]], centroids baked as literals) + one per-(cell,
+    * dimension) mean aggregation. The shuffle each round carries at
+    * most k×dims×partitions partially-aggregated sums — independent
+    * of corpus size; the driver holds only the k×dims centroid
+    * matrix. Cells that lose all members keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 5): Seq[Seq[Float]] = {
+    require(k > 0 && iterations >= 0)
+    val vecs = Parallelism.ensure(
+      embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v")))
+    var centroids: Seq[Seq[Float]] = vecs
+      .withColumn("_h", SampleOps.hashUnit(col("_id")))
+      .orderBy(col("_h"), col("_id")).limit(k)
+      .select(col("_v")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    for (_ <- 1 to iterations) {
+      val byDim = vecs
+        .withColumn("_cell", ivfAssign(col("_v"), centroids))
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg(avg(col("_x").cast("double")).as("_m"))
+        .collect()
+      val means = byDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old)
+      }
+    }
+    centroids
+  }
+
   /** ANN top-k via IVF: score only vectors in the query's `nprobe`
     * nearest cells. */
   def ivfTopK(

@@ -242,6 +242,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(j.toSeq == Seq(1.0))
   }
 
+  test("kmeansCentroids separates well-clustered vectors and feeds ivfTopK") {
+    // three tight clusters around orthogonal axes
+    def jig(i: Long, d: Int) = (((i * 31 + d * 7) % 11).toFloat - 5f) / 100f
+    val rows = (0 until 3).flatMap { c =>
+      (0L until 20L).map { i =>
+        val base = Array.fill(6)(0.0f)
+        base(c * 2) = 1.0f
+        val v = base.zipWithIndex.map { case (x, d) => x + jig(c * 20 + i, d) }
+        (c * 20 + i, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.kmeansCentroids(df, "vec_id", "embedding", 3, 4)
+    assert(cents.size == 3)
+    // each trained centroid points dominantly along one cluster axis,
+    // and the three axes are all represented
+    val axes = cents.map(c => c.indices.maxBy(d => math.abs(c(d)))).toSet
+    assert(axes == Set(0, 2, 4), s"centroid axes were $axes")
+    // assignment groups each cluster into a single cell
+    val cells = df.withColumn("cell",
+        SimilarityOps.ivfAssign(col("embedding"), cents))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val byCluster = cells.groupBy(_._1 / 20).view.mapValues(_.map(_._2).toSet)
+    assert(byCluster.values.forall(_.size == 1), s"split cluster: $byCluster")
+    // probing 1 trained cell finds the query's true neighbors
+    val q = rows(5)._2.toSeq
+    val top = SimilarityOps.ivfTopK(df, "vec_id", "embedding", q, cents, 5, nprobe = 1)
+      .select($"vec_id").as[Long].collect()
+    assert(top.forall(_ < 20), s"IVF probe escaped the cluster: ${top.toSeq}")
+  }
+
   test("duplicateClusters: components get the min id; chains converge") {
     // two components: a triangle {1,2,3} and a 4-link chain {10..14}
     // (the chain needs multiple propagation rounds)

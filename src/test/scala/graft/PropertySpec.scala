@@ -111,6 +111,38 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("asOfJoin equals the brute-force per-row maximum (random keyed series)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genRow = for {
+      key <- Gen.chooseNum(1L, 4L)
+      ts <- Gen.chooseNum(0L, 40L)
+    } yield (key, ts)
+    val prop = Prop.forAllNoShrink(
+      Gen.listOfN(10, genRow), Gen.listOfN(10, genRow)) { (ls, rs0) =>
+      // distinct (key, ts) on the right so the match is unambiguous
+      val rs = rs0.distinct
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+      val right = rs.map { case (k, t) => (k, t, t * 1000 + k) }
+        .toDF("rk", "rt", "payload")
+      val got = graft.ops.TemporalJoins
+        .asOfJoin(left, right, "k", "rk", "t", "rt", Seq("payload"))
+        .select($"lid", $"payload").as[(Long, Option[Long])]
+        .collect().toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter { case (rk, rt) => rk == k && rt <= t }
+        i.toLong -> (if (cands.isEmpty) None
+                     else { val (rk, rt) = cands.maxBy(_._2)
+                            Some(rt * 1000 + rk) })
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("schema fingerprint: permutation-invariant, content-sensitive") {
     import graft.model.{ColumnSpec, TableSchema}
     val genCol = for {
