@@ -509,6 +509,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.0)
       DedupOps.duplicateClusters(pairs).orderBy(col("doc_id"))
     }),
+    // ----- LLM ops: repetition filters (Gopher/C4-style) -----
+    "q48_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // ----- sampling: target-mixture downsampling (largest achievable
+    // corpus at the requested stratum shares) -----
+    "q49_mixture_sample" -> ((s, dir) => {
+      SampleOps.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.25, "fr" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -923,6 +937,34 @@ object SparkEntry {
         |  UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "q48_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(len(toks)-1), i -> array_to_string(list_slice(toks, i+1, i+2), ' ')) END AS bg
+        |  FROM t),
+        |bc AS (SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bg) AS b FROM base) GROUP BY doc_id, b),
+        |top AS (SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams
+        |  FROM bc GROUP BY doc_id)
+        |SELECT base.doc_id,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+        |  round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+        |FROM base JOIN top ON base.doc_id = top.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "q49_mixture_sample" ->
+      """WITH shares AS (SELECT * FROM (VALUES ('en', 0.5), ('zh', 0.25), ('fr', 0.25)) s(lang, share)),
+        |c AS (SELECT d.lang, count(*) AS cnt FROM documents d
+        |  JOIN shares USING (lang) GROUP BY d.lang),
+        |n AS (SELECT min(cnt / share) AS ntot FROM c JOIN shares USING (lang)),
+        |r AS (SELECT s.lang, (s.share * n.ntot) / c.cnt AS rate
+        |  FROM shares s JOIN c USING (lang) CROSS JOIN n)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |       / 4294967296.0) < rate
+        |ORDER BY doc_id""".stripMargin,
     "q12_operation_derive" ->
       """WITH o AS (
         |  SELECT o_orderkey,

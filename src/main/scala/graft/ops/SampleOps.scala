@@ -41,6 +41,33 @@ object SampleOps {
     df.where(hashUnit(col(idCol)) <
       least(lit(1.0), col(weightCol).cast("double") * ratePerUnit))
 
+  /** Downsample to a target stratum mixture (e.g. "40% en, 30% zh,
+    * 30% code") at the largest achievable size: the binding stratum
+    * (smallest count_s / share_s) is kept whole and every other
+    * stratum downsamples to match. Rates derive from one k-row count
+    * aggregate; membership is then the same deterministic hash
+    * threshold as [[stratifiedSample]]. Strata missing from `shares`
+    * are dropped. The per-stratum counts live on the driver — k
+    * strata, not data — and the rate arithmetic is plain IEEE
+    * multiply/divide, so the realized sample reproduces anywhere.
+    */
+  def mixtureSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0))
+    val counts = df.where(col(stratumCol).isin(shares.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = shares.collect {
+      case (s, share) if counts.contains(s) => counts(s) / share
+    }.min
+    val rates = shares.collect {
+      case (s, share) if counts.contains(s) =>
+        s -> (share * nTotal) / counts(s)
+    }
+    stratifiedSample(df, idCol, stratumCol, rates, default = 0.0)
+  }
+
   /** Per-stratum deterministic sampling rates (e.g. downsample the
     * dominant language, keep the tail): rows keep membership iff
     * hashUnit(id) < fractions(stratum), `default` for strata not

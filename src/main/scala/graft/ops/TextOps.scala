@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -120,6 +120,49 @@ object TextOps {
     * compute-dense pipelines). */
   def minShingleFingerprintOfTokens(t: Column, n: Int = 3): Column =
     array_min(transform(shinglesOfTokens(t, n), s => md5(s)))
+
+  /** PII scrubbing: emails, URLs, and long digit runs replaced by
+    * typed placeholders — the standard pre-training redaction pass.
+    * Plain `regexp_replace` chain (replace-all), map-side, no UDF;
+    * patterns are deliberately conservative (high precision) — a
+    * production pass would extend the chain, not the mechanism.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{7,}", "<NUM>")
+  }
+
+  /** Per-document repetition statistics — the Gopher/C4-style
+    * repetitiousness filters:
+    *  - `dup_token_ratio`: 1 − distinct/total tokens (1 ⇒ one token
+    *    repeated throughout);
+    *  - `top_bigram_frac`: share of all word bigrams taken by the
+    *    most frequent one.
+    * Computed by exploding bigrams and aggregating — NOT by a
+    * quadratic per-row HOF scan, which would blow up on long
+    * documents; both shuffles key on the doc id.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Parallelism.ensure(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("_t")))
+    val base = tok.select(col("id"),
+      size(col("_t")).as("_n_tokens"),
+      size(array_distinct(col("_t"))).as("_n_distinct"),
+      shinglesOfTokens(col("_t"), 2).as("_bg"))
+    val top = base.select(col("id"), explode(col("_bg")).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("_top_bigram"), sum(col("c")).as("_n_bigrams"))
+    base.select(col("id"), col("_n_tokens"), col("_n_distinct"))
+      .join(top, "id")
+      .select(col("id"),
+        round(lit(1.0) - col("_n_distinct").cast("double") / col("_n_tokens"), 6)
+          .as("dup_token_ratio"),
+        round(col("_top_bigram").cast("double") / col("_n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
 
   /** Exact content fingerprint over normalized text (whitespace
     * collapsed, lowercased). */

@@ -242,6 +242,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(j.toSeq == Seq(1.0))
   }
 
+  test("repetitionStats flags repetitious text, not varied text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"), // one token repeated
+      (2L, "the quick brown fox jumps high"), // all distinct
+      (3L, "ab cd ab cd ab cd ab cd") // dominant bigram
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 > 0.8) // dup_token_ratio: 1 - 1/6
+    assert(got(1L)._2 == 1.0) // single bigram everywhere
+    assert(got(2L)._1 == 0.0 && got(2L)._2 < 0.3)
+    assert(got(3L)._2 > 0.5, s"dominant bigram missed: ${got(3L)}")
+  }
+
   test("kmeansCentroids separates well-clustered vectors and feeds ivfTopK") {
     // three tight clusters around orthogonal axes
     def jig(i: Long, d: Int) = (((i * 31 + d * 7) % 11).toFloat - 5f) / 100f

@@ -40,6 +40,38 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(math.abs(otherRate - 0.5) < 0.06, s"other rate was $otherRate")
   }
 
+  test("mixtureSample realizes the target shares at the max feasible size") {
+    // 1000 a, 300 b with target 50/50: b binds (300/.5=600), a
+    // downsamples to ~300, b kept whole
+    val df = ((1L to 1000L).map(i => (i, "a")) ++ (1001L to 1300L).map(i => (i, "b")))
+      .toDF("id", "stratum")
+    val out = SampleOps.mixtureSample(df, "id", "stratum",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(out("b") == 300L, "binding stratum must be kept whole")
+    assert(math.abs(out("a") - 300L) < 60, s"a was ${out("a")}")
+    // strata not in the target mixture are dropped
+    val extra = df.unionByName(Seq((2000L, "junk")).toDF("id", "stratum"))
+    assert(SampleOps.mixtureSample(extra, "id", "stratum", Map("a" -> 1.0))
+      .where($"stratum" =!= "a").count() == 0)
+  }
+
+  test("scrubPii replaces emails, urls, digit runs; leaves clean text alone") {
+    import graft.ops.TextOps
+    val df = Seq(
+      "write to bob.smith+x@example.co.uk today",
+      "see https://a.example.com/path?q=1 for details",
+      "call 12345678901 now",
+      "clean text stays 123 intact"
+    ).toDF("text")
+    val got = df.select(TextOps.scrubPii($"text")).as[String].collect().toSeq
+    assert(got == Seq(
+      "write to <EMAIL> today",
+      "see <URL> for details",
+      "call <NUM> now",
+      "clean text stays 123 intact"))
+  }
+
   test("sampling is a map-side filter: zero shuffles") {
     val plan = SampleOps.stratifiedSample(ids, "id", "stratum",
       Map("en" -> 0.1), default = 0.5).queryExecution.executedPlan.toString
