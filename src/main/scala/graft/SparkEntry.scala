@@ -523,6 +523,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ----- packing: GPT-style chunk layout of the concatenated corpus
+    // (distributed two-phase prefix sum — no single-partition window) -----
+    "q50_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.PackOps.chunkAssignments(
+          docs, "doc_id", TextOps.tokenCount(col("text")), chunkTokens = 512L)
+        .select(col("doc_id"), col("start_offset"), col("chunk_id"), col("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -965,6 +974,21 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    "q50_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT doc_id, CAST(cum - n_tok AS BIGINT) AS start_offset,
+        |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+        |  CASE WHEN n_tok = 0 THEN 0
+        |    ELSE CAST(floor((cum - 1) / 512.0) AS BIGINT)
+        |       - CAST(floor((cum - n_tok) / 512.0) AS BIGINT) + 1 END AS n_chunks
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q12_operation_derive" ->
       """WITH o AS (
         |  SELECT o_orderkey,
