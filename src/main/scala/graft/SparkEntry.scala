@@ -523,6 +523,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ----- LLM ops: test-set decontamination (any shared 5-gram) -----
+    "q51_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.decontaminate(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     // ----- packing: GPT-style chunk layout of the concatenated corpus
     // (distributed two-phase prefix sum — no single-partition window) -----
     "q50_pack" -> ((s, dir) => {
@@ -973,6 +983,18 @@ object SparkEntry {
         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
+        |ORDER BY doc_id""".stripMargin,
+    "q51_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-4), i -> array_to_string(list_slice(toks, i+1, i+5), ' ')) END) AS s
+        |  FROM t),
+        |test AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN test USING (s)
+        |  WHERE sh.doc_id % 20 <> 0)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
         |ORDER BY doc_id""".stripMargin,
     "q50_pack" ->
       """WITH c AS (SELECT doc_id,

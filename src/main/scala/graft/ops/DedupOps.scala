@@ -183,6 +183,33 @@ object DedupOps {
       df, idCol, textCol, threshold)
   }
 
+  /** Test-set decontamination: drop corpus documents that share ANY
+    * word `shingleSize`-gram with the evaluation set — the standard
+    * n-gram overlap rule for keeping benchmarks out of training data
+    * (production uses n≈13; the mechanism is n-independent).
+    *
+    * Shape at scale: the eval set is tiny next to the corpus, so its
+    * distinct shingle hashes broadcast; the corpus side is then a
+    * map-side semi probe (no corpus shuffle) followed by a left-anti
+    * on the (small) contaminated-id set. Shingles compare by md5 —
+    * fixed-width join keys instead of arbitrary-length strings.
+    */
+  def decontaminate(
+      corpus: DataFrame, testSet: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 5): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame =
+      Parallelism.ensure(df.select(col(idCol).as("id"),
+          TextOps.tokens(col(textCol)).as("_t")))
+        .select(col("id"),
+          explode(TextOps.shinglesOfTokens(col("_t"), shingleSize)).as("s"))
+        .select(col("id"), md5(col("s")).as("h"))
+    val testShingles = broadcast(shingleHashes(testSet).select(col("h")).distinct())
+    val contaminated = shingleHashes(corpus)
+      .join(testShingles, "h")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Duplicate clusters from a near-dup pair list: connected
     * components with the component's minimum doc id as the cluster
     * id — the step that turns pairwise "A≈B" into "keep one canonical

@@ -242,6 +242,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(j.toSeq == Seq(1.0))
   }
 
+  test("decontaminate drops exactly the corpus docs sharing an n-gram with the test set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains test 5-gram
+      (2L, "one two three four five six seven"), // clean
+      (3L, "alpha beta gamma delta zeta different") // 5-gram differs at pos 5
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(corpus, test, "doc_id", "text", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // broadcast of the eval side is in the plan (no corpus shuffle for the probe)
+    val plan = DedupOps.decontaminate(corpus, test, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+  }
+
   test("repetitionStats flags repetitious text, not varied text") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"), // one token repeated
