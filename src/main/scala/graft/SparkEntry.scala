@@ -523,6 +523,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ----- layout: Z-order key (two-dimensional row-group pruning) -----
+    "q52_zorder" -> ((s, dir) => {
+      val minuteOfDay = (unix_micros(col("ts").cast("timestamp")) / 60000000L)
+        .cast("long") % 1440L
+      t(s, dir, "events")
+        .select(col("event_id"),
+          graft.ops.LayoutOps.zValue(col("user_id"), minuteOfDay, 16).as("z"))
+        .orderBy(col("event_id"))
+    }),
     // ----- LLM ops: test-set decontamination (any shared 5-gram) -----
     "q51_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -984,6 +993,13 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    "q52_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_aggregate(list_transform(range(16), i ->
+        |    ((user_id // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+        |    + (((epoch_us(ts) // 60000000) % 1440) // (1::BIGINT << i) % 2)
+        |      * (1::BIGINT << (2*i + 1))), 'sum') AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin,
     "q51_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

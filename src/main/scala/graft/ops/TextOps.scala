@@ -147,16 +147,20 @@ object TextOps {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = Parallelism.ensure(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("_t")))
-    val base = tok.select(col("id"),
+    val counts = tok.select(col("id"),
       size(col("_t")).as("_n_tokens"),
-      size(array_distinct(col("_t"))).as("_n_distinct"),
-      shinglesOfTokens(col("_t"), 2).as("_bg"))
-    val top = base.select(col("id"), explode(col("_bg")).as("b"))
+      size(array_distinct(col("_t"))).as("_n_distinct"))
+    // explode the shingle EXPRESSION, not a projected attribute:
+    // InferFiltersFromGenerate only infers its size(...)>0 filter for
+    // cheap (attribute) children, and that inferred filter pushes
+    // below the parallelism guard's exchange where it re-evaluates
+    // the whole shingle pipeline on the scan's partitioning
+    val top = tok.select(col("id"),
+        explode(shinglesOfTokens(col("_t"), 2)).as("b"))
       .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
       .agg(max(col("c")).as("_top_bigram"), sum(col("c")).as("_n_bigrams"))
-    base.select(col("id"), col("_n_tokens"), col("_n_distinct"))
-      .join(top, "id")
+    counts.join(top, "id")
       .select(col("id"),
         round(lit(1.0) - col("_n_distinct").cast("double") / col("_n_tokens"), 6)
           .as("dup_token_ratio"),
