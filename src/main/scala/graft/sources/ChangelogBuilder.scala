@@ -51,7 +51,7 @@ object ChangelogBuilder {
   def build(messages: Iterator[PgOutput.Message]): Iterator[Entry] =
     new ChangelogBuilder().push(messages)
 
-  private[sources] def micros2ts(unixMicros: Long): Timestamp = {
+  private[graft] def micros2ts(unixMicros: Long): Timestamp = {
     val ts = new Timestamp(Math.floorDiv(unixMicros, 1000000L) * 1000L)
     ts.setNanos((Math.floorMod(unixMicros, 1000000L) * 1000L).toInt)
     ts

@@ -1,0 +1,210 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{ColumnSpec, Envelope, Operation, TableSchema}
+import graft.sources.{ChangelogBuilder, PgOutput, TextDecode}
+
+/** Distributed frame decode — the scale path for the CDC core.
+  *
+  * [[FrameStreamPipeline]] decodes every frame on the driver because
+  * the relation cache and transaction framing are ordered state; that
+  * caps throughput at one core no matter the cluster. This decoder
+  * splits the stream by frame KIND instead:
+  *
+  *  - control frames (Begin/Commit/Relation/Origin/Type — one per
+  *    transaction or schema change, a vanishing fraction of the log)
+  *    still fold on the driver, in position order, into (a) a
+  *    versioned relation registry and (b) the batch's transaction
+  *    table [(beginPos, commitLsn, commitTs, seqOffset)];
+  *  - row frames (Insert/Update/Delete — the volume) decode in
+  *    EXECUTORS against broadcasts of those two tables: a row's
+  *    transaction is the last Begin at-or-before its position, its
+  *    schema the last Relation version at-or-before its position.
+  *
+  * Per-transaction sequence numbers come from `row_number()` over
+  * (transaction, position) — one shuffle on the transaction id — plus
+  * the carried offset for a transaction left open by the previous
+  * micro-batch. Output rows use the [[GenericPlane]] text-map
+  * envelope; results are verified equal to the ordered
+  * [[ChangelogBuilder]] path (DistributedDecodeSpec), including
+  * schema changes mid-stream and transactions spanning batches.
+  */
+final class DistributedDecode {
+  import DistributedDecode._
+
+  // driver state, position-ordered like ChangelogBuilder's
+  private val relVersions =
+    scala.collection.mutable.Map.empty[Long, Vector[(Long, TableSchema)]]
+  private val fingerprints = scala.collection.mutable.Map.empty[Long, String]
+  private var openTxn: Option[TxnState] = None
+  // last Begin's commit time — ChangelogBuilder keeps it past Commit
+  // and stamps between-transaction schema entries with it
+  private var lastTs: Timestamp = new Timestamp(0)
+
+  /** Known schema by qualified name (latest version). */
+  def schemaOf(qualified: String): Option[TableSchema] =
+    relVersions.values.flatMap(_.lastOption).map(_._2)
+      .find(_.ref.qualified == qualified)
+
+  /** Decode one micro-batch of (position, frame) rows.
+    * @return schema entries (in order) + the decoded modifications as
+    *         a GenericPlane-shaped DataFrame
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame)
+      : (Seq[ChangelogBuilder.SchemaEntry], DataFrame) = {
+    // ---- driver pass: control frames only (B/C/R/O/Y lead bytes)
+    val ctl = batch
+      .where(substring(col("frame"), 1, 1)
+        .isin(ControlBytes.map(b => Array(b): Array[Byte]): _*))
+      .orderBy("position")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("frame")))
+
+    val carried = openTxn // txn left open by the previous batch
+    val schemas = Vector.newBuilder[ChangelogBuilder.SchemaEntry]
+    val txns = Vector.newBuilder[TxnState]
+    ctl.foreach { case (pos, bytes) =>
+      PgOutput.decode(bytes) match {
+        case PgOutput.Begin(finalLsn, tsMicros, _) =>
+          val t = TxnState(pos, finalLsn,
+            ChangelogBuilder.micros2ts(PgOutput.toUnixMicros(tsMicros)), 0L)
+          txns += t
+          openTxn = Some(t)
+          lastTs = t.ts
+        case _: PgOutput.Commit =>
+          openTxn = None
+        case r: PgOutput.Relation =>
+          val schema = TableSchema(r.id, r.namespace, r.name,
+            r.columns.map(c => ColumnSpec(c.name, c.typeOid.toInt, c.key, c.modifier)))
+          relVersions(r.id) =
+            relVersions.getOrElse(r.id, Vector.empty) :+ (pos, schema)
+          if (!fingerprints.get(r.id).contains(schema.fingerprint)) {
+            fingerprints(r.id) = schema.fingerprint
+            schemas += ChangelogBuilder.SchemaEntry(
+              lastTs, openTxn.map(_.lsn), schema)
+          }
+        case _ => // Origin / Type: no-op
+      }
+    }
+    val txnTable: Vector[TxnState] =
+      (carried.toVector ++ txns.result()).sortBy(_.beginPos)
+
+    // ---- executor pass: row frames against broadcast tables
+    val sc = spark.sparkContext
+    val bTxns = sc.broadcast(txnTable.map(t => (t.beginPos, t.lsn, t.ts, t.seqOffset)))
+    val bRels = sc.broadcast(relVersions.view.mapValues(_.toArray).toMap)
+
+    import spark.implicits._
+    val rows = batch
+      .where(substring(col("frame"), 1, 1)
+        .isin(RowBytes.map(b => Array(b): Array[Byte]): _*))
+      .select(col("position").cast("long"), col("frame"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (pos, bytes) =>
+          val txnIdx = floorIndex(bTxns.value.map(_._1), pos)
+          require(txnIdx >= 0, s"row frame at $pos before any Begin")
+          val (beginPos, lsn, ts, _) = bTxns.value(txnIdx)
+          def relOf(id: Long): TableSchema = {
+            val versions = bRels.value.getOrElse(id,
+              throw ChangelogBuilder.UnknownRelationException(id))
+            val vi = floorIndex(versions.map(_._1), pos)
+            versions(if (vi < 0) 0 else vi)._2
+          }
+          PgOutput.decode(bytes) match {
+            case PgOutput.Insert(relId, tuple) =>
+              val rel = relOf(relId)
+              DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                null, textify(rel, tuple))
+            case PgOutput.Update(relId, _, oldT, newT) =>
+              val rel = relOf(relId)
+              DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                oldT.map(textify(rel, _)).orNull, textify(rel, newT))
+            case PgOutput.Delete(relId, _, oldT) =>
+              val rel = relOf(relId)
+              DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                textify(rel, oldT), null)
+            case other =>
+              throw new IllegalStateException(s"unexpected row frame: $other")
+          }
+        }
+      }
+
+    val offsetDf = txnTable.map(t => (t.beginPos, t.seqOffset))
+      .toDF("_begin", "_off")
+    val seqW = Window.partitionBy(col("beginPos")).orderBy(col("pos"))
+    val out = rows.toDF()
+      .join(broadcast(offsetDf), col("beginPos") === col("_begin"))
+      .withColumn(Envelope.SequenceCol,
+        row_number().over(seqW).cast("long") + col("_off"))
+      .withColumn(Envelope.OperationCol,
+        when(col("before").isNull, Operation.Insert)
+          .when(col("after").isNull, Operation.Delete)
+          .otherwise(Operation.Update))
+      .select(col("namespace"), col("name"),
+        col("ts").as(Envelope.TimestampCol),
+        col("lsn").as(Envelope.LsnCol),
+        col(Envelope.SequenceCol),
+        col(Envelope.OperationCol),
+        col("before").as(Envelope.BeforeCol),
+        col("after").as(Envelope.AfterCol))
+
+    // carry the open transaction's row count into the next batch —
+    // counted from frame lead bytes (all row frames past the last
+    // Begin belong to it), so the decode path is not re-executed
+    openTxn.foreach { t =>
+      val n = batch.where(
+        substring(col("frame"), 1, 1)
+          .isin(RowBytes.map(b => Array(b): Array[Byte]): _*) &&
+          col("position") > t.beginPos).count()
+      openTxn = Some(t.copy(seqOffset = t.seqOffset + n))
+    }
+    (schemas.result(), out)
+  }
+}
+
+object DistributedDecode {
+
+  private val ControlBytes: Seq[Byte] =
+    Seq('B', 'C', 'R', 'O', 'Y').map(_.toByte)
+  private val RowBytes: Seq[Byte] = Seq('I', 'U', 'D').map(_.toByte)
+
+  private final case class TxnState(
+      beginPos: Long, lsn: Long, ts: Timestamp, seqOffset: Long)
+
+  /** Decoded row pre-sequencing (executor-side shape). */
+  final case class DecodedRow(
+      namespace: String, name: String, ts: Timestamp, lsn: Long,
+      beginPos: Long, pos: Long,
+      before: Map[String, String], after: Map[String, String])
+
+  /** Largest index i with keys(i) <= target, -1 if none. */
+  private def floorIndex(keys: IndexedSeq[Long], target: Long): Int = {
+    var lo = 0; var hi = keys.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (keys(mid) <= target) { res = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    res
+  }
+
+  /** Typed decode then text render — the same value rendering as
+    * GenericPlane.toGeneric over the driver path, so the two decode
+    * paths are directly comparable. Unchanged-TOAST cells are
+    * omitted like ChangelogBuilder.marshal omits them. */
+  private def textify(
+      rel: TableSchema, tuple: PgOutput.TupleData): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    rel.columns.zip(tuple.elements).foreach { case (colSpec, cell) =>
+      if (!cell.isNull && !cell.isUnchangedToast) {
+        val v = TextDecode.decode(colSpec.pgOid, cell.text.get)
+        if (v != null) out += colSpec.name -> v.toString
+      }
+    }
+    out.result()
+  }
+}
