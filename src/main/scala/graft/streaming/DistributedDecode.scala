@@ -169,6 +169,44 @@ final class DistributedDecode {
 
 object DistributedDecode {
 
+  /** The distributed counterpart of [[FrameStreamPipeline.start]]:
+    * frame source → distributed decode → generic-plane raw append →
+    * ack. One streaming query; each flush epoch appends the decoded
+    * modifications to the partitioned raw table and confirms the
+    * batch's max LSN (append-only + latest-row view keeps replays
+    * harmless, so confirming after the append preserves the
+    * at-least-once contract).
+    */
+  def start(
+      spark: SparkSession,
+      frameDir: String,
+      planeRoot: String,
+      watermark: CdcPipeline.AckWatermark,
+      checkpoint: String,
+      flushInterval: String = "5 seconds")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val decoder = new DistributedDecode
+    spark.readStream
+      .format("graft.sources.PgOutputFrameSource")
+      .option("path", frameDir)
+      .load()
+      .writeStream
+      .queryName(s"cdc-frames-distributed($frameDir)")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(flushInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (_, mods) = decoder.processBatch(spark, batch)
+        val staged = mods.localCheckpoint(true) // decode once: append + max-lsn
+        if (staged.count() > 0) {
+          GenericPlane.append(staged, planeRoot)
+          val maxLsn = staged.agg(max(col(Envelope.LsnCol))).collect()(0)
+          if (!maxLsn.isNullAt(0)) watermark.confirm(maxLsn.getLong(0))
+        }
+        ()
+      }
+      .start()
+  }
+
   private val ControlBytes: Seq[Byte] =
     Seq('B', 'C', 'R', 'O', 'Y').map(_.toByte)
   private val RowBytes: Seq[Byte] = Seq('I', 'U', 'D').map(_.toByte)

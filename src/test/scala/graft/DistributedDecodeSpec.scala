@@ -85,6 +85,27 @@ class DistributedDecodeSpec extends AnyFunSuite {
     assert(canon(r1 ++ out2.collect().toSeq) == canon(driverRows))
   }
 
+  test("distributed streaming pipeline: frames -> generic plane -> ack") {
+    import java.nio.file.Files
+    def tmp() = Files.createTempDirectory("graft-ddq").toString
+    val dir = tmp(); val ckpt = tmp(); val plane = tmp()
+    graft.sources.PgOutputFrameLog.append(dir, "seg-000", frames)
+    val watermark = new graft.streaming.CdcPipeline.AckWatermark
+    val q = DistributedDecode.start(spark, dir, plane, watermark, ckpt,
+      flushInterval = "1 seconds")
+    try q.processAllAvailable() finally q.stop()
+
+    assert(watermark.position.contains(2000L)) // txn 2's commit lsn
+    val raw = GenericPlane.raw(spark, plane)
+    assert(raw.count() == 6) // 3 + 3 modifications across both txns
+    // latest state of dogs out of the generic plane, typed
+    val dogs = GenericPlane.latestRows(spark, plane, "public", "dogs",
+        Seq("id"), Map("id" -> org.apache.spark.sql.types.LongType,
+          "name" -> org.apache.spark.sql.types.StringType))
+      .select($"id", $"name").as[(Long, Option[String])].collect().toMap
+    assert(dogs == Map(1L -> None, 2L -> Some("fido"), 3L -> None))
+  }
+
   test("row frames decode in executors, not on the driver") {
     val d = new DistributedDecode
     val batch = frames.zipWithIndex.map { case (f, i) => (i.toLong, f) }
