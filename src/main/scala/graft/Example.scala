@@ -63,6 +63,16 @@ object Example {
     Thread.sleep(500) // listener events are async
     println(s"query stats: ${listener.statsOf(s"cdc-frames($frameDir)")}")
 
+    // 2b. the same frame log through the DISTRIBUTED decode pipeline
+    // (control frames on the driver, row frames in executors) into the
+    // generic text-map plane
+    val ddWatermark = new graft.streaming.CdcPipeline.AckWatermark
+    val ddQuery = graft.streaming.DistributedDecode.start(
+      spark, frameDir, s"$out/ddplane", ddWatermark, s"$out/ddckpt", "1 seconds")
+    try ddQuery.processAllAvailable() finally ddQuery.stop()
+    val ddRows = graft.streaming.GenericPlane.raw(spark, s"$out/ddplane").count()
+    println(s"distributed decode: $ddRows generic rows, ack ${ddWatermark.position}")
+
     // 3. the latest-row view: merge-on-read current state
     sink.registerViews(table)
     spark.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey").show()
