@@ -87,6 +87,15 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) == 0, "brute-force top-k needs no exchange")
   }
 
+  test("six-table join (Q5 shape): hash joins only, dims broadcast") {
+    val df = SparkEntry.queries("q53_local_supplier_volume")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("BroadcastNestedLoop") && !s.contains("CartesianProduct"),
+      s"join degraded to nested loop:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"nation/region must broadcast:\n$s")
+  }
+
   test("kmv sketch: partial-aggregates map-side, one hash shuffle") {
     val df = graft.ops.SketchOps.kmvDistinct(
       ImportSource.table(spark, sf, "events"), "event_type", "user_id", 64)
