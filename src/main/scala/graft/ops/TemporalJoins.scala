@@ -66,6 +66,40 @@ object TemporalJoins {
         rightPayload.map(c => col("_match").getField(c).as(c)): _*)
   }
 
+  /** Broadcast as-of join — same semantics as [[asOfJoin]], zero
+    * shuffle on the left side. Use when the right side is
+    * dimension-sized (quote history, config versions): its rows
+    * collapse to one sorted history array per key, that table
+    * broadcasts, and each left row picks its match with a map-side
+    * array scan — the fact side streams straight from the scan, no
+    * exchange, no sort.
+    *
+    * Per-row cost is O(|history of the key|) (HOF filter over the
+    * array); the union+window [[asOfJoin]] stays the right choice
+    * when both sides are large.
+    */
+  def asOfJoinBroadcast(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "asOfJoinBroadcast needs a right payload")
+    val leftCols = left.columns.toSeq
+    // sort_array orders by struct field order: (_ts, payload...) — so
+    // the last qualifying element is the latest, ties resolving to
+    // the greatest payload exactly like asOfJoin's window order
+    val hist = right.groupBy(col(rightKey).as("_k"))
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("_ts") +: rightPayload.map(col): _*))).as("_hist"))
+    val matched = filter(col("_hist"), e => e.getField("_ts") <= col(leftTs))
+    val m = when(size(col("_hist")) > 0 && size(matched) > 0,
+      element_at(matched, -1))
+    left.join(broadcast(hist), col(leftKey) === col("_k"), "left")
+      .withColumn("_m", m)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("_m").getField(c).as(c)): _*)
+  }
+
   /** Keyed range join: all pairs (l, r) with matching keys and
     * `r.ts` in `(l.ts, l.ts + width]` — "right events following a
     * left event within `width` seconds".

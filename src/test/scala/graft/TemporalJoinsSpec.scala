@@ -68,6 +68,32 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"as-of must compile join-free:\n$plan")
   }
 
+  test("asOfJoinBroadcast equals asOfJoin and never shuffles the left side") {
+    val viaWindow = TemporalJoins.asOfJoin(trades, quotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])].collect().toMap
+    val viaBroadcast = TemporalJoins.asOfJoinBroadcast(trades, quotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])].collect().toMap
+    assert(viaBroadcast == viaWindow)
+    // tie-break parity with the window formulation
+    val dupQuotes = quotes.unionByName(
+      Seq(("A", ts("2024-01-01 10:00:05"), 150.0)).toDF("q_sym", "q_ts", "price"))
+    val tie = TemporalJoins.asOfJoinBroadcast(trades, dupQuotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .where($"trade_id" === 2L).select($"price").as[Double].collect()
+    assert(tie.toSeq == Seq(150.0))
+    // plan: broadcast join only — no hash/range exchange on the fact side
+    val plan = TemporalJoins.asOfJoinBroadcast(trades, quotes,
+      "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // the only hash exchange is the dim side's groupBy; the fact side
+    // streams from its scan unshuffled
+    val hashExchanges = "Exchange hash".r.findAllIn(plan).size
+    assert(hashExchanges <= 1, s"fact side must not shuffle:\n$plan")
+  }
+
   test("bandedRangeJoin finds exactly the pairs inside (ts, ts+width]") {
     val e = Seq(
       (1L, "u1", ts("2024-01-01 10:00:00")),
