@@ -589,6 +589,31 @@ object SparkEntry {
           dense_rank().over(w).as("drank"))
         .orderBy(col("c_custkey"))
     }),
+    // ----- temporal: the broadcast as-of variant against the same
+    // independent oracle as q40 (DuckDB ASOF) -----
+    "q58_asof_broadcast" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      TemporalJoins.asOfJoinBroadcast(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- packing: the chunk manifest (chunk -> documents it draws
+    // from) a training loader actually consumes -----
+    "q59_chunk_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.PackOps.chunkAssignments(
+          docs, "doc_id", TextOps.tokenCount(col("text")), chunkTokens = 512L)
+        .where(col("n_chunks") > 0)
+        .select(col("doc_id"), explode(sequence(col("chunk_id"),
+          col("chunk_id") + col("n_chunks") - 1)).as("chunk"))
+        .orderBy(col("chunk"), col("doc_id"))
+    }),
     // ----- layout: Z-order key (two-dimensional row-group pruning) -----
     "q52_zorder" -> ((s, dir) => {
       val minuteOfDay = (unix_micros(col("ts").cast("timestamp")) / 60000000L)
@@ -1059,6 +1084,31 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    "q58_asof_broadcast" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q59_chunk_manifest" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |a AS (SELECT doc_id,
+        |    CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+        |    CASE WHEN n_tok = 0 THEN 0
+        |      ELSE CAST(floor((cum - 1) / 512.0) AS BIGINT)
+        |         - CAST(floor((cum - n_tok) / 512.0) AS BIGINT) + 1 END AS n_chunks
+        |  FROM p)
+        |SELECT doc_id, unnest(range(chunk_id, chunk_id + n_chunks)) AS chunk
+        |FROM a WHERE n_chunks > 0
+        |ORDER BY chunk, doc_id""".stripMargin,
     "q55_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
