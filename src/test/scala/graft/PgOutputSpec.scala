@@ -108,4 +108,22 @@ class PgOutputSpec extends AnyFunSuite {
   }
 
   private def rel2msg: Relation = rel
+
+  test("decoder fails fast on truncated frames — no hangs, no garbage rows") {
+    val valid: Seq[Array[Byte]] = Seq(
+      encodeBegin(Begin(9L, 1L, 2L)),
+      encodeCommit(Commit(0, 9L, 10L, 1L)),
+      encodeRelation(rel),
+      encodeInsert(Insert(rel.id, TupleData(Seq(
+        Element('t'.toByte, Some("1".getBytes("UTF-8"))),
+        Element('n'.toByte, None))))))
+    valid.foreach { f =>
+      // every strict prefix must throw (underflow/parse), never return
+      (1 until f.length).foreach { n =>
+        intercept[Exception](decode(f.take(n)))
+      }
+      // and the full frame still decodes
+      decode(f)
+    }
+  }
 }
