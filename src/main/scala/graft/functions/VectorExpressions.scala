@@ -184,9 +184,22 @@ object VectorExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
 
+  /** A SQL function built from a Column-level composition: the
+    * builder converts the call's argument expressions to Columns,
+    * applies the library op, and hands the composed expression tree
+    * back to the analyzer — the same mechanism Spark's own
+    * `RuntimeReplaceable` sugar uses. */
+  private def composed(name: String, usage: String)(
+      f: Seq[Column] => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage),
+      (es: Seq[Expression]) => org.apache.spark.sql.graftbridge.Bridge.expression(
+        f(es.map(org.apache.spark.sql.graftbridge.Bridge.column))))
+
   /** Function descriptors for SparkSessionExtensions.injectFunction /
-    * FunctionRegistry, exposing the expressions to SQL as
-    * `vector_dot(a, b)` and `vector_cosine(a, b)`.
+    * FunctionRegistry: the native expressions as `vector_dot` /
+    * `vector_cosine`, plus SQL spellings of the composite library
+    * ops, so a pure-SQL user reaches them without the Scala API.
     */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
@@ -194,5 +207,21 @@ object VectorExpressions {
       (es: Seq[Expression]) => VectorDot(es(0), es(1))),
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float/double arrays"),
-      (es: Seq[Expression]) => VectorCosine(es(0), es(1))))
+      (es: Seq[Expression]) => VectorCosine(es(0), es(1))),
+    composed("graft_hash_unit",
+      "graft_hash_unit(id) - deterministic uniform [0,1) hash of an id (sampling threshold)") {
+      es => graft.ops.SampleOps.hashUnit(es(0))
+    },
+    composed("graft_zvalue",
+      "graft_zvalue(x, y) - 16-bit Morton/Z-order interleave for two-dimensional layout") {
+      es => graft.ops.LayoutOps.zValue(es(0), es(1), 16)
+    },
+    composed("graft_jaccard",
+      "graft_jaccard(a, b) - token-set Jaccard similarity of two text columns") {
+      es => graft.ops.DedupOps.jaccard(es(0), es(1))
+    },
+    composed("graft_simhash",
+      "graft_simhash(text) - 32-bit SimHash of a text column") {
+      es => graft.ops.DedupOps.simhash(es(0))
+    })
 }

@@ -64,6 +64,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
   }
 
+  test("composite library ops are SQL-callable: hash_unit, zvalue, jaccard, simhash") {
+    GraftSparkExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_hash_unit(42) AS h,
+        |  graft_zvalue(3, 5) AS z,
+        |  graft_jaccard('a b c', 'b c d') AS j,
+        |  graft_simhash('hello world') AS s""".stripMargin).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0)
+    assert(graft.ops.LayoutOps.unZValue(r.getLong(1), 16) == ((3L, 5L)))
+    assert(r.getDouble(2) == 0.5) // |{b,c}| / |{a,b,c,d}|
+    // same value as the Column API
+    val viaApi = Seq("hello world").toDF("t")
+      .select(graft.ops.DedupOps.simhash(col("t"))).head().getLong(0)
+    assert(r.getLong(3) == viaApi)
+  }
+
   test("VectorFoldRewrite replaces the fold dot with the native expression") {
     GraftSparkExtensions.register(spark)
     // parquet-backed input so nothing constant-folds away pre-rule
