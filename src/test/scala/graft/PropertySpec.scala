@@ -143,6 +143,33 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("bandedRangeJoin equals the brute-force interval filter (random series)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val genRow = for {
+      key <- Gen.chooseNum(1L, 3L)
+      ts <- Gen.chooseNum(0L, 600L) // seconds, several band widths
+    } yield (key, ts)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(14, genRow)) { rows0 =>
+      val rows = rows0.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000L)) }
+      val l = rows.toDF("a_id", "user_id", "ts")
+      val r = rows.map { case (i, k, t) => (i, k, t) }
+        .toDF("b_id", "b_user", "b_ts")
+      val got = graft.ops.TemporalJoins
+        .bandedRangeJoin(l, r, "user_id", "b_user", "ts", "b_ts", 120L)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ai, ak, at) <- rows; (bi, bk, bt) <- rows
+        if ak == bk && bt.getTime > at.getTime &&
+          bt.getTime <= at.getTime + 120000L
+      } yield (ai, bi)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("schema fingerprint: permutation-invariant, content-sensitive") {
     import graft.model.{ColumnSpec, TableSchema}
     val genCol = for {
