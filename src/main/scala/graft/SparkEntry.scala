@@ -614,6 +614,13 @@ object SparkEntry {
           col("chunk_id") + col("n_chunks") - 1)).as("chunk"))
         .orderBy(col("chunk"), col("doc_id"))
     }),
+    // ----- feature engineering: per-group z-score standardization
+    // (decimal-exact group statistics, broadcast join back) -----
+    "q60_zscore" -> ((s, dir) => {
+      graft.ops.StatsOps.zscore(t(s, dir, "events"), "event_type", col("value"))
+        .select(col("event_id"), col("event_type"), round(col("zscore"), 6).as("zscore"))
+        .orderBy(col("event_id"))
+    }),
     // ----- layout: Z-order key (two-dimensional row-group pruning) -----
     "q52_zorder" -> ((s, dir) => {
       val minuteOfDay = (unix_micros(col("ts").cast("timestamp")) / 60000000L)
@@ -1084,6 +1091,18 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    "q60_zscore" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, sm / n AS mean,
+        |    sqrt((sq / n) - (sm / n) * (sm / n)) AS std FROM s)
+        |SELECT event_id, e.event_type,
+        |  round(CASE WHEN std = 0 OR isnan(std) THEN 0.0
+        |    ELSE (value - mean) / std END, 6) AS zscore
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |ORDER BY event_id""".stripMargin,
     "q58_asof_broadcast" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value

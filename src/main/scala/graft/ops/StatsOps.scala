@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Feature-statistics operators for training pipelines. */
+object StatsOps {
+
+  /** Per-group z-score standardization: z = (x − mean) / stddev with
+    * population variance, appended as `zscore`.
+    *
+    * The group statistics accumulate in DECIMAL (sum and sum of
+    * squares), not double: decimal addition is exact and
+    * order-independent, so partial aggregation across any
+    * partitioning yields bit-identical statistics — the same recipe
+    * as the oracle-checked revenue sums. The only floating-point
+    * steps are the final divisions, identical IEEE operations in any
+    * engine. Zero-variance groups get zscore 0.
+    *
+    * One aggregation (map-side partial) + one broadcast join back —
+    * group cardinality is the broadcast bound, not data size.
+    */
+  def zscore(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(valueCol.cast(DecimalType(28, 8))).cast(DoubleType).as("_sum"),
+        sum((valueCol * valueCol).cast(DecimalType(28, 8))).cast(DoubleType).as("_sumsq"))
+      .select(col(groupCol),
+        (col("_sum") / col("_n")).as("_mean"),
+        sqrt((col("_sumsq") / col("_n")) -
+          (col("_sum") / col("_n")) * (col("_sum") / col("_n"))).as("_std"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("zscore",
+        when(col("_std") === 0.0 || col("_std").isNaN, 0.0)
+          .otherwise((valueCol.cast("double") - col("_mean")) / col("_std")))
+      .drop("_mean", "_std")
+  }
+}

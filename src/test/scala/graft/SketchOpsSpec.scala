@@ -38,6 +38,26 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(one == many, "merge must be order/partitioning-insensitive")
   }
 
+  test("zscore standardizes per group; zero-variance groups get 0") {
+    import graft.ops.StatsOps
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 7.0), ("b", 5L, 7.0) // constant group
+    ).toDF("g", "id", "v")
+    val out = StatsOps.zscore(df, "g", $"v")
+      .select($"id", $"zscore").as[(Long, Double)].collect().toMap
+    // group a: mean 20, population std = sqrt(200/3)
+    val std = math.sqrt(200.0 / 3.0)
+    assert(math.abs(out(1L) - (-10.0 / std)) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) - (10.0 / std)) < 1e-12)
+    assert(out(4L) == 0.0 && out(5L) == 0.0)
+    // standardized group: mean 0, population variance 1
+    val zs = Seq(out(1L), out(2L), out(3L))
+    assert(math.abs(zs.sum / 3) < 1e-12)
+    assert(math.abs(zs.map(z => z * z).sum / 3 - 1.0) < 1e-12)
+  }
+
   test("weightedSample keeps heavier rows at proportionally higher rates") {
     val df = (1L to 4000L).toDF("id").withColumn("w",
       when($"id" % 2 === 0, 300.0).otherwise(30.0))
