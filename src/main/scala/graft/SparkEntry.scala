@@ -621,6 +621,18 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("zscore"), 6).as("zscore"))
         .orderBy(col("event_id"))
     }),
+    // ----- feature engineering: engine-exact per-group correlation -----
+    "q61_corr" -> ((s, dir) => {
+      graft.ops.StatsOps.pearson(t(s, dir, "lineitem"), "l_returnflag",
+          col("l_quantity"), col("l_extendedprice"))
+        .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // ----- LLM ops: corpus vocabulary (top-k tokens) -----
+    "q62_vocab" -> ((s, dir) => {
+      TextOps.vocabulary(t(s, dir, "documents"), "text", 20)
+        .orderBy(col("rank"))
+    }),
     // ----- layout: Z-order key (two-dimensional row-group pruning) -----
     "q52_zorder" -> ((s, dir) => {
       val minuteOfDay = (unix_micros(col("ts").cast("timestamp")) / 60000000L)
@@ -1091,6 +1103,26 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    "q61_corr" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q62_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+        |r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM c)
+        |SELECT token, n, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q60_zscore" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sm,

@@ -7,6 +7,30 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** Feature-statistics operators for training pipelines. */
 object StatsOps {
 
+  /** Per-group Pearson correlation of two columns, by the same
+    * decimal-exact-sums recipe as [[zscore]]: the five sufficient
+    * statistics (n, Σx, Σy, Σx², Σy², Σxy) accumulate exactly and
+    * order-independently; the closed-form correlation is then a fixed
+    * sequence of IEEE operations, reproducible in any engine (unlike
+    * built-in `corr`, whose double accumulation is partitioning-
+    * dependent). */
+  def pearson(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val d = DecimalType(28, 8)
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("_n"),
+        sum(x.cast(d)).cast(DoubleType).as("_sx"),
+        sum(y.cast(d)).cast(DoubleType).as("_sy"),
+        sum((x * x).cast(d)).cast(DoubleType).as("_sxx"),
+        sum((y * y).cast(d)).cast(DoubleType).as("_syy"),
+        sum((x * y).cast(d)).cast(DoubleType).as("_sxy"))
+      .select(col(groupCol),
+        ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+            sqrt(col("_n") * col("_syy") - col("_sy") * col("_sy"))))
+          .as("corr"))
+  }
+
   /** Per-group z-score standardization: z = (x − mean) / stddev with
     * population variance, appended as `zscore`.
     *

@@ -168,6 +168,24 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with their
+    * counts and ranks — the tokenizer-vocabulary step of a training
+    * pipeline. Explode + count is one map-side-combined shuffle on
+    * the token; the global top-k is a TakeOrdered over the (already
+    * aggregated, vocabulary-sized) counts, never a full sort of the
+    * corpus. Deterministic tie-break: count desc, token asc. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = Parallelism.ensure(
+        df.select(tokens(col(textCol)).as("_t")))
+      .select(explode(col("_t")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))))
+  }
+
   /** Exact content fingerprint over normalized text (whitespace
     * collapsed, lowercased). */
   def normalizedFingerprint(text: Column): Column =
