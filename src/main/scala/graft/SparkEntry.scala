@@ -1124,7 +1124,7 @@ object SparkEntry {
         |  FROM c)
         |SELECT token, n, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q60_zscore" ->
-      """WITH s AS (SELECT event_type, count(*) AS n,
+      """WITH s AS (SELECT event_type, count(value) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sm,
         |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
         |  FROM events GROUP BY event_type),

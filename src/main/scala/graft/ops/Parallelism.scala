@@ -24,6 +24,9 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
 
   def ensure(df: DataFrame): DataFrame = {
+    // streaming frames have no static partitioning to inspect (and
+    // micro-batch sizing governs their parallelism) — pass through
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // getNumPartitions forces physical planning of the (batch) frame;
     // cheap relative to the compute this guard protects.

@@ -29,7 +29,11 @@ object SketchOps {
   def kmvDistinct(
       df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
     val kmins = udaf(new KMinValuesAggregator(k))
+    // drop null values BEFORE the typed aggregator: its primitive
+    // Double encoder would silently read null as 0.0, injecting a
+    // phantom minimal hash into the sketch
     df.select(col(groupCol), SampleOps.hashUnit(col(valueCol)).as("_h"))
+      .where(col("_h").isNotNull)
       .groupBy(col(groupCol))
       .agg(kmins(col("_h")).as("_mins"))
       .select(col(groupCol),

@@ -16,7 +16,9 @@ object StatsOps {
     * dependent). */
   def pearson(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
     val d = DecimalType(28, 8)
-    df.groupBy(col(groupCol))
+    // pairwise deletion: a row contributes only when both are present
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
       .agg(
         count(lit(1)).cast(DoubleType).as("_n"),
         sum(x.cast(d)).cast(DoubleType).as("_sx"),
@@ -48,7 +50,7 @@ object StatsOps {
   def zscore(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
     val stats = df.groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("_n"),
+        count(valueCol).as("_n"), // non-null count, consistent with the null-skipping sums
         sum(valueCol.cast(DecimalType(28, 8))).cast(DoubleType).as("_sum"),
         sum((valueCol * valueCol).cast(DecimalType(28, 8))).cast(DoubleType).as("_sumsq"))
       .select(col(groupCol),

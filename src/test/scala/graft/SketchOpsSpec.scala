@@ -20,6 +20,16 @@ class SketchOpsSpec extends AnyFunSuite {
       s"estimate ${got("big")} too far from 5000")
   }
 
+  test("kmvDistinct ignores null values (no phantom 0.0 hash)") {
+    val withNulls = (1L to 100L).map(i => ("g", Some(i)))
+      .appendedAll(Seq(("g", None), ("g", None)))
+      .toDF("g", "v")
+    val without = (1L to 100L).map(i => ("g", i)).toDF("g", "v")
+    val a = SketchOps.kmvDistinct(withNulls, "g", "v", 32).as[(String, Double)].head()._2
+    val b = SketchOps.kmvDistinct(without, "g", "v", 32).as[(String, Double)].head()._2
+    assert(a == b)
+  }
+
   test("kmvDistinct ignores duplicates (cardinality, not count)") {
     val dup = (1L to 100L).flatMap(i => Seq(("g", i), ("g", i), ("g", i)))
       .toDF("g", "v")
