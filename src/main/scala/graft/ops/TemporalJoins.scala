@@ -91,9 +91,11 @@ object TemporalJoins {
     val hist = right.groupBy(col(rightKey).as("_k"))
       .agg(sort_array(collect_list(struct(
         col(rightTs).as("_ts") +: rightPayload.map(col): _*))).as("_hist"))
-    val matched = filter(col("_hist"), e => e.getField("_ts") <= col(leftTs))
-    val m = when(size(col("_hist")) > 0 && size(matched) > 0,
-      element_at(matched, -1))
+    // try_element_at: null on the empty array instead of an ANSI
+    // error, and the history filter evaluates once per row (a
+    // size()-guard would inline and re-run it)
+    val m = try_element_at(
+      filter(col("_hist"), e => e.getField("_ts") <= col(leftTs)), lit(-1))
     left.join(broadcast(hist), col(leftKey) === col("_k"), "left")
       .withColumn("_m", m)
       .select(leftCols.map(col) ++

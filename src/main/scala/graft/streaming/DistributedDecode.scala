@@ -105,14 +105,21 @@ final class DistributedDecode {
       .select(col("position").cast("long"), col("frame"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // hoist the broadcast lookups' key arrays out of the per-row
+        // loop: at volume, a fresh allocation per row is the decode
+        // loop's dominant garbage
+        val txnTableLocal = bTxns.value
+        val beginKeys: IndexedSeq[Long] = txnTableLocal.map(_._1)
+        val relKeys: Map[Long, (Array[Long], Array[(Long, TableSchema)])] =
+          bRels.value.view.mapValues(vs => (vs.map(_._1), vs)).toMap
         it.map { case (pos, bytes) =>
-          val txnIdx = floorIndex(bTxns.value.map(_._1), pos)
+          val txnIdx = floorIndex(beginKeys, pos)
           require(txnIdx >= 0, s"row frame at $pos before any Begin")
-          val (beginPos, lsn, ts, _) = bTxns.value(txnIdx)
+          val (beginPos, lsn, ts, _) = txnTableLocal(txnIdx)
           def relOf(id: Long): TableSchema = {
-            val versions = bRels.value.getOrElse(id,
+            val (keys, versions) = relKeys.getOrElse(id,
               throw ChangelogBuilder.UnknownRelationException(id))
-            val vi = floorIndex(versions.map(_._1), pos)
+            val vi = floorIndex(scala.collection.immutable.ArraySeq.unsafeWrapArray(keys), pos)
             versions(if (vi < 0) 0 else vi)._2
           }
           PgOutput.decode(bytes) match {
