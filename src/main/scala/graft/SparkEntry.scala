@@ -661,6 +661,73 @@ object SparkEntry {
         .select(col("doc_id"), col("start_offset"), col("chunk_id"), col("n_chunks"))
         .orderBy(col("doc_id"))
     }),
+    // ----- IR: per-document top TF-IDF terms -----
+    "q63_tfidf" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    // ----- IR: BM25 ranking for a fixed bag-of-terms query -----
+    "q64_bm25" -> ((s, dir) => {
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "shuffle", "partition"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+    // ----- §2.4 breadth: CUBE (all grouping-set combinations) -----
+    "q65_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+    // ----- stats: fixed-bound histogram via width_bucket -----
+    "q66_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(width_bucket(col("value"), lit(0.0), lit(500.0), lit(25))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+    // ----- §2.7 breadth: INTERSECT / EXCEPT as explicit operators -----
+    "q67_setops" -> ((s, dir) => {
+      val custN = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val suppN = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      custN.intersect(suppN).withColumn("op", lit("both"))
+        .unionByName(custN.except(suppN).withColumn("op", lit("cust_only")))
+        .orderBy(col("op"), col("nationkey"))
+    }),
+    // ----- IR: inverted index (token -> posting list) -----
+    "q68_inverted_index" -> ((s, dir) => {
+      TextOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("token"))
+    }),
+    // ----- scale: bloom-prefiltered join (result equals plain join) -----
+    "q69_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.SketchOps.bloomPrefilterJoin(li, urgent,
+          "l_orderkey", "o_orderkey", numBits = 1 << 17, numHashes = 5)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // ----- §2.8 breadth: edit distance over the source vocabulary -----
+    "q70_edit_distance" -> ((s, dir) => {
+      val srcs = t(s, dir, "documents").select(col("source")).distinct()
+      val a = srcs.select(col("source").as("src_a"))
+      val b = srcs.select(col("source").as("src_b"))
+      a.crossJoin(b).where(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          levenshtein(col("src_a"), col("src_b")).as("dist"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -1254,5 +1321,87 @@ object SparkEntry {
         |       WHEN after_img IS NULL THEN 'DELETE'
         |       ELSE 'UPDATE' END AS operation
         |FROM o ORDER BY o_orderkey""".stripMargin,
+    "q63_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |idf AS (SELECT token, ln((1.0 + n_docs) / (1.0 + count(*))) + 1.0 AS idf
+        |  FROM tf CROSS JOIN n GROUP BY token, n_docs),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, tf.tf * idf.idf AS raw,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * idf.idf DESC, tf.token) AS rank
+        |  FROM tf JOIN idf USING (token))
+        |SELECT doc_id, token, tf, round(raw, 6) AS score, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q64_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+        |      END AS dl,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)
+        |  WHERE token IN ('join', 'shuffle', 'partition')
+        |  GROUP BY doc_id, dl, token),
+        |idf AS (SELECT token,
+        |    ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        |  FROM tf CROSS JOIN s GROUP BY token, n_docs),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |    idf.idf * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 *
+        |      (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+        |  FROM tf JOIN idf USING (token) CROSS JOIN s)
+        |SELECT doc_id,
+        |  round(list_aggregate(list(w ORDER BY token), 'sum'), 6) AS score
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q65_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q66_histogram" ->
+      """WITH b AS (SELECT CASE WHEN value < 0 THEN 0
+        |    WHEN value >= 500.0 THEN 26
+        |    ELSE CAST(floor(value / ((500.0 - 0.0) / 25)) AS BIGINT) + 1
+        |    END AS bucket
+        |  FROM events)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    "q67_setops" ->
+      """SELECT nationkey, 'both' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q68_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |d AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> '')
+        |SELECT token, count(*) AS df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:1000], ',') AS postings
+        |FROM d GROUP BY token ORDER BY token""".stripMargin,
+    "q69_bloom_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q70_edit_distance" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  levenshtein(a.source, b.source) AS dist
+        |FROM s a, s b WHERE a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
   )
 }

@@ -41,4 +41,56 @@ object SketchOps {
           .otherwise(lit((k - 1).toDouble) / element_at(col("_mins"), k))
           .as("approx_distinct"))
   }
+
+  /** Builds the bit-packed Bloom filter of `dim(keyCol)` — one tiny
+    * driver row of numBits/64 longs (see [[graft.functions
+    * .BloomFilterAggregator]] for the merge shape).
+    */
+  def bloomFilterOf(dim: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): Array[Long] = {
+    val spark = dim.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.BloomFilterAggregator(numBits, numHashes)
+    dim.select(xxhash64(col(keyCol)).as("h")).as[Long]
+      .select(agg.toColumn).head()
+  }
+
+  /** Pure-column Bloom membership probe: recomputes the aggregator's
+    * double-hash bit positions from `xxhash64(key)` and tests each in
+    * the broadcast bitset literal with `getbit` — all built-in
+    * expressions, so the probe stays inside whole-stage codegen on
+    * the scan.
+    */
+  def bloomMightContain(words: Array[Long], numHashes: Int,
+      keyHash: Column): Column = {
+    val numBits = words.length * 64
+    val wordsLit = typedLit(words.toSeq)
+    val h2 = shiftrightunsigned(keyHash, 32).bitwiseOR(lit(1L))
+    (0 until numHashes).map { i =>
+      val pos = pmod(keyHash + lit(i.toLong) * h2, lit(numBits.toLong))
+      call_function("getbit",
+        element_at(wordsLit, shiftright(pos, 6).cast("int") + 1),
+        pos.bitwiseAND(lit(63L)).cast("int")) === 1
+    }.reduce(_ && _)
+  }
+
+  /** Equi-join with a Bloom-filter pre-filter on the fact side — the
+    * manual twin of Spark's runtime bloom-filter join pruning, for
+    * when the build side is too big to broadcast but its KEY SET
+    * sketches into kilobytes.
+    *
+    * The filter drops non-matching fact rows at the scan, BEFORE the
+    * join shuffle — at 100 TB that is the difference between
+    * shuffling the whole fact table and shuffling only the ~matching
+    * slice (plus the false-positive tail). False positives are
+    * harmless: the real join still decides membership exactly, so the
+    * result is identical to the plain join.
+    */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val words = bloomFilterOf(dim, dimKey, numBits, numHashes)
+    fact.where(bloomMightContain(words, numHashes, xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -190,4 +190,100 @@ object TextOps {
     * collapsed, lowercased). */
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-document top-k TF-IDF terms: (id, token, tf, score, rank).
+    *
+    * Shape at scale: one (id, token) shuffle builds term counts, one
+    * token-keyed shuffle builds document frequencies; the resulting
+    * idf table is vocabulary-sized (orders of magnitude smaller than
+    * the corpus) so AQE broadcasts the join back. Top-k per document
+    * is a doc-keyed window with k tiny, so per-group state is
+    * bounded. idf uses the smoothed form ln((1+N)/(1+df)) + 1 — every
+    * score is a pure double function of exact integer counts, hence
+    * engine-reproducible.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = Parallelism.ensure(
+        df.select(col(idCol), tokens(col(textCol)).as("_t")))
+      .select(col(idCol), explode(col("_t")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // N as a 1-row broadcast so the whole computation stays one
+    // declarative plan (no driver-side count action)
+    val nDocs = df.groupBy().agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0)
+          .as("idf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy((col("tf") * col("idf")).desc, col("token"))
+    tf.join(idf, "token")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"),
+        round(col("tf") * col("idf"), 6).as("score"), col("rank"))
+  }
+
+  /** BM25 document ranking for a fixed bag-of-terms query.
+    *
+    * Okapi BM25 with Lucene's non-negative idf
+    * ln(1 + (N - df + 0.5)/(df + 0.5)). The corpus-level inputs
+    * (N, avgdl, per-term df) are scalars / |query|-sized — both
+    * broadcast — so the only shuffle over the corpus is the
+    * (id, token) term count, and the probe side never moves. The
+    * per-document sum folds contributions in token order
+    * (sort_array + aggregate) so the double result is deterministic
+    * under any partitioning.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("double").as("dl"),
+      tokens(col(textCol)).as("_t"))
+    val stats = docs.groupBy().agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = Parallelism.ensure(docs)
+      .select(col(idCol), col("dl"), explode(col("_t")).as("token"))
+      .where(col("token").isin(query: _*))
+      .groupBy(col(idCol), col("dl"), col("token")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("avgdl"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"))
+    tf.join(broadcast(idf), "token")
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"))
+      .select(col(idCol),
+        round(aggregate(col("_ws"), lit(0.0),
+          (acc, x) => acc + x.getField("w")), 6).as("score"))
+  }
+
+  /** Inverted index: token -> (df, comma-joined sorted posting list).
+    *
+    * One (id, token) distinct shuffle then a token-keyed aggregation.
+    * Posting lists are capped at `maxPostings` ids (taken from the
+    * sorted list, i.e. the smallest ids) — at corpus scale a stopword's
+    * postings would otherwise be the whole corpus; a production index
+    * would swap the collect for a bounded typed aggregator (see
+    * TopKAggregator) but the cap keeps per-group state from dominating
+    * executor memory either way.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 1000): DataFrame =
+    Parallelism.ensure(
+        df.select(col(idCol), tokens(col(textCol)).as("_t")))
+      .select(col(idCol), explode(col("_t")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("_n"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col(idCol))), 1, maxPostings))
+          .as("postings"))
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{SketchOps, TextOps}
+
+/** TF-IDF / BM25 / inverted-index / bloom-prefilter operators. */
+class IrOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle join"),
+    (2L, "spark spark spark"),
+    (3L, "join join broadcast"),
+    (4L, "watermark")).toDF("doc_id", "text")
+
+  test("tfidfTopTerms hand-computed scores and ranks") {
+    val got = TextOps.tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Double, Int)].collect()
+    def idf(df: Int) = math.log(5.0 / (1.0 + df)) + 1.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: tf(spark)=3, df(spark)=2
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, "spark", 3L, r6(3 * idf(2)), 1)))
+    // doc 1: all tf=1; join/spark df=2 tie broken by token, shuffle df=1 ranks first
+    val d1 = got.filter(_._1 == 1L).toSeq
+    assert(d1 == Seq(
+      (1L, "shuffle", 1L, r6(idf(1)), 1),
+      (1L, "join", 1L, r6(idf(2)), 2)))
+  }
+
+  test("bm25 ranks query-term-dense short docs first; scores hand-checked") {
+    val got = TextOps.bm25(corpus, "doc_id", "text", Seq("spark", "join"))
+      .as[(Long, Double)].collect().toMap
+    // doc 4 has no query terms: absent
+    assert(got.keySet == Set(1L, 2L, 3L))
+    val avgdl = (3 + 3 + 3 + 1) / 4.0
+    def idf(df: Int) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Double, df: Int) =
+      idf(df) * (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val exp1 = BigDecimal(w(1, 3.0, 2) + w(1, 3.0, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L) - exp1) < 1e-9, s"got ${got(1L)} want $exp1")
+    // doc 1 covers both query terms; saturation keeps doc 3's
+    // repeated single term below it (coverage beats repetition)
+    assert(got(1L) > got(3L) && got(2L) > 0.0 && got(3L) > 0.0)
+  }
+
+  test("invertedIndex postings are sorted, distinct, capped") {
+    val got = TextOps.invertedIndex(corpus, "doc_id", "text")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("spark") == ((2L, "1,2")), "df counts docs, not occurrences")
+    assert(got("join") == ((2L, "1,3")))
+    assert(got("watermark") == ((1L, "4")))
+    val capped = TextOps.invertedIndex(corpus, "doc_id", "text", maxPostings = 1)
+      .where(col("token") === "join").as[(String, Long, String)].head()
+    assert(capped == (("join", 2L, "1")), "cap keeps smallest ids, df unchanged")
+  }
+
+  test("bloom filter has no false negatives and prunes most non-keys") {
+    val dim = (1L to 500L).map(_ * 7L).toDF("k")
+    val words = SketchOps.bloomFilterOf(dim, "k", numBits = 1 << 14, numHashes = 5)
+    val probe = (1L to 20000L).toDF("x")
+      .where(SketchOps.bloomMightContain(words, 5, xxhash64(col("x"))))
+      .as[Long].collect().toSet
+    val truth = (1L to 500L).map(_ * 7L).toSet
+    assert(truth.subsetOf(probe), "bloom must never drop a real key")
+    val fp = (probe -- truth).size.toDouble / (20000 - truth.size)
+    assert(fp < 0.05, s"false-positive rate $fp too high for 16k bits / 500 keys")
+  }
+
+  test("bloomPrefilterJoin equals the plain join") {
+    val fact = (1L to 3000L).map(i => (i % 40L, i)).toDF("fk", "payload")
+    val dim = Seq(3L, 7L, 11L).toDF("dk")
+    val got = SketchOps.bloomPrefilterJoin(fact, dim, "fk", "dk",
+        numBits = 1 << 10, numHashes = 4)
+      .select("fk", "payload", "dk")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "dk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+}
