@@ -1338,11 +1338,10 @@ object SparkEntry {
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q64_bm25" ->
       """WITH d AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-        |      ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
-        |      END AS dl,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+        |      AS dl,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
+        |  FROM documents WHERE length(trim(text)) > 0),
         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
         |tf AS (SELECT doc_id, dl, token, count(*) AS tf
         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)

@@ -22,6 +22,8 @@ object TimeQuery {
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warmup
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

@@ -175,9 +175,8 @@ object TextOps {
     * aggregated, vocabulary-sized) counts, never a full sort of the
     * corpus. Deterministic tie-break: count desc, token asc. */
   def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val counts = Parallelism.ensure(
-        df.select(tokens(col(textCol)).as("_t")))
-      .select(explode(col("_t")).as("token"))
+    val counts = Parallelism.ensure(df.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     counts.orderBy(col("n").desc, col("token")).limit(k)
@@ -204,23 +203,33 @@ object TextOps {
     */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = Parallelism.ensure(
-        df.select(col(idCol), tokens(col(textCol)).as("_t")))
-      .select(col(idCol), explode(col("_t")).as("token"))
+    // explode the EXPRESSION, not a projected alias of it:
+    // InferFiltersFromGenerate only infers size()>0 for attribute
+    // children, and that inferred filter would drag the tokenize
+    // below the parallelism repartition onto the raw scan's (often
+    // single) partition
+    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // N as a 1-row broadcast so the whole computation stays one
     // declarative plan (no driver-side count action)
     val nDocs = df.groupBy().agg(count(lit(1)).as("n_docs"))
-    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("token"),
-        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0)
-          .as("idf"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // document frequency as a token-partitioned window COUNT over the
+    // tf rows (distinct per (id, token)) rather than a second
+    // aggregate + join back: a join formulation makes the optimizer
+    // specialize the two consumers of tf into *different* subplans
+    // (count-distinct vs count) and the whole tokenize+shuffle runs
+    // twice — measured 2× on the single-pass shape
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy((col("tf") * col("idf")).desc, col("token"))
-    tf.join(idf, "token")
-      .withColumn("rank", row_number().over(w))
+    tf.withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0)
+      .withColumn("rank", row_number().over(wDoc))
       .where(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"),
         round(col("tf") * col("idf"), 6).as("score"), col("rank"))
@@ -239,21 +248,30 @@ object TextOps {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val docs = df.select(col(idCol),
-      tokenCount(col(textCol)).cast("double").as("dl"),
-      tokens(col(textCol)).as("_t"))
-    val stats = docs.groupBy().agg(
-      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = Parallelism.ensure(docs)
-      .select(col(idCol), col("dl"), explode(col("_t")).as("token"))
+    // Single tokenize pass: per-(id, token) counts are the only
+    // corpus-sized shuffle. Document length dl is the per-doc window
+    // SUM of tf, document frequency df the per-token window COUNT —
+    // both derived from the same tf rows, so the two consumers share
+    // one exchange (a join formulation would re-tokenize; see
+    // tfidfTopTerms). Documents are those with at least one token —
+    // the oracle filters length(trim(text)) > 0 identically.
+    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("double").as("_dl"))
+      .groupBy().agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("_dl")).as("avgdl"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    tf.withColumn("dl", sum(col("tf")).over(wDoc).cast("double"))
       .where(col("token").isin(query: _*))
-      .groupBy(col(idCol), col("dl"), col("token")).agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(wTok))
       .crossJoin(broadcast(stats))
-      .select(col("token"), col("avgdl"),
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-          .as("idf"))
-    tf.join(broadcast(idf), "token")
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) *
           (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
@@ -276,9 +294,8 @@ object TextOps {
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxPostings: Int = 1000): DataFrame =
-    Parallelism.ensure(
-        df.select(col(idCol), tokens(col(textCol)).as("_t")))
-      .select(col(idCol), explode(col("_t")).as("token"))
+    Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("_n"))
       .groupBy(col("token"))
