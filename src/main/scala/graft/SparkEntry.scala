@@ -718,6 +718,12 @@ object SparkEntry {
             .cast(DoubleType).as("qty"))
         .orderBy(col("o_orderkey"))
     }),
+    // ----- LLM ops: perplexity-style quality score (mean unigram
+    // log-probability under the corpus's own unigram model) -----
+    "q71_unigram_logprob" -> ((s, dir) => {
+      TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // ----- §2.8 breadth: edit distance over the source vocabulary -----
     "q70_edit_distance" -> ((s, dir) => {
       val srcs = t(s, dir, "documents").select(col("source")).distinct()
@@ -1396,6 +1402,21 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q71_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |n AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+        |w AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |    tf.tf * ln(n.n / tot.total) AS w
+        |  FROM tf JOIN n USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(list_aggregate(list(w ORDER BY token), 'sum')
+        |    / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q70_edit_distance" ->
       """WITH s AS (SELECT DISTINCT source FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,

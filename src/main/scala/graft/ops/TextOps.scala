@@ -282,6 +282,40 @@ object TextOps {
           (acc, x) => acc + x.getField("w")), 6).as("score"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model — the cheap stand-in for perplexity filtering: a
+    * document of tokens the corpus rarely uses scores low, boilerplate
+    * scores high. Output: (id, n_tokens, avg_logprob); perplexity is
+    * exp(-avg_logprob), monotone in the score, so thresholding on the
+    * log-domain value avoids a second engine-dependent exp().
+    *
+    * Same single-pass shape as [[bm25]]: one (id, token) count
+    * shuffle; corpus token frequency is a token-partitioned window
+    * SUM and the grand total a 1-row broadcast. The per-document mean
+    * folds tf-weighted contributions in sorted token order, so the
+    * double is partitioning-invariant (and engine-reproducible).
+    */
+  def unigramLogProb(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val total = tf.groupBy().agg(sum(col("tf")).cast("double").as("total"))
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    tf.withColumn("n", sum(col("tf")).over(wTok))
+      .crossJoin(broadcast(total))
+      .withColumn("w", col("tf") * log(col("n") / col("total")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(aggregate(col("_ws"), lit(0.0),
+          (a, x) => a + x.getField("w")) / col("n_tokens"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Inverted index: token -> (df, comma-joined sorted posting list).
     *
     * One (id, token) distinct shuffle then a token-keyed aggregation.

@@ -49,6 +49,19 @@ class IrOpsSpec extends AnyFunSuite {
     assert(got(1L) > got(3L) && got(2L) > 0.0 && got(3L) > 0.0)
   }
 
+  test("unigramLogProb hand-computed corpus model scores") {
+    val tiny = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(tiny, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // corpus: a x3, b x2, total 5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (2 * math.log(3 / 5.0) + 1 * math.log(2 / 5.0)) / 3
+    val d2 = (1 * math.log(3 / 5.0) + 1 * math.log(2 / 5.0)) / 2
+    assert(got.toSeq == Seq((1L, 3L, r6(d1)), (2L, 2L, r6(d2))))
+    // rarer vocabulary -> lower mean log-prob (the filtering signal)
+    assert(got(1)._3 < got(0)._3)
+  }
+
   test("invertedIndex postings are sorted, distinct, capped") {
     val got = TextOps.invertedIndex(corpus, "doc_id", "text")
       .as[(String, Long, String)].collect()
