@@ -724,6 +724,38 @@ object SparkEntry {
       TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // ----- §2.3 breadth: FULL OUTER join of two aggregates over
+    // partially overlapping key domains -----
+    "q72_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val co = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      ev.join(co, ev("user_id") === co("o_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("o_custkey")).as("key"),
+          col("n_events"), col("n_orders"))
+        .orderBy(col("key"))
+    }),
+    // ----- SQL surface: correlated EXISTS subquery (TPC-H Q4 shape),
+    // parsed and decorrelated by Catalyst from SQL text -----
+    "q73_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+    // ----- SQL surface: correlated scalar subquery (TPC-H Q17 shape) -----
+    "q74_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
+    }),
     // ----- §2.8 breadth: edit distance over the source vocabulary -----
     "q70_edit_distance" -> ((s, dir) => {
       val srcs = t(s, dir, "documents").select(col("source")).distinct()
@@ -1417,6 +1449,26 @@ object SparkEntry {
         |  round(list_aggregate(list(w ORDER BY token), 'sum')
         |    / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q72_full_outer" ->
+      """WITH ev AS (SELECT user_id, count(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |co AS (SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(user_id, o_custkey) AS key, n_events, n_orders
+        |FROM ev FULL OUTER JOIN co ON user_id = o_custkey
+        |ORDER BY key""".stripMargin,
+    "q73_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q74_scalar_subquery" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
     "q70_edit_distance" ->
       """WITH s AS (SELECT DISTINCT source FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,
