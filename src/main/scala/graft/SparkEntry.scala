@@ -756,6 +756,40 @@ object SparkEntry {
         WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")
     }),
+    // ----- §2.4 breadth: GROUPING SETS with grouping() markers -----
+    "q75_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+          grouping(o_orderstatus) AS g_status,
+          grouping(o_orderpriority) AS g_prio, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST""")
+    }),
+    // ----- stats: equi-depth deciles via ntile. Global-order window —
+    // fine on a dimension-sized input; at fact scale the same output
+    // comes from approx quantile boundaries + a bucket join -----
+    "q76_deciles" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("decile"))
+    }),
+    // ----- §2.8 breadth: calendar bucketing (year/month extraction) -----
+    "q77_monthly" -> ((s, dir) => {
+      val ts = col("o_orderdate").cast("timestamp")
+      t(s, dir, "orders")
+        .groupBy(year(ts).as("yr"), month(ts).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("yr"), col("mo"))
+    }),
     // ----- §2.8 breadth: edit distance over the source vocabulary -----
     "q70_edit_distance" -> ((s, dir) => {
       val srcs = t(s, dir, "documents").select(col("source")).distinct()
@@ -1469,6 +1503,26 @@ object SparkEntry {
         |FROM lineitem l
         |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
         |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q75_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q76_deciles" ->
+      """WITH d AS (SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT decile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q77_monthly" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |  EXTRACT(MONTH FROM o_orderdate) AS mo, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
     "q70_edit_distance" ->
       """WITH s AS (SELECT DISTINCT source FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,
