@@ -37,6 +37,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bloom filter: no false negatives under any partitioning of the build set") {
+    val genKeys = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check("bloom-nfn", Prop.forAll(
+        genKeys, Gen.oneOf(64, 256, 4096), Gen.chooseNum(1, 8)) {
+      (hashes, bits, k) =>
+        val agg = new graft.functions.BloomFilterAggregator(bits, k)
+        // arbitrary split into two partials merged back — the map-side
+        // partial-aggregation shape
+        val (l, r) = hashes.splitAt(hashes.length / 2)
+        val words = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce))
+        // JVM mirror of SketchOps.bloomMightContain's column arithmetic
+        def mightContain(h: Long): Boolean = {
+          val h2 = (h >>> 32) | 1L
+          (0 until k).forall { i =>
+            val pos =
+              java.lang.Math.floorMod(h + i.toLong * h2, bits.toLong).toInt
+            (words(pos >> 6) & (1L << (pos & 63))) != 0L
+          }
+        }
+        hashes.forall(mightContain)
+    })
+  }
+
   test("backoff is monotonic in error count and capped") {
     def backoff(n: Int) = math.min(3600.0, 5.0 * math.pow(3.0, n.toDouble))
     check("monotone-capped",
