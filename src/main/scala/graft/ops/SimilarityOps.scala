@@ -246,4 +246,40 @@ object SimilarityOps {
         round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Materialises the SRP bucket as a PARTITION COLUMN of the
+    * embedding store — the physical scale path for ANN: a probe's
+    * bucket predicate then prunes directories before a single vector
+    * byte is read, turning each query from a corpus scan into a
+    * 1/2^planes slice (times probe width). Bucket assignment is the
+    * same pure column expression the in-memory path uses, so the
+    * layout and the query can never disagree.
+    */
+  def writeSrpPartitioned(embeddings: DataFrame, idCol: String,
+      vecCol: String, planes: Int, dims: Int, path: String): Unit =
+    embeddings.select(col(idCol), col(vecCol),
+        srpBucket(col(vecCol), planes, dims).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** ANN top-k against an SRP-partitioned store written by
+    * [[writeSrpPartitioned]]: same probed-bucket semantics as
+    * [[annTopK]], but the bucket filter hits partition pruning
+    * (PartitionFilters in the scan) instead of a full read.
+    */
+  def annTopKPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int = 8,
+      probe: Int = 1): DataFrame = {
+    val q = lit(query.toArray)
+    val qBucket = srpBucketOf(query, planes)
+    val probed: Seq[Long] =
+      if (probe <= 0) Seq(qBucket)
+      else qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probed: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

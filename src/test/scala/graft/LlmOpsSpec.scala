@@ -92,6 +92,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("SRP-partitioned ANN store: pruned read equals in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("srp_store").toString
+    val query = embeddings.where($"vec_id" === 7)
+      .select($"embedding").collect()(0).getSeq[Float](0)
+    SimilarityOps.writeSrpPartitioned(
+      embeddings, "vec_id", "embedding", planes = 4, dims = query.length, dir)
+    val stored = SimilarityOps.annTopKPartitioned(
+      spark, dir, "vec_id", "embedding", query, 10, planes = 4, probe = 1)
+    val mem = SimilarityOps.annTopK(
+      embeddings, "vec_id", "embedding", query, 10, planes = 4, probe = 1)
+    assert(stored.as[(Long, Double)].collect().toSeq ==
+      mem.as[(Long, Double)].collect().toSeq,
+      "partitioned store must answer identically to the in-memory path")
+    // the bucket predicate prunes DIRECTORIES: partition filters in
+    // the scan, not a post-scan filter over all vectors
+    val scan = stored.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [bucket"), scan)
+  }
+
   test("IVF top-k: probing nearest cells finds the query's own vector and real neighbors") {
     val all = embeddings.select($"vec_id", $"embedding")
       .as[(Long, Seq[Float])].collect().toMap
