@@ -137,6 +137,24 @@ object Example {
       Map("en" -> 0.25), default = 0.6).count()
     println(s"as-of matched clicks: $asOfMatched, pairs within 1h: $within1h, " +
       s"stratified sample: $sampled/${docs.count()}")
+
+    // 6. corpus analytics: TF-IDF key terms, a BM25 search, and a
+    // bloom-prefiltered join (the runtime-filter shape)
+    import graft.ops.{SketchOps, TextOps}
+    val topTerms = TextOps.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .where(col("doc_id") < 3).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("token")).collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}").mkString(" ")
+    val hits = TextOps.bm25(docs, "doc_id", "text", Seq("join", "shuffle"))
+      .orderBy(col("score").desc, col("doc_id")).limit(3)
+      .collect().map(_.getLong(0)).mkString(",")
+    val li = ImportSource.table(spark, sfDir, "lineitem")
+    val urgent = ImportSource.table(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloomJoined = SketchOps.bloomPrefilterJoin(
+      li, urgent, "l_orderkey", "o_orderkey", 1 << 14, 5).count()
+    println(s"tfidf key terms: $topTerms | bm25 top docs: $hits | " +
+      s"bloom-joined urgent lineitems: $bloomJoined")
     spark.stop()
   }
 }
