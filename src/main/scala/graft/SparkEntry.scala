@@ -790,6 +790,20 @@ object SparkEntry {
             .cast(DoubleType).as("total"))
         .orderBy(col("yr"), col("mo"))
     }),
+    // ----- skew: salted fact-dim join (result provably equals the
+    // plain join — the oracle IS the plain join) -----
+    "q78_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      ChangelogOps.saltedJoin(li, ords, "l_orderkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // ----- §2.8 breadth: edit distance over the source vocabulary -----
     "q70_edit_distance" -> ((s, dir) => {
       val srcs = t(s, dir, "documents").select(col("source")).distinct()
@@ -1523,6 +1537,11 @@ object SparkEntry {
         |  EXTRACT(MONTH FROM o_orderdate) AS mo, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+    "q78_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q70_edit_distance" ->
       """WITH s AS (SELECT DISTINCT source FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,

@@ -282,4 +282,32 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF twin of [[writeSrpPartitioned]]: the coarse-quantizer cell
+    * becomes the partition column, so a probe reads only its nprobe
+    * nearest cells' directories. Same literal-centroid assignment as
+    * the in-memory path — layout and query cannot disagree.
+    */
+  def writeIvfPartitioned(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Float]], path: String): Unit =
+    embeddings.select(col(idCol), col(vecCol),
+        ivfAssign(col(vecCol), centroids).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** IVF top-k against a cell-partitioned store written by
+    * [[writeIvfPartitioned]] — [[ivfTopK]] semantics, directory-pruned.
+    */
+  def ivfTopKPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      query: Seq[Float], centroids: Seq[Seq[Float]],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val probeCells = ivfCellOf(query, centroids).take(nprobe)
+    val q = lit(query.toArray)
+    spark.read.parquet(path)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

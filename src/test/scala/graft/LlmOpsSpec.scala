@@ -132,6 +132,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < centroids.size))
   }
 
+  test("IVF-partitioned store: pruned read equals in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val centroids = Seq(0L, 100L, 200L, 300L).map(all(_))
+    val query = all(42L)
+    SimilarityOps.writeIvfPartitioned(
+      embeddings, "vec_id", "embedding", centroids, dir)
+    val stored = SimilarityOps.ivfTopKPartitioned(
+      spark, dir, "vec_id", "embedding", query, centroids, 10, nprobe = 2)
+    val mem = SimilarityOps.ivfTopK(embeddings, "vec_id", "embedding",
+      query, centroids, 10, nprobe = 2)
+    assert(stored.as[(Long, Double)].collect().toSeq ==
+      mem.as[(Long, Double)].collect().toSeq)
+    val scan = stored.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [cell"), scan)
+  }
+
   test("bucketed neighbor pairs never cross buckets and are cosine-filtered") {
     val pairs = SimilarityOps.bucketedNeighborPairs(
       embeddings, "vec_id", "embedding", planes = 2, minCosine = 0.5)
