@@ -804,6 +804,19 @@ object SparkEntry {
             .cast(DoubleType).as("qty"))
         .orderBy(col("o_orderpriority"))
     }),
+    // ----- ML aggregation: per-label embedding centroids (k-means
+    // E-step) — elementwise DECIMAL sums so the float mean is exact
+    // and order-independent under any partitioning -----
+    "q79_label_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(
+          sum(col("v").cast(DecimalType(28, 8))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean"))
+        .where(col("pos") < 8)
+        .orderBy(col("label"), col("pos"))
+    }),
     // ----- §2.8 breadth: edit distance over the source vocabulary -----
     "q70_edit_distance" -> ((s, dir) => {
       val srcs = t(s, dir, "documents").select(col("source")).distinct()
@@ -1542,6 +1555,15 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q79_label_centroids" ->
+      """WITH e AS (SELECT label, embedding,
+        |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |x AS (SELECT label, pos, embedding[pos + 1] AS v FROM e)
+        |SELECT label, pos,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE)
+        |    / count(*), 6) AS mean
+        |FROM x WHERE pos < 8
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q70_edit_distance" ->
       """WITH s AS (SELECT DISTINCT source FROM documents)
         |SELECT a.source AS src_a, b.source AS src_b,
