@@ -116,4 +116,21 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(df) == 1,
       s"window dedup must shuffle exactly once:\n${planString(df)}")
   }
+
+  test("bloom prefilter: getbit probe filters the fact scan before the join") {
+    val li = ImportSource.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val urgent = ImportSource.table(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val joined = SketchOps.bloomPrefilterJoin(
+      li, urgent, "l_orderkey", "o_orderkey", 1 << 12, 4)
+    val s = planString(joined)
+    val filterAt = s.indexOf("getbit")
+    val joinAt = math.max(s.indexOf("Join"), s.indexOf("join"))
+    assert(filterAt >= 0, s"bloom probe missing from plan:\n$s")
+    // executed plans print top-down: the probe filter must sit BELOW
+    // the join operator (appear after it in the string)
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"bloom probe must be below the join, on the scan side:\n$s")
+  }
 }
