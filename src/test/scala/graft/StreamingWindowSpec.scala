@@ -52,6 +52,28 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join matches the batch join (dim broadcast per batch)") {
+    val src = Files.createTempDirectory("graft-ss").toString
+    val ev = ImportSource.table(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    ev.write.parquet(s"$src/batch0")
+    // static dimension: the per-user event-type vocabulary size
+    val dim = ImportSource.table(spark, sf, "customer")
+      .select($"c_custkey".as("user_id"), $"c_nationkey")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$src/*")
+      .join(dim, Seq("user_id"))
+      .select($"event_id", $"c_nationkey")
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("ss_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_out")
+      .as[(Long, Long)].collect().toSet
+    val batch = ev.join(dim, Seq("user_id"))
+      .select($"event_id", $"c_nationkey")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     // clicks joined to purchases of the same user within the next hour,
     // both sides streaming with watermarks — the streaming twin of
