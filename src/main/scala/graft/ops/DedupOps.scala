@@ -94,15 +94,19 @@ object DedupOps {
     */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rows: Int = 4, shingleSize: Int = 3): DataFrame = {
+      bands: Int = 4, rows: Int = 4, shingleSize: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, bands * rows, shingleSize)
     val buckets = sigs.select(col("id"),
       explode(lshBandHashes(col("sig"), bands, rows)).as("bucket"))
     // pairs via grouped combination generation, NOT a self-join: one
     // aggregation instead of re-computing the signature subplan for
-    // both join sides. Bucket membership lists are small by
-    // construction (hot buckets = boilerplate; cap upstream if needed).
-    pairsWithinGroups(buckets, col("bucket"), col("id")).distinct()
+    // both join sides. maxBucket > 0 drops hotter buckets outright —
+    // boilerplate-heavy corpora put thousands of docs in one bucket,
+    // and a bucket of n docs emits n(n-1)/2 pairs; "too common to be
+    // a meaningful near-dup signal" is the standard LSH escape hatch
+    // and bounds both pair blowup and per-group collect state.
+    pairsWithinGroups(buckets, col("bucket"), col("id"), maxBucket).distinct()
   }
 
   /** Unordered id pairs within each group: group, collect the sorted
@@ -110,10 +114,12 @@ object DedupOps {
     * safe only because blocking keys bound group size by
     * construction; a pathological group would need capping upstream.
     */
-  private def pairsWithinGroups(df: DataFrame, groupCol: Column, idCol: Column): DataFrame =
+  private def pairsWithinGroups(df: DataFrame, groupCol: Column,
+      idCol: Column, maxGroup: Int = 0): DataFrame =
     df.groupBy(groupCol)
       .agg(sort_array(collect_set(idCol)).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 &&
+        (if (maxGroup > 0) size(col("ids")) <= maxGroup else lit(true)))
       .select(explode(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b"))))).as("ps"))

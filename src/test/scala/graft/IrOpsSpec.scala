@@ -74,6 +74,27 @@ class IrOpsSpec extends AnyFunSuite {
     assert(capped == (("join", 2L, "1")), "cap keeps smallest ids, df unchanged")
   }
 
+  test("LSH hot-bucket cap drops boilerplate buckets, keeps real pairs") {
+    import graft.ops.DedupOps
+    // 20 identical boilerplate docs (one giant bucket) + 2 real near-dups
+    val boiler = (100L to 119L).map(i => (i, "the same boilerplate text repeated here"))
+    val docs = (boiler ++ Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val capped = DedupOps.lshCandidatePairs(docs, "doc_id", "text",
+        maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 >= 100L),
+      "uncapped run must produce boilerplate pairs")
+    assert(capped.forall(p => p._1 < 100L && p._2 < 100L),
+      s"capped run must drop the hot bucket: $capped")
+    assert(capped == uncapped.filter(p => p._1 < 100L && p._2 < 100L),
+      "cap must not disturb pairs from small buckets")
+  }
+
   test("bloom filter has no false negatives and prunes most non-keys") {
     val dim = (1L to 500L).map(_ * 7L).toDF("k")
     val words = SketchOps.bloomFilterOf(dim, "k", numBits = 1 << 14, numHashes = 5)
