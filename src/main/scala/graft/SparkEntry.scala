@@ -827,6 +827,55 @@ object SparkEntry {
           levenshtein(col("src_a"), col("src_b")).as("dist"))
         .orderBy(col("src_a"), col("src_b"))
     }),
+    // ----- §2.5 depth: SCD Type-2 validity intervals from the
+    // changelog (the full-history twin of the latest-row view) -----
+    "q80_scd2" -> ((s, dir) => {
+      val cl = eventsChangelog(s, dir)
+        .withColumn(Envelope.SequenceCol, lit(null).cast(LongType))
+      ChangelogOps.scdHistory(cl, Seq(col("user_id")))
+        .select(col("user_id"), col(Envelope.LsnCol).as("lsn"),
+          col("valid_from"), col("valid_to"),
+          col("is_current").cast(IntegerType).as("is_current"), col("value"))
+        .orderBy(col("user_id"), col("lsn"))
+    }),
+    // ----- incremental view maintenance: grouped aggregate from
+    // state deltas equals recomputation over the latest rows (the
+    // oracle recomputes; the telescoping sum is the theorem) -----
+    "q81_delta_agg" -> ((s, dir) => {
+      val cl = eventsChangelog(s, dir)
+        .withColumn(Envelope.SequenceCol, lit(null).cast(LongType))
+      ChangelogOps.stateDeltas(cl, Seq(col("user_id")), col("value"))
+        .groupBy(pmod(col("user_id"), lit(50)).as("cohort"))
+        .agg(sum(col("delta_value")).cast(DoubleType).as("net_value"),
+          sum(col("delta_alive")).as("n_alive"))
+        .where(col("n_alive") > 0)
+        .orderBy(col("cohort"))
+    }),
+    // ----- LSN-continuity audit: gaps in a dense sequence, found
+    // without a single-partition window (bucketed lag + boundary
+    // pass); the filter manufactures the gaps -----
+    "q82_gap_detect" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("value") > 25)
+      ChangelogOps.gapDetect(ev, col("event_id"), bucket = 512L)
+        .orderBy(col("gap_after"))
+    }),
+    // ----- span-level exact dedup (line/paragraph dedup shape):
+    // repeated 4-word spans keep only their first corpus-wide
+    // occurrence; documents reassembled from surviving spans -----
+    "q83_span_dedup" -> ((s, dir) => {
+      TextOps.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanWords = 4)
+        .orderBy(col("doc_id"))
+    }),
+    // ----- §2.4 plan breadth: several DISTINCT aggregates in one
+    // GROUP BY (Catalyst plans this via Expand, one shuffle) -----
+    "q84_multi_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -1570,5 +1619,70 @@ object SparkEntry {
         |  levenshtein(a.source, b.source) AS dist
         |FROM s a, s b WHERE a.source < b.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "q80_scd2" ->
+      """WITH cl AS (
+        |  SELECT ts, event_id AS lsn, user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE'
+        |         WHEN event_type = 'signup' THEN 'INSERT'
+        |         ELSE 'UPDATE' END AS operation
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, lsn, value, operation, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, lsn) AS valid_to
+        |  FROM cl)
+        |SELECT user_id, lsn, valid_from, valid_to,
+        |  CAST(valid_to IS NULL AS INT) AS is_current, value
+        |FROM v WHERE operation <> 'DELETE'
+        |ORDER BY user_id, lsn""".stripMargin,
+    "q81_delta_agg" ->
+      """WITH cl AS (
+        |  SELECT ts, event_id AS lsn, user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE'
+        |         WHEN event_type = 'signup' THEN 'INSERT'
+        |         ELSE 'UPDATE' END AS operation
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, value, operation,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, lsn DESC) AS rn
+        |  FROM cl)
+        |SELECT user_id % 50 AS cohort,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS net_value,
+        |  count(*) AS n_alive
+        |FROM latest WHERE rn = 1 AND operation <> 'DELETE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q82_gap_detect" ->
+      """WITH f AS (SELECT event_id FROM events WHERE value > 25),
+        |l AS (SELECT event_id,
+        |  lag(event_id) OVER (ORDER BY event_id) AS prev FROM f)
+        |SELECT prev AS gap_after, event_id AS gap_before,
+        |  event_id - prev - 1 AS missing
+        |FROM l WHERE prev IS NOT NULL AND event_id - prev > 1
+        |ORDER BY gap_after""".stripMargin,
+    "q83_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, (i - 1) // 4 AS span,
+        |    string_agg(w, ' ' ORDER BY i) AS stext
+        |  FROM toks GROUP BY doc_id, (i - 1) // 4),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY stext
+        |    ORDER BY doc_id, span) AS rk
+        |  FROM spans)
+        |SELECT doc_id,
+        |  coalesce(string_agg(stext, ' ' ORDER BY span) FILTER (WHERE rk = 1), '') AS deduped_text,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q84_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -238,6 +238,102 @@ object ChangelogOps {
       .withColumn("rolling_n_range", count(valueCol).over(rangeW))
   }
 
+  /** SCD Type-2 history: every version of every key as a validity
+    * interval. `valid_from` is the version's commit timestamp,
+    * `valid_to` the next version's (NULL while current), `is_current`
+    * marks the open interval. A DELETE closes the previous version's
+    * interval but emits no row itself — the key simply has no current
+    * version afterwards.
+    *
+    * This is the warehouse-side "full history" twin of
+    * [[latestRowView]] (which keeps only the closing edge): the
+    * reference's append-only raw tables retain exactly the data
+    * needed for it (pkg/sinks/bigquery/schema_builders.go:146-161
+    * keeps the raw table precisely so views like this stay
+    * derivable).
+    *
+    * Scale: one shuffle on the PK, one ascending sort shared by the
+    * `lead` and the row filter. At 100 TB the raw table's `_date`
+    * partitioning bounds the window input exactly as for the latest
+    * view.
+    */
+  def scdHistory(changelog: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(Envelope.TimestampCol).asc, col(Envelope.LsnCol).asc_nulls_first,
+        col(Envelope.SequenceCol).asc_nulls_first)
+    changelog
+      .withColumn("valid_from", col(Envelope.TimestampCol))
+      .withColumn("valid_to", lead(col(Envelope.TimestampCol), 1).over(w))
+      .where(col(Envelope.OperationCol) =!= Operation.Delete)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Per-row state deltas for incremental view maintenance: for each
+    * changelog row, how much the key's live value and live row-count
+    * changed. Summing the deltas of any key's history telescopes to
+    * its final state, so `deltas.groupBy(g).agg(sum)` maintains a
+    * grouped aggregate WITHOUT recomputing over the latest-row view —
+    * the incremental-view-maintenance identity.
+    *
+    * `live` is the value while the key exists and 0 after a DELETE;
+    * deltas are computed against the previous version via `lag`.
+    * Values go through DECIMAL so delta sums are exact (float deltas
+    * would not telescope bit-for-bit).
+    *
+    * Scale: the window shuffle here exists only because this batch
+    * fixture must reconstruct before-images; on the wire the
+    * reference ships the old tuple alongside the new (REPLICA
+    * IDENTITY FULL, pkg/subscription/marshal.go:15-44), so each row's
+    * delta is computable row-locally and the maintained aggregate is
+    * ONE map-side-combinable shuffle on the group key — no per-key
+    * window at all. That is the 100 TB story: aggregate maintenance
+    * cost proportional to the delta stream, not the table.
+    */
+  def stateDeltas(changelog: DataFrame, keyCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(Envelope.TimestampCol).asc, col(Envelope.LsnCol).asc_nulls_first,
+        col(Envelope.SequenceCol).asc_nulls_first)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val live = when(col(Envelope.OperationCol) === Operation.Delete,
+      lit(0).cast(dec)).otherwise(valueCol.cast(dec))
+    val alive = when(col(Envelope.OperationCol) === Operation.Delete, 0L).otherwise(1L)
+    changelog
+      .withColumn("delta_value", live - coalesce(lag(live, 1).over(w), lit(0).cast(dec)))
+      .withColumn("delta_alive", alive - coalesce(lag(alive, 1).over(w), lit(0L)))
+  }
+
+  /** LSN-continuity check: find gaps in a dense sequence column —
+    * the "did we lose frames?" audit over an append-only changelog.
+    *
+    * A global `lag` would need a single-partition window; instead the
+    * sequence is bucketed by `floor(seq / bucket)`: in-bucket gaps
+    * come from a per-bucket `lag`, and cross-bucket gaps from
+    * comparing each bucket's min against the previous non-empty
+    * bucket's max (a second windowed pass over the per-bucket
+    * aggregate, which has seq/bucket rows — negligible). Both passes
+    * are fully parallel; nothing is collected to the driver.
+    *
+    * Returns one row per gap: (gap_after, gap_before, missing).
+    */
+  def gapDetect(df: DataFrame, seqCol: Column, bucket: Long = 100000L): DataFrame = {
+    val b = floor(seqCol / bucket)
+    val inBucket = Window.partitionBy(b).orderBy(seqCol)
+    val inner = df
+      .withColumn("_prev", lag(seqCol, 1).over(inBucket))
+      .where(col("_prev").isNotNull && seqCol - col("_prev") > 1)
+      .select(col("_prev").as("gap_after"), seqCol.as("gap_before"))
+    val byBucket = df.groupBy(b.as("_b"))
+      .agg(min(seqCol).as("_min"), max(seqCol).as("_max"))
+    val wB = Window.orderBy(col("_b"))
+    val boundary = byBucket
+      .withColumn("_prev_max", lag(col("_max"), 1).over(wB))
+      .where(col("_prev_max").isNotNull && col("_min") - col("_prev_max") > 1)
+      .select(col("_prev_max").as("gap_after"), col("_min").as("gap_before"))
+    inner.unionByName(boundary)
+      .withColumn("missing", col("gap_before") - col("gap_after") - 1)
+  }
+
   /** Import-job eligibility: not completed, not expired, and past the
     * backoff deadline (reference: pkg/imports/worker.go:174-184).
     */

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -337,4 +338,45 @@ object TextOps {
         concat_ws(",",
           slice(sort_array(collect_list(col(idCol))), 1, maxPostings))
           .as("postings"))
+
+  /** Span-level exact dedup (the line/paragraph dedup of CCNet and
+    * RefinedWeb, over fixed `spanWords`-word spans since the fixture
+    * corpus has no line structure): every repeated span keeps only
+    * its first occurrence corpus-wide — ordered by (doc, position) —
+    * and documents are reassembled from their surviving spans.
+    *
+    * Returns (id, deduped_text, n_spans, n_kept). Shuffle profile:
+    * explode → one shuffle on the span string for the first-occurrence
+    * window, one shuffle back on the doc id for reassembly — both
+    * unavoidable for a corpus-global answer, both AQE-coalesced. Span
+    * strings travel the exchange instead of full documents, so skew
+    * from one giant document cannot overload a reducer; a hot
+    * boilerplate span concentrates only (doc_id, pos) pairs, which
+    * are tiny.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 4): DataFrame = {
+    val id = col(idCol)
+    // (id, span_index, span_text), spans of exactly spanWords tokens
+    // (the tail span may be shorter)
+    val spans = Parallelism.ensure(df.select(id, col(textCol)))
+      .select(id, posexplode(tokens(col(textCol))).as(Seq("_i", "_w")))
+      .groupBy(id, (col("_i") / spanWords).cast("long").as("_span"))
+      .agg(concat_ws(" ",
+        sort_array(collect_list(struct(col("_i"), col("_w"))))
+          .getField("_w")).as("_text"))
+    val firstSeen = Window.partitionBy(col("_text"))
+      .orderBy(id.asc, col("_span").asc)
+    val kept = spans
+      .withColumn("_rank", row_number().over(firstSeen))
+      .withColumn("_keep", col("_rank") === 1)
+    kept.groupBy(id)
+      .agg(
+        concat_ws(" ",
+          sort_array(collect_list(
+            when(col("_keep"), struct(col("_span"), col("_text")))))
+            .getField("_text")).as("deduped_text"),
+        count(lit(1)).as("n_spans"),
+        sum(col("_keep").cast("long")).as("n_kept"))
+  }
 }

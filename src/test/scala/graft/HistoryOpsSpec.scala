@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Envelope, Operation}
+import graft.ops.{ChangelogOps, TextOps}
+
+/** SCD2 history, incremental-maintenance deltas, gap detection, and
+  * span dedup — the history/audit layer over the changelog.
+  */
+class HistoryOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** (key, t, lsn, op, value) rows as a changelog envelope. */
+  private def changelog(rows: (String, String, Long, String, Double)*) =
+    rows.toSeq
+      .toDF("k", "t", Envelope.LsnCol, Envelope.OperationCol, "value")
+      .withColumn(Envelope.TimestampCol, col("t").cast("timestamp"))
+      .withColumn(Envelope.SequenceCol, lit(null).cast("long"))
+      .drop("t")
+
+  private val cl = changelog(
+    ("k1", "2024-01-01 00:00:01", 1L, Operation.Insert, 10.0),
+    ("k1", "2024-01-01 00:00:02", 2L, Operation.Update, 15.0),
+    ("k1", "2024-01-01 00:00:03", 3L, Operation.Delete, 15.0),
+    ("k1", "2024-01-01 00:00:04", 4L, Operation.Update, 7.0),
+    ("k2", "2024-01-01 00:00:01", 5L, Operation.Insert, 3.0),
+    ("k2", "2024-01-01 00:00:05", 6L, Operation.Delete, 3.0),
+    ("k3", "2024-01-01 00:00:02", 7L, Operation.Insert, 5.0))
+
+  test("scdHistory emits validity intervals; DELETE closes but never appears") {
+    val hist = ChangelogOps.scdHistory(cl, Seq(col("k")))
+      .select("k", Envelope.LsnCol, "valid_from", "valid_to", "is_current")
+      .orderBy("k", Envelope.LsnCol)
+      .collect()
+    assert(hist.toSeq == Seq(
+      Row("k1", 1L, ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:02"), false),
+      // the DELETE at t3 closes this interval even though it emits no row
+      Row("k1", 2L, ts("2024-01-01 00:00:02"), ts("2024-01-01 00:00:03"), false),
+      Row("k1", 4L, ts("2024-01-01 00:00:04"), null, true),
+      Row("k2", 5L, ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:05"), false),
+      Row("k3", 7L, ts("2024-01-01 00:00:02"), null, true)))
+  }
+
+  test("stateDeltas telescope to the latest-row state, including deleted keys") {
+    val perKey = ChangelogOps.stateDeltas(cl, Seq(col("k")), col("value"))
+      .groupBy("k")
+      .agg(sum("delta_value").cast("double").as("net"),
+        sum("delta_alive").as("alive"))
+      .orderBy("k")
+      .collect()
+    assert(perKey.toSeq == Seq(
+      Row("k1", 7.0, 1L),   // 10 → 15 → deleted → 7
+      Row("k2", 0.0, 0L),   // inserted then deleted: nets out
+      Row("k3", 5.0, 1L)))
+    // the maintained global aggregate equals recomputation over latestRows
+    val maintained = ChangelogOps.stateDeltas(cl, Seq(col("k")), col("value"))
+      .agg(sum("delta_value").cast("double"), sum("delta_alive")).head()
+    val recomputed = ChangelogOps.latestRowView(cl, Seq(col("k")))
+      .agg(sum("value").cast("double"), count(lit(1))).head()
+    assert(maintained == recomputed)
+  }
+
+  test("gapDetect finds in-bucket, cross-bucket, and empty-bucket gaps only") {
+    val seqs = Seq(1L, 2L, 3L, 7L, 8L, 12L, 14L, 22L).toDF("seq")
+    val gaps = ChangelogOps.gapDetect(seqs, col("seq"), bucket = 5L)
+      .orderBy("gap_after").collect()
+    assert(gaps.toSeq == Seq(
+      Row(3L, 7L, 3L),    // crosses the b0/b1 boundary
+      Row(8L, 12L, 3L),   // crosses b1/b2
+      Row(12L, 14L, 1L),  // inside b2
+      Row(14L, 22L, 7L))) // b3 is empty: compared against last non-empty
+    val dense = ChangelogOps.gapDetect(
+      spark.range(0, 57).toDF("seq"), col("seq"), bucket = 10L)
+    assert(dense.isEmpty)
+  }
+
+  test("spanDedup keeps first occurrences corpus-wide and within documents") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s p q r s")).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, "doc_id", "text", spanWords = 4)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, "a b c d e f g h", 2L, 2L),
+      Row(2L, "x y z w", 2L, 1L),        // shared prefix span deduped
+      Row(3L, "p q r s", 2L, 1L)))       // within-doc repeat deduped
+  }
+}
