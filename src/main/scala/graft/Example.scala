@@ -63,6 +63,24 @@ object Example {
     Thread.sleep(500) // listener events are async
     println(s"query stats: ${listener.statsOf(s"cdc-frames($frameDir)")}")
 
+    // 2a. the decoded frame stream through the full DSv2 epoch sink:
+    // staged part files, manifest commits, ack watermark read-back
+    val epochOut = s"$out/epochsink"
+    val epochQuery = spark.readStream
+      .format(classOf[graft.sources.PgOutputFrameSource].getName)
+      .option("path", frameDir)
+      .load()
+      .selectExpr("position AS lsn", "base64(frame) AS frame_b64")
+      .writeStream
+      .format(classOf[graft.sinks.EpochFileSink].getName)
+      .option("path", epochOut)
+      .option("checkpointLocation", s"$out/epochckpt")
+      .start()
+    try epochQuery.processAllAvailable() finally epochQuery.stop()
+    val wm = graft.sinks.EpochFileSink.committedWatermark(
+      epochOut, spark.sparkContext.hadoopConfiguration)
+    println(s"epoch sink watermark (epoch, lsn): $wm")
+
     // 2b. the same frame log through the DISTRIBUTED decode pipeline
     // (control frames on the driver, row frames in executors) into the
     // generic text-map plane
@@ -114,6 +132,10 @@ object Example {
       ids(SimilarityOps.annTopK(emb, "vec_id", "embedding", qVec, 5, planes = 4)))
     println("ivf top-5:     " +
       ids(SimilarityOps.ivfTopK(emb, "vec_id", "embedding", qVec, centroids, 5, nprobe = 2)))
+    val pqBooks = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iterations = 2)
+    println("pq-adc top-5:  " +
+      ids(SimilarityOps.pqTopK(emb, "vec_id", "embedding", qVec, pqBooks, 5)))
 
     // 5. temporal joins + deterministic sampling over the event stream
     import graft.ops.{SampleOps, TemporalJoins}

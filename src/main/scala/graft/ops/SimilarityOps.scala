@@ -130,15 +130,19 @@ object SimilarityOps {
     * cell id can be materialised as a partition column and a probe
     * prunes partitions before reading any vectors.
     */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      (cosine(vec, lit(c.toArray)), i)
-    }
-    // argmax by cosine, ties to the lower cell id
-    val best = sims.map(_._1).reduce((a, b) => greatest(a, b))
-    sims.foldRight(lit(-1)) { case ((sim, i), elseCol) =>
-      when(sim === best, lit(i)).otherwise(elseCol)
-    }
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    argmax(centroids.map(c => cosine(vec, lit(c.toArray))))
+
+  /** Flat argmax over score expressions: each score is evaluated
+    * exactly once, then `array_position(scores, array_max(scores))`
+    * picks the winner (ties to the lower index, -1 when every score
+    * is null). The naive `when(s === greatest(...))` chain embeds the
+    * k-way greatest under every branch — an O(k²) expression tree
+    * whose codegen dominated PQ training wall-clock at k=16.
+    */
+  private def argmax(scores: Seq[Column]): Column = {
+    val arr = array(scores: _*)
+    coalesce((array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1))
   }
 
   /** Driver-side twin of [[ivfAssign]] for the query vector. */
@@ -202,6 +206,118 @@ object SimilarityOps {
     Parallelism.ensure(embeddings.select(col(idCol), col(vecCol)))
       .withColumn("_cell", ivfAssign(col(vecCol), centroids))
       .where(col("_cell").isin(probeCells: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** L2 argmin against literal sub-centroids via the dot-product
+    * identity: argmin ||x−c||² = argmax (x·c − ||c||²/2), so the
+    * native codegen'd dot carries PQ assignment too (ties to the
+    * lower code id).
+    */
+  def pqAssign(vec: Column, codebook: Seq[Seq[Float]]): Column =
+    argmax(codebook.map { c =>
+      val halfNorm = 0.5 * c.map(x => x.toDouble * x.toDouble).sum
+      dot(vec, lit(c.toArray)) - lit(halfNorm)
+    })
+
+  /** Product-quantization codebooks: the vector split into `m`
+    * equal subspaces, each with its own `k`-codeword L2 k-means
+    * codebook (Lloyd's, deterministic id-hash seeding like
+    * [[kmeansCentroids]]). Returns codebooks(subspace)(code)(dim).
+    *
+    * Scale: one Spark job per Lloyd iteration covering every
+    * subspace at once — the shuffle carries k×dims partial sums,
+    * independent of corpus size; the driver holds only the m×k×
+    * (dims/m) = k×dims codebook matrix. (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011.)
+    */
+  def pqCodebooks(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int = 5): Seq[Seq[Seq[Float]]] = {
+    val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val vecs = Parallelism.ensure(
+      embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v")))
+    // one deterministic seed sample feeds every subspace (each takes
+    // its own slice of the same k vectors)
+    val seeds: Seq[Seq[Float]] = vecs
+      .withColumn("_h", SampleOps.hashUnit(col("_id")))
+      .orderBy(col("_h"), col("_id")).limit(k)
+      .select(col("_v")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    var codebooks: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iterations) {
+      // assign all m codes map-side, then average every
+      // (subspace, code, dim) cell in a single shuffle
+      val byCell = vecs
+        .select(pqEncode(col("_v"), codebooks).as("_codes"),
+          posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .select(
+          (col("_pos") / sub).cast("int").as("_j"),
+          element_at(col("_codes"), (col("_pos") / sub).cast("int") + 1).as("_code"),
+          (col("_pos") % sub).as("_d"),
+          col("_x").cast("double").as("_x"))
+        .groupBy(col("_j"), col("_code"), col("_d"))
+        .agg(avg(col("_x")).as("_m"))
+        .collect()
+      val means: Map[(Int, Int), Seq[Float]] = byCell
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rows) =>
+          jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
+        }
+      codebooks = codebooks.zipWithIndex.map { case (cb, j) =>
+        cb.zipWithIndex.map { case (old, i) => means.getOrElse((j, i), old) }
+      }
+    }
+    codebooks
+  }
+
+  /** PQ code array for a vector: m small ints. Materialized as a
+    * column, this is the scan-side payoff — m×4 bytes instead of
+    * dims×4 per row (m=8 over 64 float dims is an 8× bandwidth cut
+    * before int8 code packing). */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column = {
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      pqAssign(slice(vec, j * sub + 1, sub), cb)
+    }: _*)
+  }
+
+  /** ANN top-k via PQ asymmetric-distance computation: per-subspace
+    * inner-product lookup tables for the query (m×k doubles, baked
+    * as literals), ADC candidate generation, then exact cosine
+    * re-rank of the `k × refine` survivors — the standard ADC +
+    * re-rank pipeline. Codes are computed inline here for
+    * self-containedness; a deployment materializes [[pqEncode]] once
+    * (as the SRP/IVF stores do for bucket ids) so the candidate scan
+    * reads m×4 bytes per row, never the float column. The re-rank is
+    * a broadcast semi-join on candidate ids, so the second scan is
+    * pruned to k×refine rows.
+    */
+  def pqTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], codebooks: Seq[Seq[Seq[Float]]],
+      k: Int, refine: Int = 4): DataFrame = {
+    val sub = codebooks.head.head.length
+    val tables: Seq[Array[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qj = query.slice(j * sub, (j + 1) * sub)
+      cb.map(c => c.zip(qj).map { case (x, y) => x.toDouble * y.toDouble }.sum)
+        .toArray
+    }
+    val base = Parallelism.ensure(embeddings.select(col(idCol), col(vecCol)))
+    val adc = tables.zipWithIndex
+      .map { case (t, j) => element_at(lit(t), col("_code").getItem(j) + 1) }
+      .reduce(_ + _)
+    val candidates = base
+      .withColumn("_code", pqEncode(col(vecCol), codebooks))
+      .select(col(idCol), adc.as("_adc"))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(k * refine)
+    val q = lit(query.toArray)
+    base.join(broadcast(candidates.select(col(idCol))), Seq(idCol), "left_semi")
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

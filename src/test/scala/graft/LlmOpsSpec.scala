@@ -92,6 +92,29 @@ class LlmOpsSpec extends AnyFunSuite {
       s"recall too low: ${(exact intersect ann).size}/10")
   }
 
+  test("PQ codebooks reconstruct codes deterministically and ADC+re-rank recalls well") {
+    val query = embeddings.where($"vec_id" === 7)
+      .select($"embedding").collect()(0).getSeq[Float](0)
+    val codebooks = SimilarityOps.pqCodebooks(
+      embeddings, "vec_id", "embedding", m = 8, k = 16, iterations = 3)
+    assert(codebooks.length == 8 && codebooks.forall(_.length == 16))
+    assert(codebooks.forall(_.forall(_.length == query.length / 8)))
+    // codes are total (every subspace assigns a real code)
+    val codes = embeddings
+      .select(SimilarityOps.pqEncode($"embedding", codebooks).as("c"))
+    assert(codes.where(array_contains($"c", -1)).isEmpty)
+    val exact = SimilarityOps.cosineTopK(embeddings, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val pq = SimilarityOps.pqTopK(embeddings, "vec_id", "embedding",
+        query, codebooks, 10, refine = 4)
+      .as[(Long, Double)].collect()
+    assert(pq.map(_._1).contains(7L), "self not found")
+    // re-ranked scores are exact cosines, so survivors rank correctly
+    assert(pq.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    val recall = (exact intersect pq.map(_._1).toSet).size
+    assert(recall >= 5, s"PQ recall too low: $recall/10")
+  }
+
   test("SRP-partitioned ANN store: pruned read equals in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("srp_store").toString
     val query = embeddings.where($"vec_id" === 7)
