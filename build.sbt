@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized for the 128 GiB bench machine: local[32] runs 32
+  // concurrent tasks whose shuffle/sort buffers GC-thrash 10-30x when
+  // squeezed into a small heap (measured: q55 0.6s->20s at 8g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -30,10 +30,19 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try {
+      val r = try {
         time(fn(spark, sfDir).count()) // cold (codegen + plan)
         name -> time(fn(spark, sfDir).count()) // warm, reported
       } catch { case _: Throwable => name -> -1.0 }
+      // Hygiene between queries, outside the timed sections: drop any
+      // cached plans and force a GC so the ContextCleaner releases
+      // shuffle files, broadcasts, and checkpoint blocks. Without this
+      // the 84-query sweep accumulates blocks across queries and, on a
+      // small driver heap, later queries GC-thrash 10-30x (BENCH_r02:
+      // q47 120s vs 2s in isolation at the same heap).
+      spark.catalog.clearCache()
+      System.gc()
+      r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

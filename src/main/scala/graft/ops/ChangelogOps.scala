@@ -295,8 +295,11 @@ object ChangelogOps {
       .orderBy(col(Envelope.TimestampCol).asc, col(Envelope.LsnCol).asc_nulls_first,
         col(Envelope.SequenceCol).asc_nulls_first)
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // NULL values coalesce to 0 on the row AND inside the lag (below),
+    // so a NULL never poisons `delta_value` — sum(deltas) must equal
+    // the latest state even when a version carries a NULL value.
     val live = when(col(Envelope.OperationCol) === Operation.Delete,
-      lit(0).cast(dec)).otherwise(valueCol.cast(dec))
+      lit(0).cast(dec)).otherwise(coalesce(valueCol.cast(dec), lit(0).cast(dec)))
     val alive = when(col(Envelope.OperationCol) === Operation.Delete, 0L).otherwise(1L)
     changelog
       .withColumn("delta_value", live - coalesce(lag(live, 1).over(w), lit(0).cast(dec)))

@@ -246,6 +246,10 @@ object DedupOps {
       .distinct().cache()
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("label", col("id")).cache()
+    // the currently-persisted round output; each round unpersists its
+    // predecessor once the new round has materialized, so repeated
+    // calls don't accumulate checkpoint blocks in the block manager
+    var persisted = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -263,6 +267,8 @@ object DedupOps {
           min(when(col("_own"), col("label"))).as("_old"))
         .localCheckpoint(false)
       val changed = next.where(col("label") < col("_old")).limit(1).count()
+      persisted.unpersist() // superseded: next is materialized now
+      persisted = next
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1

@@ -33,6 +33,68 @@ object StatsOps {
           .as("corr"))
   }
 
+  /** Per-group winsorization: exact interpolated percentiles (lo, hi)
+    * clamp the value column — the standard outlier-clipping step before
+    * training-statistics are computed. Returns one row per group with
+    * the clamp bounds, the median, and the winsorized mean.
+    *
+    * Exact `percentile` (not approx) keeps the oracle comparable; at
+    * 100 TB swap for `approx_percentile` with a documented error bound.
+    * The mean accumulates in DECIMAL over the clamped values so the
+    * sum is order-independent; only the final divide is floating-point.
+    * One aggregation for the percentiles (sort-based, per group) + one
+    * broadcast join back + one map-side-combinable aggregation.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(valueCol, lit(lo)).as("p_lo"),
+        percentile(valueCol, lit(0.5)).as("p_med"),
+        percentile(valueCol, lit(hi)).as("p_hi"))
+    val clamped = least(greatest(valueCol.cast(DoubleType), col("p_lo")), col("p_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol))
+      .agg(first(col("p_lo")).as("p_lo"),
+        first(col("p_med")).as("p_med"),
+        first(col("p_hi")).as("p_hi"),
+        round(sum(clamped.cast(DecimalType(28, 8))).cast(DoubleType) /
+          count(valueCol), 6).as("winsorized_mean"))
+  }
+
+  /** Per-group central moments -> variance, skewness, excess kurtosis,
+    * from exact DECIMAL power sums (Σx … Σx⁴). Decimal accumulation is
+    * order-independent, so the statistics are partitioning-invariant
+    * and engine-reproducible — built-in `skewness`/`kurtosis`
+    * accumulate doubles and are neither. The closed forms:
+    *   m_k = Σ(x-μ)^k / n  expanded in power sums;
+    *   skew = m₃ / (m₂·√m₂),  kurt = m₄ / m₂² − 3.
+    * One map-side-combinable aggregation; nothing per-row after it.
+    */
+  def moments(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val d = DecimalType(38, 6)
+    val x = valueCol.cast(d)
+    val agg = df.where(valueCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(DoubleType).as("_n"),
+        sum(x).cast(DoubleType).as("_s1"),
+        sum(x * x).cast(DoubleType).as("_s2"),
+        sum(x * x * x).cast(DoubleType).as("_s3"),
+        sum(x * x * x * x).cast(DoubleType).as("_s4"))
+    val n = col("_n"); val mean = col("_s1") / n
+    val m2 = col("_s2") / n - mean * mean
+    val m3 = col("_s3") / n - lit(3.0) * mean * (col("_s2") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("_s4") / n - lit(4.0) * mean * (col("_s3") / n) +
+      lit(6.0) * mean * mean * (col("_s2") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    agg.select(col(groupCol),
+      n.cast("long").as("n"),
+      round(mean, 6).as("mean"),
+      round(m2, 6).as("variance"),
+      round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+  }
+
   /** Per-group z-score standardization: z = (x − mean) / stddev with
     * population variance, appended as `zscore`.
     *

@@ -79,12 +79,18 @@ final class EpochStreamingWrite(root: String, schema: StructType)
     extends StreamingWrite with Serializable {
 
   // the driver's Hadoop conf, captured as plain pairs so executors can
-  // rebuild it (the Configuration object itself is not serializable)
+  // rebuild it (the Configuration object itself is not serializable).
+  // Only filesystem-relevant keys ship: the factory (and so every task
+  // closure) serializes these pairs, and the full driver configuration
+  // is hundreds of entries of pure data-path overhead.
   private val hadoopProps: Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
+    val keep = Seq("fs.", "hadoop.", "dfs.", "io.")
     org.apache.spark.sql.SparkSession.active.sparkContext
       .hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toSeq
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => keep.exists(k.startsWith) }
+      .toSeq
   }
 
   override def createStreamingWriterFactory(
@@ -97,6 +103,13 @@ final class EpochStreamingWrite(root: String, schema: StructType)
     val manifest = new Path(epochDir, "_MANIFEST.json")
     val staging = new Path(root, s"_staging/epoch=$epochId")
     if (!fs.exists(manifest)) {
+      // No manifest => this epoch never committed. Any files already in
+      // the epoch dir are remnants of a crash between promote and
+      // manifest write on an earlier attempt; promoting on top of them
+      // would leave rows visible to glob readers but absent from this
+      // attempt's manifest — duplicates in exactly the crash window the
+      // protocol exists for. Wipe the uncommitted dir first.
+      if (fs.exists(epochDir)) fs.delete(epochDir, true)
       fs.mkdirs(epochDir)
       val msgs = messages.collect { case m: EpochFileMessage => m }
       msgs.foreach { m =>
@@ -247,8 +260,14 @@ object EpochJson {
     case IntegerType => sb.append(get.getInt(i))
     case ShortType => sb.append(get.getShort(i))
     case ByteType => sb.append(get.getByte(i))
-    case DoubleType => sb.append(get.getDouble(i))
-    case FloatType => sb.append(get.getFloat(i))
+    case DoubleType =>
+      val d = get.getDouble(i)
+      // bare NaN/Infinity tokens are invalid JSON; emit null, matching
+      // Spark's own JSON writer default
+      if (java.lang.Double.isFinite(d)) sb.append(d) else sb.append("null")
+    case FloatType =>
+      val f = get.getFloat(i)
+      if (java.lang.Float.isFinite(f)) sb.append(f) else sb.append("null")
     case BooleanType => sb.append(get.getBoolean(i))
     case _: TimestampType =>
       val us = get.getLong(i)

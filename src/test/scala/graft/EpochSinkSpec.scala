@@ -114,6 +114,60 @@ class EpochSinkSpec extends AnyFunSuite {
     assert(EpochFileSink.committedWatermark(out + "-nowhere", hconf).isEmpty)
   }
 
+  test("crash between promote and manifest write: retry wipes the orphaned files") {
+    spark.version
+    val out = tmp("epoch-crash")
+    val schema = StructType(Seq(
+      StructField("lsn", LongType), StructField("msg", StringType)))
+    val sw = new EpochStreamingWrite(out, schema)
+    val factory = sw.createStreamingWriterFactory(null)
+      .asInstanceOf[EpochWriterFactory]
+
+    def stage(task: Long, rows: (Long, String)*): WriterCommitMessage = {
+      val w = factory.createWriter(0, task, 5L)
+      rows.foreach { case (l, m) =>
+        w.write(InternalRow(l, UTF8String.fromString(m)))
+      }
+      w.commit()
+    }
+
+    // first attempt: files were promoted into epoch=5/ but the driver
+    // died before _MANIFEST.json landed
+    val epochDir = new java.io.File(out, "epoch=5")
+    epochDir.mkdirs()
+    Files.writeString(new java.io.File(epochDir, "part-00000-1.jsonl").toPath,
+      "{\"lsn\":20,\"msg\":\"x\"}\n{\"lsn\":21,\"msg\":\"y\"}\n")
+    assert(!new java.io.File(epochDir, "_MANIFEST.json").exists())
+
+    // Spark replays the epoch: same rows, new task id, full commit
+    sw.commit(5L, Array(stage(2L, (20L, "x"), (21L, "y"))))
+
+    // exactly one data file survives — the retry's; the orphan from the
+    // crashed attempt is gone, so glob readers see each row once
+    val dataFiles = epochDir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(dataFiles.length == 1)
+    assert(dataFiles.head.getName.contains("-2"))
+    val rows = spark.read
+      .schema(schema)
+      .json(s"$out/epoch=*/part-*.jsonl")
+    assert(rows.count() == 2)
+    val manifest = Files.readString(
+      new java.io.File(epochDir, "_MANIFEST.json").toPath)
+    assert(manifest.contains("\"rows\":2") && manifest.contains("\"lsn\":21"))
+  }
+
+  test("EpochJson emits null for non-finite floats (valid JSON always)") {
+    val schema = StructType(Seq(
+      StructField("d1", DoubleType), StructField("d2", DoubleType),
+      StructField("d3", DoubleType), StructField("f1", FloatType),
+      StructField("ok", DoubleType)))
+    val row = InternalRow(
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Float.NaN, 1.5)
+    assert(EpochJson.render(row, schema) ==
+      """{"d1":null,"d2":null,"d3":null,"f1":null,"ok":1.5}""")
+  }
+
   test("EpochJson renders nested/temporal/binary/decimal values exactly") {
     val schema = StructType(Seq(
       StructField("s", StringType),
