@@ -876,6 +876,88 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
+    // ----- §2.5 analytics: lag/lead event deltas per key (the
+    // feature-engineering shape: time-since-previous, value delta,
+    // next-event peek — one shuffle, one sort, one Window operator) -----
+    "q85_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("value_delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("prev_gap_us"),
+          col("value_delta"), col("next_event_id"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- §2.9 windows: sliding (hopping) windows — each event lands
+    // in size/slide buckets; the overlap factor is the only row
+    // amplification and the aggregation stays map-side combinable -----
+    "q86_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"))
+    }),
+    // ----- gaps-and-islands: interval-union coverage per user (merged
+    // activity spans, overlaps counted once) -----
+    "q87_interval_coverage" -> ((s, dir) => {
+      ChangelogOps.intervalCoverage(
+          t(s, dir, "events"), col("user_id"), col("ts"), durationSeconds = 300L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+    // ----- outlier clipping: per-language winsorized length stats
+    // (exact interpolated percentile bounds + decimal-exact mean) -----
+    "q88_winsorize" -> ((s, dir) => {
+      graft.ops.StatsOps.winsorize(
+          t(s, dir, "documents"), "lang", col("n_chars"), 0.05, 0.95)
+        .orderBy(col("lang"))
+    }),
+    // ----- text analysis: bigram-LM scoring (word-transition
+    // perplexity stand-in; corpus-trained MLE model) -----
+    "q89_bigram_lm" -> ((s, dir) => {
+      TextOps.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // ----- pipeline observability: quality-filter funnel (how many
+    // docs survive each cumulative stage, per source — one pass,
+    // SUM(CASE) conditional aggregation) -----
+    "q90_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lenOk = col("n_chars").between(100, 20000)
+      val langOk = lenOk && col("lang").isin("en", "de", "fr")
+      val tokOk = langOk && (size(TextOps.tokens(col("text"))) >= 20)
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(lenOk, 1L).otherwise(0L)).as("n_len_ok"),
+          sum(when(langOk, 1L).otherwise(0L)).as("n_lang_ok"),
+          sum(when(tokOk, 1L).otherwise(0L)).as("n_tok_ok"))
+        .orderBy(col("source"))
+    }),
+    // ----- deterministic mode: most frequent language per source,
+    // ties broken lexicographically (count window over a group-by,
+    // never a driver-side collect) -----
+    "q91_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang").asc)
+      counts.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("source"), col("lang").as("mode_lang"), col("n"))
+        .orderBy(col("source"))
+    }),
+    // ----- distribution shape: exact-moment skewness/kurtosis per
+    // group (decimal power sums; engine-reproducible doubles) -----
+    "q92_moments" -> ((s, dir) => {
+      graft.ops.StatsOps.moments(
+          t(s, dir, "documents"), "lang", col("n_chars"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -1684,5 +1766,122 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_part,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q85_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS prev_gap_us,
+        |  value - lag(value) OVER w AS value_delta,
+        |  lead(event_id) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q86_sliding_window" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(ts) // 300000000) * 300000000 AS w0, value
+        |  FROM events),
+        |e AS (
+        |  SELECT make_timestamp(w0 - j * 300000000) AS window_start, value
+        |  FROM b, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS t(j))
+        |SELECT window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q87_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS ms, max(e) AS me
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(me - ms) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q88_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS p_lo,
+        |    quantile_cont(n_chars, 0.5) AS p_med,
+        |    quantile_cont(n_chars, 0.95) AS p_hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, b.p_lo, b.p_med, b.p_hi,
+        |  round(CAST(sum(CAST(least(greatest(CAST(d.n_chars AS DOUBLE), b.p_lo), b.p_hi)
+        |      AS DECIMAL(28,8))) AS DOUBLE) / count(d.n_chars), 6) AS winsorized_mean
+        |FROM documents d JOIN b USING (lang)
+        |GROUP BY d.lang, b.p_lo, b.p_med, b.p_hi
+        |ORDER BY d.lang""".stripMargin,
+    "q89_bigram_lm" ->
+      """WITH arr AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, UNNEST(range(1, len(a))) AS t(i)
+        |  WHERE a[i] <> '' AND a[i + 1] <> ''),
+        |tf AS (
+        |  SELECT doc_id, w1, w2, count(*) AS tf
+        |  FROM big GROUP BY doc_id, w1, w2),
+        |m AS (
+        |  SELECT doc_id, w1, w2, tf,
+        |    sum(tf) OVER (PARTITION BY w1, w2) AS c_big,
+        |    sum(tf) OVER (PARTITION BY w1) AS c_first
+        |  FROM tf),
+        |wt AS (
+        |  SELECT doc_id, w1, w2, tf, tf * ln(c_big / c_first) AS w
+        |  FROM m)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(list_aggregate(list(w ORDER BY w1, w2), 'sum') / sum(tf), 6)
+        |    AS avg_logprob
+        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q90_funnel" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    n_chars BETWEEN 100 AND 20000 AS len_ok,
+        |    lang IN ('en', 'de', 'fr') AS lang_in,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) >= 20 AS tok_in
+        |  FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        |  CAST(sum(CASE WHEN len_ok AND lang_in THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+        |  CAST(sum(CASE WHEN len_ok AND lang_in AND tok_in THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_ok
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q91_mode" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY source, lang),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n DESC, lang ASC) AS rn
+        |  FROM c)
+        |SELECT source, lang AS mode_lang, n FROM r WHERE rn = 1
+        |ORDER BY source""".stripMargin,
+    "q92_moments" ->
+      """WITH a AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(n_chars) AS DOUBLE) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2,
+        |    CAST(sum(n_chars * n_chars * n_chars) AS DOUBLE) AS s3,
+        |    CAST(sum(n_chars * n_chars * n_chars * n_chars) AS DOUBLE) AS s4
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  round(s1 / n, 6) AS mean,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n))
+        |      * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+        |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        |    - 3.0, 6) AS kurtosis
+        |FROM a ORDER BY lang""".stripMargin,
   )
 }

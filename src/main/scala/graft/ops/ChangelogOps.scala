@@ -213,6 +213,41 @@ object ChangelogOps {
       .drop("_new_session")
   }
 
+  /** Interval-union coverage per key (gaps-and-islands): each event
+    * opens an interval [ts, ts + durationSeconds); overlapping or
+    * touching intervals merge into islands; the output is one row per
+    * key with the island count and the total covered microseconds —
+    * "how much wall-clock was this user active, counting overlaps
+    * once".
+    *
+    * Island detection is the running-max-of-end trick: an interval
+    * starts a new island iff its start exceeds the max end over ALL
+    * previous intervals (a plain `lag` is wrong when an early long
+    * interval swallows several later short ones). Two stacked window
+    * passes over one (key, ts) sort + one aggregation; coverage sums
+    * in integer microseconds — exact, order-independent.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: Column, tsCol: Column,
+      durationSeconds: Long): DataFrame = {
+    val startUs = unix_micros(tsCol.cast("timestamp"))
+    val endUs = startUs + durationSeconds * 1000000L
+    val w = Window.partitionBy(keyCol).orderBy(startUs)
+    val prevMaxEnd = max(endUs).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val withIsland = df
+      .withColumn("_new_island",
+        when(prevMaxEnd.isNull || startUs > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_island",
+        sum(col("_new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withIsland
+      .groupBy(keyCol.as("key"), col("_island"))
+      .agg(min(startUs).as("_s"), max(endUs).as("_e"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered_us"))
+  }
+
   /** Rolling per-key statistics over an ordered event column — the
     * feature-engineering shape (per-user activity rates, drift
     * monitors). Row window: the previous `rows` events including the

@@ -71,15 +71,19 @@ object StatsOps {
     * One map-side-combinable aggregation; nothing per-row after it.
     */
   def moments(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
-    val d = DecimalType(38, 6)
-    val x = valueCol.cast(d)
+    // Integral values only: the per-row powers stay in LONG (exact up
+    // to |x| ≲ 55k for x⁴) and the sums accumulate in DECIMAL(38,0) —
+    // decimal×decimal would hit engine-specific precision/scale
+    // narrowing rules; long powers are bit-exact everywhere.
+    val d = DecimalType(38, 0)
+    val x = valueCol
     val agg = df.where(valueCol.isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast(DoubleType).as("_n"),
-        sum(x).cast(DoubleType).as("_s1"),
-        sum(x * x).cast(DoubleType).as("_s2"),
-        sum(x * x * x).cast(DoubleType).as("_s3"),
-        sum(x * x * x * x).cast(DoubleType).as("_s4"))
+        sum(x.cast(d)).cast(DoubleType).as("_s1"),
+        sum((x * x).cast(d)).cast(DoubleType).as("_s2"),
+        sum((x * x * x).cast(d)).cast(DoubleType).as("_s3"),
+        sum((x * x * x * x).cast(d)).cast(DoubleType).as("_s4"))
     val n = col("_n"); val mean = col("_s1") / n
     val m2 = col("_s2") / n - mean * mean
     val m3 = col("_s3") / n - lit(3.0) * mean * (col("_s2") / n) +

@@ -317,6 +317,49 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Per-document mean bigram log-probability under the corpus's own
+    * MLE bigram model: P(w₂|w₁) = c(w₁,w₂) / c(w₁·) — the next step up
+    * from [[unigramLogProb]] toward perplexity filtering (a document
+    * whose word *transitions* are unusual scores low even when its
+    * vocabulary is common). Every observed bigram has c ≥ 1 so the log
+    * is always defined; documents with < 2 tokens drop out (no
+    * bigrams to score).
+    *
+    * Shape at scale: bigrams are built map-side from the token array
+    * (no positional self-join), then ONE (id, w₁, w₂) count shuffle;
+    * the two model counts come from two window sums over the same
+    * sorted run — `partitionBy(w₁, w₂)` and `partitionBy(w₁)` share
+    * the w₁-prefix exchange. The per-document mean folds in sorted
+    * bigram order, so the double is partitioning-invariant.
+    */
+  def bigramLogProb(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = filter(
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w1") =!= "" && p.getField("w2") =!= "")
+    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(bigrams).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val wBigram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    tf.withColumn("c_big", sum(col("tf")).over(wBigram))
+      .withColumn("c_first", sum(col("tf")).over(wFirst))
+      .withColumn("w", col("tf") * log(col("c_big") / col("c_first")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("w1"), col("w2"), col("w")))).as("_ws"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(aggregate(col("_ws"), lit(0.0),
+          (a, x) => a + x.getField("w")) / col("n_bigrams"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Inverted index: token -> (df, comma-joined sorted posting list).
     *
     * One (id, token) distinct shuffle then a token-keyed aggregation.

@@ -80,6 +80,24 @@ class HistoryOpsSpec extends AnyFunSuite {
     assert(dense.isEmpty)
   }
 
+  test("intervalCoverage merges overlapping and touching intervals; overlaps count once") {
+    // duration 300s. user 1: [0,300)+[100,400) merge (early long overlap),
+    // [1000,1300) separate. user 2: [0,300)+[300,600) touch -> merge.
+    // user 3: an early LONG span swallows later short ones (the case a
+    // plain lag-based rule gets wrong): [0,300),[10,310),[20,320) all one.
+    val df = Seq(
+      (1, 0L), (1, 100L), (1, 1000L),
+      (2, 0L), (2, 300L),
+      (3, 0L), (3, 10L), (3, 20L)).toDF("u", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = ChangelogOps.intervalCoverage(df, col("u"), col("ts"), 300L)
+      .orderBy("key").collect()
+    assert(out.toSeq == Seq(
+      Row(1, 2L, 700000000L),   // [0,400) + [1000,1300)
+      Row(2, 1L, 600000000L),   // [0,600)
+      Row(3, 1L, 320000000L)))  // [0,320)
+  }
+
   test("spanDedup keeps first occurrences corpus-wide and within documents") {
     val docs = Seq(
       (1L, "a b c d e f g h"),

@@ -62,6 +62,23 @@ class IrOpsSpec extends AnyFunSuite {
     assert(got(1)._3 < got(0)._3)
   }
 
+  test("bigramLogProb hand-computed transition model scores") {
+    val tiny = Seq(
+      (1L, "a b a b"), (2L, "a b c"),
+      (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(tiny, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bigrams: d1 = (a,b)x2 + (b,a); d2 = (a,b) + (b,c)
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; first counts: c(a.)=3, c(b.)=2
+    val d1 = (2 * math.log(3 / 3.0) + 1 * math.log(1 / 2.0)) / 3
+    val d2 = (1 * math.log(3 / 3.0) + 1 * math.log(1 / 2.0)) / 2
+    // docs with < 2 tokens have no bigrams and drop out
+    assert(got.toSeq == Seq((1L, 3L, r6(d1)), (2L, 2L, r6(d2))))
+    // unusual transitions score lower even with common vocabulary
+    assert(got(1)._3 < got(0)._3)
+  }
+
   test("invertedIndex postings are sorted, distinct, capped") {
     val got = TextOps.invertedIndex(corpus, "doc_id", "text")
       .as[(String, Long, String)].collect()

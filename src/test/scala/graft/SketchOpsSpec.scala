@@ -68,6 +68,36 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(math.abs(zs.map(z => z * z).sum / 3 - 1.0) < 1e-12)
   }
 
+  test("winsorize clamps at exact interpolated percentiles") {
+    import graft.ops.StatsOps
+    val df = (1L to 20L).map(i => ("a", i)).toDF("g", "v")
+    val out = StatsOps.winsorize(df, "g", $"v", 0.05, 0.95)
+      .as[(String, Double, Double, Double, Double)].head()
+    // sorted 1..20: p05 at pos 0.95 -> 1.95; median 10.5; p95 -> 19.05
+    // (compare with tolerance: interpolation is floating-point)
+    assert(math.abs(out._2 - 1.95) < 1e-12 && out._3 == 10.5 &&
+      math.abs(out._4 - 19.05) < 1e-12)
+    // clamped sum: 1.95 + (2..19 = 189) + 19.05 = 210 -> mean 10.5
+    assert(math.abs(out._5 - 10.5) < 1e-6)
+  }
+
+  test("moments: hand-computed skewness/kurtosis; partitioning-invariant") {
+    import graft.ops.StatsOps
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 10L))
+      .toDF("g", "v")
+    val out = StatsOps.moments(df, "g", $"v")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // deviations (-3,-2,-1,0,6): m2=10, m3=36, m4=278.8
+    assert(out._2 == 5L && out._3 == 4.0 && out._4 == 10.0)
+    assert(out._5 == r6(36.0 / (10.0 * math.sqrt(10.0))))
+    assert(out._6 == r6(278.8 / 100.0 - 3.0))
+    // decimal power sums: identical from any partitioning
+    val one = StatsOps.moments(df.coalesce(1), "g", $"v").collect().toSeq
+    val many = StatsOps.moments(df.repartition(7), "g", $"v").collect().toSeq
+    assert(one == many)
+  }
+
   test("weightedSample keeps heavier rows at proportionally higher rates") {
     val df = (1L to 4000L).toDF("id").withColumn("w",
       when($"id" % 2 === 0, 300.0).otherwise(30.0))
