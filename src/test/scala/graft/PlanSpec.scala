@@ -117,6 +117,62 @@ class PlanSpec extends AnyFunSuite {
       s"window dedup must shuffle exactly once:\n${planString(df)}")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the 100 TB shape: fact parquet partitioned on the join key's
+    // directory column; a selective dimension filter must reach the
+    // fact scan as a runtime partition filter (directories never read),
+    // not as a post-scan filter
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toFile.getAbsolutePath
+    ImportSource.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // the dim must be a real source with a surviving selective filter —
+    // a LocalRelation constant-folds the filter away and DPP sees no
+    // selective predicate to derive the pruning subquery from
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp-dim").toFile.getAbsolutePath
+    Seq(("signup", 1), ("error", 2), ("click", 3), ("view", 4))
+      .toDF("event_type", "type_id").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("type_id") === 1)
+    val joined = fact.join(dim, "event_type")
+    val s = joined.queryExecution.executedPlan.toString
+    assert(s.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$s")
+  }
+
+  test("native runtime bloom filter injects on a selective shuffle join") {
+    // Spark's InjectRuntimeFilter is the built-in twin of our manual
+    // bloomPrefilterJoin: with a selective creation side it plants a
+    // might_contain probe on the application side's scan. Thresholds
+    // are sized for real clusters; lower them to demonstrate the plan
+    // shape at test scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = ImportSource.table(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val urgent = ImportSource.table(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val joined = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      val s = joined.queryExecution.optimizedPlan.toString
+      assert(s.contains("might_contain") || s.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bloom prefilter: getbit probe filters the fact scan before the join") {
     val li = ImportSource.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
