@@ -958,6 +958,58 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", col("n_chars"))
         .orderBy(col("lang"))
     }),
+    // ----- text quality: per-doc token entropy (repetitiveness
+    // signal; sorted-fold double, one count shuffle) -----
+    "q93_entropy" -> ((s, dir) => {
+      TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // ----- mixture analysis: KL divergence of each source's token
+    // distribution from the corpus (domain-shift measure) -----
+    "q94_kl_divergence" -> ((s, dir) => {
+      TextOps.klDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
+    // ----- dedup: prefix-containment pairs (truncation dups and
+    // exact copies; prefix-key blocking, never a cross product) -----
+    "q95_containment" -> ((s, dir) => {
+      DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ----- behavioral analytics: weekly cohort retention triangle
+    // (cohort = week of first event; one window + one distinct agg) -----
+    "q96_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wUser = Window.partitionBy(col("user_id"))
+      ev.withColumn("_first", min(col("ts")).over(wUser))
+        .select(date_trunc("week", col("_first")).as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")).cast(DateType),
+            date_trunc("week", col("_first")).cast(DateType)) / 7)
+            .cast(LongType).as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    // ----- session-length distribution built on sessionize: sessions
+    // bucketed by event count, decimal-exact mean duration -----
+    "q97_session_stats" -> ((s, dir) => {
+      ChangelogOps.sessionize(t(s, dir, "events"), col("user_id"), col("ts"), 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("_dur"))
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("_dur").cast(DecimalType(28, 6))).cast(DoubleType) /
+            count(lit(1)) / lit(1000000.0), 6).as("mean_duration_sec"))
+        .orderBy(col("n_events"))
+    }),
+    // ----- corpus balance: per-source Gini coefficient of document
+    // lengths (rank window + decimal-exact sums) -----
+    "q98_gini" -> ((s, dir) => {
+      graft.ops.StatsOps.gini(t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -1883,5 +1935,105 @@ object SparkEntry {
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
         |    - 3.0, 6) AS kurtosis
         |FROM a ORDER BY lang""".stripMargin,
+    "q93_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        |m AS (
+        |  SELECT doc_id, token, tf,
+        |    sum(tf) OVER (PARTITION BY doc_id) AS n
+        |  FROM tf),
+        |wt AS (
+        |  SELECT doc_id, token, tf, -(tf / n) * ln(tf / n) AS w FROM m)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  round(list_aggregate(list(w ORDER BY token), 'sum'), 6) AS entropy
+        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q94_kl_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT source, token, count(*) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY source, token),
+        |t AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_c FROM tf),
+        |m AS (
+        |  SELECT source, token, tf,
+        |    sum(tf) OVER (PARTITION BY source) AS n_g,
+        |    sum(tf) OVER (PARTITION BY token) AS tf_c
+        |  FROM tf),
+        |wt AS (
+        |  SELECT source, token, tf,
+        |    (tf / n_g) * ln((tf / n_g) / (tf_c / n_c)) AS w
+        |  FROM m, t)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(list_aggregate(list(w ORDER BY token), 'sum'), 6) AS kl_divergence
+        |FROM wt GROUP BY source ORDER BY source""".stripMargin,
+    "q95_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, array_to_string(a, ' ') AS text_n,
+        |    array_to_string(a[1:8], ' ') AS pfx, len(a) AS ntok
+        |  FROM d),
+        |f AS (SELECT * FROM n WHERE ntok >= 8)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CASE WHEN x.text_n = y.text_n THEN 'equal'
+        |       WHEN starts_with(y.text_n, x.text_n) THEN 'a_prefix_of_b'
+        |       WHEN starts_with(x.text_n, y.text_n) THEN 'b_prefix_of_a'
+        |  END AS relation
+        |FROM f x JOIN f y ON x.pfx = y.pfx AND x.doc_id < y.doc_id
+        |WHERE x.text_n = y.text_n
+        |  OR starts_with(y.text_n, x.text_n)
+        |  OR starts_with(x.text_n, y.text_n)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q96_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, ts,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events)
+        |SELECT date_trunc('week', first_ts) AS cohort_week,
+        |  CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+        |    CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q97_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS dur
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  round(CAST(sum(CAST(dur AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*) / 1000000.0, 6) AS mean_duration_sec
+        |FROM per GROUP BY n_events ORDER BY n_events""".stripMargin,
+    "q98_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(n_chars) AS DOUBLE) AS sx,
+        |    CAST(sum(i * n_chars) AS DOUBLE) AS siw
+        |  FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  round(2.0 * siw / (n * sx) - (n + 1.0) / n, 6) AS gini
+        |FROM a ORDER BY source""".stripMargin,
   )
 }

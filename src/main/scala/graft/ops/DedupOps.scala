@@ -277,6 +277,35 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Prefix-containment pairs: documents where one's normalized text
+    * is a prefix of the other's (truncation dups, partial re-crawls,
+    * and exact copies — which are mutual prefixes). Candidates block
+    * on the first `prefixTokens` tokens, so only docs sharing that
+    * prefix ever meet: one equi-join on a short string key, never a
+    * cross product; docs shorter than the blocking prefix are out of
+    * scope by construction (they'd need a weaker blocking key).
+    * Verification is a plain `startswith` on the candidate pair.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      prefixTokens: Int = 8): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val norm = concat_ws(" ", toks)
+    val docs = df.select(col(idCol).as("id"), norm.as("text_n"),
+        concat_ws(" ", slice(toks, 1, prefixTokens)).as("_pfx"),
+        size(toks).as("_ntok"))
+      .where(col("_ntok") >= prefixTokens)
+    val a = docs.select(col("id").as("id_a"), col("text_n").as("_ta"), col("_pfx"))
+    val b = docs.select(col("id").as("id_b"), col("text_n").as("_tb"), col("_pfx"))
+    a.join(b, "_pfx")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("relation",
+        when(col("_ta") === col("_tb"), "equal")
+          .when(col("_tb").startsWith(col("_ta")), "a_prefix_of_b")
+          .when(col("_ta").startsWith(col("_tb")), "b_prefix_of_a"))
+      .where(col("relation").isNotNull)
+      .select(col("id_a"), col("id_b"), col("relation"))
+  }
+
   /** SimHash: a single locality-sensitive integer per document.
     * Each token votes ±1 per bit position of its 32-bit md5-derived
     * hash; the sign pattern packs into one long. Near-dups differ in

@@ -99,6 +99,31 @@ object StatsOps {
       round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
   }
 
+  /** Per-group Gini coefficient of a non-negative integral value —
+    * the imbalance measure for corpus composition (is one source's
+    * token budget dominated by a few giant documents?).
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending sort.
+    *
+    * The rank comes from a per-group `row_number` (ties get distinct
+    * ranks, which cancels exactly in Σ i·x since tied x are equal);
+    * both Σ i·x and Σx accumulate in DECIMAL. One shuffle + one sort
+    * per group, then a map-side-combinable aggregation.
+    */
+  def gini(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val d = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(valueCol.asc)
+    df.where(valueCol.isNotNull)
+      .withColumn("_i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(DoubleType).as("_n"),
+        sum(valueCol.cast(d)).cast(DoubleType).as("_sx"),
+        sum((col("_i") * valueCol).cast(d)).cast(DoubleType).as("_siw"))
+      .select(col(groupCol), col("_n").cast("long").as("n"),
+        round(lit(2.0) * col("_siw") / (col("_n") * col("_sx")) -
+          (col("_n") + lit(1.0)) / col("_n"), 6).as("gini"))
+  }
+
   /** Per-group z-score standardization: z = (x − mean) / stddev with
     * population variance, appended as `zscore`.
     *

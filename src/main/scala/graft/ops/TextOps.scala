@@ -360,6 +360,62 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Per-document token (Shannon) entropy in nats — the
+    * repetitiveness signal orthogonal to [[repetitionStats]]: low
+    * entropy = few distinct tokens dominate. H = −Σ (tf/n)·ln(tf/n).
+    *
+    * One (id, token) count shuffle; the per-document total rides a
+    * doc-partitioned window over the same sorted run, and the entropy
+    * folds in sorted token order (partitioning-invariant double).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    tf.withColumn("n", sum(col("tf")).over(wDoc))
+      .withColumn("w", -(col("tf") / col("n")) * log(col("tf") / col("n")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"),
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(aggregate(col("_ws"), lit(0.0),
+          (a, x) => a + x.getField("w")), 6).as("entropy"))
+  }
+
+  /** KL divergence of each group's token distribution from the whole
+    * corpus's — the domain-shift / mixture-balance measure:
+    * KL(p_g ‖ p_c) = Σ_t p_g(t)·ln(p_g(t)/p_c(t)), always defined
+    * because every group token is a corpus token (p_c > 0 wherever
+    * p_g > 0).
+    *
+    * One (group, token) count shuffle; group totals and corpus token
+    * totals are window sums (the corpus grand total broadcasts as one
+    * row); the sum folds per group in sorted token order.
+    */
+  def klDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tf = Parallelism.ensure(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf"))
+    val wGroup = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val wToken = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    val total = tf.groupBy().agg(sum(col("tf")).cast("double").as("n_c"))
+    tf.withColumn("n_g", sum(col("tf")).over(wGroup))
+      .withColumn("tf_c", sum(col("tf")).over(wToken))
+      .crossJoin(broadcast(total))
+      .withColumn("w", (col("tf") / col("n_g")) *
+        log((col("tf") / col("n_g")) / (col("tf_c") / col("n_c"))))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col(groupCol), col("n_tokens"),
+        round(aggregate(col("_ws"), lit(0.0),
+          (a, x) => a + x.getField("w")), 6).as("kl_divergence"))
+  }
+
   /** Inverted index: token -> (df, comma-joined sorted posting list).
     *
     * One (id, token) distinct shuffle then a token-keyed aggregation.

@@ -79,6 +79,32 @@ class IrOpsSpec extends AnyFunSuite {
     assert(got(1)._3 < got(0)._3)
   }
 
+  test("tokenEntropy hand-computed; zero for constant docs") {
+    val tiny = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(tiny, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h1 = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(got(0) == ((1L, 3L, 2L, r6(h1))))
+    assert(got(1) == ((2L, 3L, 3L, r6(math.log(3.0)))), "uniform doc: ln(k)")
+    assert(got(2) == ((3L, 3L, 1L, 0.0)), "constant doc: zero entropy")
+  }
+
+  test("klDivergence hand-computed against the corpus distribution") {
+    val tiny = Seq(("s1", "a a b"), ("s2", "b c")).toDF("source", "text")
+    val got = TextOps.klDivergence(tiny, "source", "text")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: a:2 b:2 c:1, n=5
+    val k1 = (2.0 / 3) * math.log((2.0 / 3) / (2.0 / 5)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (2.0 / 5))
+    val k2 = (1.0 / 2) * math.log((1.0 / 2) / (2.0 / 5)) +
+      (1.0 / 2) * math.log((1.0 / 2) / (1.0 / 5))
+    assert(got.toSeq == Seq(("s1", 3L, r6(k1)), ("s2", 2L, r6(k2))))
+    assert(got.forall(_._3 > 0), "KL is non-negative, positive off-corpus-mix")
+  }
+
   test("invertedIndex postings are sorted, distinct, capped") {
     val got = TextOps.invertedIndex(corpus, "doc_id", "text")
       .as[(String, Long, String)].collect()

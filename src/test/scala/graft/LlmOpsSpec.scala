@@ -318,6 +318,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("containmentPairs finds prefix/equal pairs via prefix blocking only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h"),          // prefix of 1 (and 3)
+      (3L, "a b c d e f g h i j"),      // equal to 1
+      (4L, "a b c d e f g h x y"),      // shares the 8-block, diverges
+      (5L, "a b")).toDF("doc_id", "text") // under the blocking width
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", 8)
+      .as[(Long, Long, String)].collect().sortBy(p => (p._1, p._2))
+    assert(got.toSeq == Seq(
+      (1L, 2L, "b_prefix_of_a"),
+      (1L, 3L, "equal"),
+      (2L, 3L, "a_prefix_of_b"),
+      (2L, 4L, "a_prefix_of_b")))
+  }
+
   test("repetitionStats flags repetitious text, not varied text") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"), // one token repeated

@@ -98,6 +98,17 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("gini: zero for equal values, hand-computed for concentrated ones") {
+    import graft.ops.StatsOps
+    val eq = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L)).toDF("g", "v")
+    val gotEq = StatsOps.gini(eq, "g", $"v").as[(String, Long, Double)].head()
+    assert(gotEq == (("a", 4L, 0.0)))
+    // 0,0,0,10: siw = 4*10 = 40, sx = 10 -> 2*40/(4*10) - 5/4 = 0.75
+    val conc = Seq(("b", 0L), ("b", 0L), ("b", 0L), ("b", 10L)).toDF("g", "v")
+    val gotC = StatsOps.gini(conc, "g", $"v").as[(String, Long, Double)].head()
+    assert(gotC == (("b", 4L, 0.75)))
+  }
+
   test("weightedSample keeps heavier rows at proportionally higher rates") {
     val df = (1L to 4000L).toDF("id").withColumn("w",
       when($"id" % 2 === 0, 300.0).otherwise(30.0))
