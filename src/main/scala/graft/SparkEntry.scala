@@ -1010,6 +1010,16 @@ object SparkEntry {
       graft.ops.StatsOps.gini(t(s, dir, "documents"), "source", col("n_chars"))
         .orderBy(col("source"))
     }),
+    // ----- frequent items: exact heavy-hitter tokens (freq > n/k)
+    // via a Misra-Gries candidate pass with O(k) state + an exact
+    // re-count — stopword discovery without a full count table -----
+    "q99_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      graft.ops.SketchOps.heavyHitters(toks, "token", 50)
+        .orderBy(col("token"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -2035,5 +2045,16 @@ object SparkEntry {
         |SELECT source, CAST(n AS BIGINT) AS n,
         |  round(2.0 * siw / (n * sx) - (n + 1.0) / n, 6) AS gini
         |FROM a ORDER BY source""".stripMargin,
+    "q99_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |f AS (
+        |  SELECT token, count(*) AS freq
+        |  FROM toks WHERE token <> '' GROUP BY token),
+        |n AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM toks WHERE token <> '')
+        |SELECT token, freq FROM f, n WHERE freq > n / 50
+        |ORDER BY token""".stripMargin,
   )
 }

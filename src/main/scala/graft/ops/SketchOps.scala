@@ -42,6 +42,31 @@ object SketchOps {
           .as("approx_distinct"))
   }
 
+  /** Exact heavy hitters (frequency > n/k) found in two bounded
+    * passes: a Misra-Gries sketch pass whose per-partition state is
+    * ≤ k−1 counters (see [[graft.functions.MisraGriesAggregator]])
+    * yields a candidate superset plus the total count in ONE
+    * aggregation; a second pass counts only the ≤ k−1 candidates
+    * exactly and filters by the true threshold. The result is the
+    * exact heavy-hitter set — deterministic even though MG counter
+    * values are merge-order-dependent — without ever holding a
+    * full-cardinality count table (the naive groupBy would carry one
+    * entry per distinct value; stopword discovery over a web corpus
+    * has billions).
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val vals = df.select(col(valueCol).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
+    val row = vals.agg(mg(col("_v")).as("_cands"), count(lit(1)).as("_n")).head()
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    vals.where(col("_v").isin(cands: _*))
+      .groupBy(col("_v").as(valueCol))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") > lit(n.toDouble) / k)
+  }
+
   /** Builds the bit-packed Bloom filter of `dim(keyCol)` — one tiny
     * driver row of numBits/64 longs (see [[graft.functions
     * .BloomFilterAggregator]] for the merge shape).

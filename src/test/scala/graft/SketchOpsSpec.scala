@@ -98,6 +98,24 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("heavyHitters: exact freq > n/k set under skew, any partitioning") {
+    // 1000 values: a×400, b×300, c×60, plus 240 distinct singletons;
+    // k=10 -> threshold 100 -> exactly {a, b} (c and the long tail
+    // must be pruned by the exact re-count even if MG kept them)
+    val rows = Seq.fill(400)("a") ++ Seq.fill(300)("b") ++ Seq.fill(60)("c") ++
+      (1 to 240).map(i => s"x$i")
+    val df = rows.toDF("v")
+    val expected = Set(("a", 400L), ("b", 300L))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = SketchOps.heavyHitters(df.repartition(parts), "v", 10)
+        .as[(String, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // below-threshold-only data: empty result, no spurious hitters
+    val uniform = (1 to 500).map(i => s"u${i % 100}").toDF("v")
+    assert(SketchOps.heavyHitters(uniform, "v", 50).isEmpty)
+  }
+
   test("gini: zero for equal values, hand-computed for concentrated ones") {
     import graft.ops.StatsOps
     val eq = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L)).toDF("g", "v")
