@@ -1020,6 +1020,263 @@ object SparkEntry {
       graft.ops.SketchOps.heavyHitters(toks, "token", 50)
         .orderBy(col("token"))
     }),
+    // ================= decision-support breadth (TPC-H shapes) ======
+    // The classic warehouse query shapes a user of the reference's
+    // BigQuery sink would run on the replicated tables, adapted to the
+    // driver schema (no partsupp/shipmode/phone). Each exercises a
+    // distinct planner feature; dims broadcast, sums ride DECIMAL.
+    // ----- Q12 shape: priority-class line counts (conditional agg
+    // over a fact-fact join) -----
+    "q100_priority_lines" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // ----- Q14 shape: promo revenue ratio (two-branch conditional
+    // sum in one pass, no self-join) -----
+    "q101_promo_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      val p = t(s, dir, "part")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).cast(DoubleType) /
+          sum(rev).cast(DoubleType), 6).as("promo_revenue"))
+    }),
+    // ----- Q15 shape: top supplier by revenue (agg -> scalar max ->
+    // filter back; the max side is a 1-row broadcast) -----
+    "q102_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // ----- Q16 shape: distinct-supplier counts with a NOT IN
+    // exclusion (anti join before the distinct agg) -----
+    "q103_supplier_cnt" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .where(col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      val excluded = t(s, dir, "supplier").where(col("s_acctbal") < 500)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+    // ----- Q18 shape: large-quantity orders (HAVING-filtered IN
+    // subquery as a semi join on the pre-aggregated key set) -----
+    "q104_large_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey").as("big_okey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .where(col("qty") > 200).select(col("big_okey"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    // ----- Q19 shape: disjunctive predicate blocks (OR of
+    // conjunctions; Catalyst pushes the common partkey equi-key) -----
+    "q105_disjunctive" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      val b1 = col("p_type") === "SMALL" &&
+        col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+      val b2 = col("p_type") === "MEDIUM" &&
+        col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+      val b3 = col("p_type") === "LARGE" &&
+        col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+      joined.where(b1 || b2 || b3)
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // ----- Q20 shape: nested IN chain (part set -> heavy shippers ->
+    // suppliers), all as semi joins -----
+    "q106_promo_shippers" -> ((s, dir) => {
+      val promoParts = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val heavy = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .where(col("qty") > 50).select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // ----- Q21 shape: sole-returner suppliers (EXISTS + NOT EXISTS
+    // self-correlation on the fact table -> semi + anti joins with
+    // inequality conditions) -----
+    "q107_sole_returner" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val f = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l1 = l.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+        .join(f, col("okey") === col("o_orderkey"), "left_semi")
+      val l2 = l.select(col("l_orderkey").as("okey2"), col("l_suppkey").as("skey2"))
+      val l3 = l.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("okey3"), col("l_suppkey").as("skey3"))
+      l1.join(l2, col("okey") === col("okey2") && col("skey") =!= col("skey2"), "left_semi")
+        .join(l3, col("okey") === col("okey3") && col("skey") =!= col("skey3"), "left_anti")
+        .join(t(s, dir, "supplier"), col("skey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+    // ----- Q22 shape: idle rich customers (scalar avg threshold +
+    // NOT EXISTS orders, grouped by a derived code) -----
+    "q108_idle_customers" -> ((s, dir) => {
+      val cc = t(s, dir, "customer")
+        .withColumn("code", col("c_custkey") % 10)
+        .where(col("code").isin(1L, 3L, 5L, 7L, 9L))
+      // threshold as exact decimal sum / count, divided in double —
+      // reproducible at any partitioning, unlike a double avg()
+      val avgBal = cc.where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_bal"))
+      cc.join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("totacctbal"))
+        .orderBy(col("code"))
+    }),
+    // ----- Q8 shape: market share of one supplier nation within a
+    // region's purchases, per year -----
+    "q109_market_share" -> ((s, dir) => {
+      val rgn = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n1 = t(s, dir, "nation")
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === n1("n_nationkey"))
+        .join(broadcast(rgn), n1("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_8", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).cast(DoubleType) /
+          sum(rev).cast(DoubleType), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+    // ----- Q9 shape: profit by supplier nation and year for one
+    // part family (retailprice stands in for supplycost) -----
+    "q110_nation_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_name").contains("red"))
+      val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * lit(0.1) * col("l_quantity"))
+        .cast(DecimalType(18, 6))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit), 2).cast(DoubleType).as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+    // ----- Q7 shape: bilateral shipping volume between two nations
+    // per year (same dim joined twice under different roles) -----
+    "q111_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val pair = (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .where(pair)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // ----- Q13 shape: customer order-count distribution (left outer
+    // with an ON-clause filter, then a histogram over the counts) -----
+    "q112_order_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderpriority") =!= "5-LOW")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // ----- Q2 shape: min-cost supplier per part (correlated min as a
+    // grouped min joined back on key + exact value equality) -----
+    "q113_min_price_supplier" -> ((s, dir) => {
+      val p10 = t(s, dir, "part").where(col("p_size") === 10)
+        .select(col("p_partkey"))
+      val unit = t(s, dir, "lineitem")
+        .join(broadcast(p10), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val best = unit.groupBy(col("l_partkey").as("bp"))
+        .agg(min(col("unit_price")).as("best_price"))
+      unit.join(best, col("l_partkey") === col("bp") &&
+          col("unit_price") === col("best_price"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("s_suppkey"), col("s_name"),
+          col("unit_price"))
+        .orderBy(col("partkey"), col("s_suppkey"))
+    }),
+    // ----- Q11 shape: important parts (group value above a scalar
+    // fraction-of-total threshold; 1-row broadcast nested loop) -----
+    "q114_important_parts" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("value"))
+      val tot = pv.agg(sum(col("value")).as("total"))
+      pv.join(broadcast(tot),
+          col("value").cast(DoubleType) > col("total").cast(DoubleType) * lit(0.002))
+        .select(col("l_partkey"), round(col("value"), 2).cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -2056,5 +2313,184 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM toks WHERE token <> '')
         |SELECT token, freq FROM f, n WHERE freq > n / 50
         |ORDER BY token""".stripMargin,
+    "q100_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q101_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q102_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q103_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1,5,10,15,20,25,30,35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q104_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q105_disjunctive" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'SMALL' AND l_quantity BETWEEN 1 AND 11
+        |    AND p_size BETWEEN 1 AND 5)
+        |  OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20
+        |    AND p_size BETWEEN 1 AND 10)
+        |  OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 30
+        |    AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q106_promo_shippers" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q107_sole_returner" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    "q108_idle_customers" ->
+      """WITH cc AS (
+        |  SELECT *, c_custkey % 10 AS code FROM customer
+        |  WHERE c_custkey % 10 IN (1,3,5,7,9)),
+        |t AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM cc WHERE c_acctbal > 0)
+        |SELECT code, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cc, t
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY code ORDER BY code""".stripMargin,
+    "q109_market_share" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_8'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q110_nation_profit" ->
+      """SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) -
+        |    p_retailprice * 0.1 * l_quantity AS DECIMAL(18,6))), 2)
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q111_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  EXTRACT(YEAR FROM l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q112_order_distribution" ->
+      """WITH counts AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM counts GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q113_min_price_supplier" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 10)
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT u.l_partkey AS partkey, s_suppkey, s_name, u.unit_price
+        |FROM unit u JOIN supplier ON u.l_suppkey = s_suppkey
+        |WHERE u.unit_price = (SELECT min(unit_price) FROM unit b
+        |  WHERE b.l_partkey = u.l_partkey)
+        |ORDER BY partkey, s_suppkey""".stripMargin,
+    "q114_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS value
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+        |FROM pv
+        |WHERE CAST(value AS DOUBLE) >
+        |  (SELECT CAST(sum(value) AS DOUBLE) * 0.002 FROM pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
   )
 }
