@@ -1277,6 +1277,61 @@ object SparkEntry {
         .select(col("l_partkey"), round(col("value"), 2).cast(DoubleType).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
+    // ================= tokenizer & corpus-card operators ============
+    // ----- BPE merge candidates: top adjacent token pairs (the first
+    // iteration of tokenizer training) -----
+    "q115_bpe_pairs" -> ((s, dir) => {
+      TextOps.bpePairCounts(t(s, dir, "documents"), "text", 30)
+        .orderBy(col("rank"))
+    }),
+    // ----- corpus card: per-source doc/char/token/language report -----
+    "q116_corpus_report" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          round(sum(TextOps.tokenCount(col("text")).cast(DecimalType(18, 0)))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("mean_tokens"))
+        .orderBy(col("source"))
+    }),
+    // ----- per-group percentile band filter: keep docs inside their
+    // source's [p05, p95] length band (outlier trim before training) -----
+    "q117_length_band" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy(col("source"))
+        .agg(percentile(col("n_chars"), lit(0.05)).as("lo"),
+          percentile(col("n_chars"), lit(0.95)).as("hi"))
+      docs.join(broadcast(stats), Seq("source"))
+        .where(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- language-ID feature table: top char trigrams per language
+    // over each doc's first 200 chars -----
+    "q118_char_trigrams" -> ((s, dir) => {
+      TextOps.charNgramProfile(t(s, dir, "documents"), "lang", "text",
+          n = 3, k = 5, prefixChars = 200)
+        .orderBy(col("lang"), col("rank"))
+    }),
+    // ----- tokenizer vocab coverage: per-doc OOV rate vs the corpus
+    // top-100 vocabulary -----
+    "q119_oov_rate" -> ((s, dir) => {
+      TextOps.oovRate(t(s, dir, "documents"), "doc_id", "text", 100)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- dedup report: per-source exact-duplicate rate on the
+    // normalized fingerprint -----
+    "q120_dup_rate" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextOps.normalizedFingerprint(col("text")))
+            .as("n_unique"))
+        .withColumn("dup_rate", round(lit(1.0) -
+          col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -2492,5 +2547,75 @@ object SparkEntry {
         |WHERE CAST(value AS DOUBLE) >
         |  (SELECT CAST(sum(value) AS DOUBLE) * 0.002 FROM pv)
         |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q115_bpe_pairs" ->
+      """WITH arr AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> w <> '') AS a
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a[i] || ' ' || a[i + 1] AS pair
+        |  FROM arr, UNNEST(range(1, len(a))) AS t(i)
+        |  WHERE len(a) >= 2),
+        |c AS (
+        |  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        |  ORDER BY n DESC, pair LIMIT 30)
+        |SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+        |FROM c ORDER BY rank""".stripMargin,
+    "q116_corpus_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  round(CAST(sum(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+        |    AS DECIMAL(18,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q117_length_band" ->
+      """WITH stats AS (
+        |  SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source AS source, n_chars
+        |FROM documents d JOIN stats s ON d.source = s.source
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |ORDER BY doc_id""".stripMargin,
+    "q118_char_trigrams" ->
+      """WITH p AS (
+        |  SELECT lang, lower(substr(text, 1, 200)) AS pref FROM documents),
+        |g AS (
+        |  SELECT lang, substr(pref, CAST(i AS INT), 3) AS gram
+        |  FROM p, UNNEST(range(1, len(pref) - 1)) AS t(i)
+        |  WHERE len(pref) >= 3),
+        |c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram),
+        |r AS (SELECT lang, gram, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rank
+        |  FROM c)
+        |SELECT lang, gram, n, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q119_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |ft AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM ft GROUP BY token)
+        |  ORDER BY n DESC, token LIMIT 100)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS oov_rate
+        |FROM ft GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q120_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'))) AS n_unique,
+        |  round(1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

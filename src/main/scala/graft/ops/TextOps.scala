@@ -191,6 +191,70 @@ object TextOps {
   def normalizedFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** BPE-style merge candidates: the `k` most frequent adjacent token
+    * pairs corpus-wide — the first iteration of byte-pair-encoding
+    * tokenizer training, which at production scale dominates the
+    * whole training loop (later iterations run on the shrinking merge
+    * table, not the corpus). Pair extraction is [[shinglesOfTokens]]
+    * at n=2 (map-side); one (pair) count shuffle with map-side
+    * combine; the top-k is a TakeOrdered over the aggregated,
+    * pair-vocabulary-sized counts. Tie-break: count desc, pair asc. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = Parallelism.ensure(df.select(col(textCol)))
+      .select(filter(tokens(col(textCol)), w => w =!= "").as("t"))
+      .where(size(col("t")) >= 2)
+    toks.select(explode(shinglesOfTokens(col("t"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-`k`
+    * vocabulary — the coverage check run before committing to a
+    * tokenizer vocab. The vocabulary is k rows (broadcast); the
+    * corpus-sized work is one token explode feeding a per-doc
+    * conditional count, so the doc shuffle carries two longs per
+    * document. Documents whose text tokenizes to nothing drop out
+    * (no tokens to rate). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val vocab = vocabulary(df, textCol, k)
+      .select(col("token"), lit(1).as("_in_vocab"))
+    Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Per-group top-`k` character n-gram profile over each document's
+    * first `prefixChars` characters — the feature table a trained
+    * language identifier is built from (prefix-bounded so cost per
+    * document is O(prefixChars), not O(doc)). The prefix projection
+    * is materialized by the parallelism exchange BEFORE the per-gram
+    * lambda runs: higher-order-function lambdas inline shared
+    * subtrees without CSE, so an un-materialized lower(substring(..))
+    * would re-run once per gram. One (group, gram) count shuffle;
+    * the rank window runs on gram-vocabulary-sized data. */
+  def charNgramProfile(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3, k: Int = 5, prefixChars: Int = 200): DataFrame = {
+    val pref = Parallelism.ensure(df.select(col(groupCol),
+      lower(substring(col(textCol), 1, prefixChars)).as("_pref")))
+    val p = col("_pref")
+    val counts = pref.where(length(p) >= n)
+      .select(col(groupCol), explode(transform(
+        sequence(lit(1), length(p) - (n - 1)),
+        i => p.substr(i, lit(n)))).as("gram"))
+      .groupBy(col(groupCol), col("gram")).agg(count(lit(1)).as("n"))
+    counts.withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("gram"))))
+      .where(col("rank") <= k)
+  }
+
   /** Per-document top-k TF-IDF terms: (id, token, tf, score, rank).
     *
     * Shape at scale: one (id, token) shuffle builds term counts, one

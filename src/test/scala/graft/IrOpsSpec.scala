@@ -162,4 +162,40 @@ class IrOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("bpePairCounts hand-computed adjacent pair frequencies") {
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(tiny, "text", 10)
+      .as[(String, Long, Int)].collect().toSeq
+    // pairs: doc1 -> (a b)(b a)(a b)(b c); doc2 -> (a b); doc3 -> none
+    assert(got == Seq(("a b", 3L, 1), ("b a", 1L, 2), ("b c", 1L, 3)))
+  }
+
+  test("bpePairCounts top-k tie-break is count desc then pair asc") {
+    val tiny = Seq((1L, "z y"), (2L, "a b"), (3L, "m n")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(tiny, "text", 2)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("a b", 1L, 1), ("m n", 1L, 2)))
+  }
+
+  test("oovRate against the top-k vocabulary; empty docs drop out") {
+    val tiny = Seq(
+      (1L, "a a b rare"), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
+    // k=2 vocab = {a (3), b (2)}; doc1 has 1 OOV of 4 tokens
+    val got = TextOps.oovRate(tiny, "doc_id", "text", 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("charNgramProfile hand-computed trigrams, prefix-bounded") {
+    val tiny = Seq(
+      ("en", "ababa"), ("en", "aba"), ("de", "xy")).toDF("lang", "text")
+    val got = TextOps.charNgramProfile(tiny, "lang", "text",
+        n = 3, k = 2, prefixChars = 4)
+      .as[(String, String, Long, Int)].collect().toSeq.sorted
+    // en doc1 prefix "abab": aba, bab; doc2 "aba": aba
+    // de doc "xy": too short, no grams
+    assert(got == Seq(("en", "aba", 2L, 1), ("en", "bab", 1L, 2)))
+  }
 }
