@@ -1332,6 +1332,96 @@ object SparkEntry {
           col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
         .orderBy(col("source"))
     }),
+    // ================= round-3 additions ============================
+    // ----- Q4 shape: order-priority check — EXISTS with a correlated
+    // inequality (late line), planned as a semi join on the equi-key
+    // with the inequality as residual condition -----
+    "q121_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // ----- Q6 shape: forecasting-revenue-change — pure scan+filter
+    // aggregate; every predicate pushes to the parquet scan -----
+    "q122_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // ----- §2.5 breadth: frame-clause value windows (first/last/nth
+    // over the full partition frame) + cume_dist -----
+    "q123_value_windows" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(first(col("value")).over(wAll), 6).as("first_v"),
+          round(last(col("value")).over(wAll), 6).as("last_v"),
+          round(nth_value(col("value"), 2).over(wAll), 6).as("second_v"),
+          round(cume_dist().over(wOrd), 6).as("cd"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- training pipeline: deterministic train/val/test assignment
+    // by multiplicative hashing (engine-portable integer arithmetic;
+    // stable under reshuffling, re-runs, and engine swaps) -----
+    "q124_hash_split" -> ((s, dir) => {
+      val h = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
+    // ----- boilerplate detection: the corpus's most-shared 5-gram
+    // shingles by distinct-document reach (one explode + one combined
+    // count/count-distinct shuffle; top-k over the shingle vocab) -----
+    "q125_boilerplate" -> ((s, dir) => {
+      val docs = graft.ops.Parallelism.ensure(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("shingle"))
+        .where(col("shingle") =!= "")
+        .groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+        .orderBy(col("n_docs").desc, col("n_occur").desc, col("shingle"))
+        .limit(20)
+    }),
+    // ----- similarity: maximum-inner-product top-k (the retrieval
+    // scoring used when embeddings are not L2-normalized) -----
+    "q126_dot_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 1)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      graft.ops.Parallelism.ensure(emb.select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"),
+          round(graft.functions.VectorExpressions.dot(
+            col("embedding"), lit(qv.toArray)), 6).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+    }),
+    // ----- export/report: per-user ordered event path (LISTAGG/
+    // string_agg equivalent via sorted collect_list, deterministic) -----
+    "q127_event_paths" -> ((s, dir) => {
+      t(s, dir, "events").where(col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+            sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("path"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
@@ -2617,5 +2707,64 @@ object SparkEntry {
         |    '\s+', ' ', 'g'))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q121_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q122_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q123_value_windows" ->
+      """SELECT user_id, event_id,
+        |  round(first_value(value) OVER w_all, 6) AS first_v,
+        |  round(last_value(value) OVER w_all, 6) AS last_v,
+        |  round(nth_value(value, 2) OVER w_all, 6) AS second_v,
+        |  round(cume_dist() OVER w_ord, 6) AS cd
+        |FROM events
+        |WINDOW
+        |  w_all AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  w_ord AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q124_hash_split" ->
+      """WITH s AS (SELECT *,
+        |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q125_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-4), i -> array_to_string(list_slice(toks, i+1, i+5), ' ')) END) AS shingle
+        |  FROM t)
+        |SELECT shingle, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+        |FROM sh WHERE shingle <> ''
+        |GROUP BY shingle
+        |ORDER BY n_docs DESC, n_occur DESC, shingle LIMIT 20""".stripMargin,
+    "q126_dot_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  round(list_inner_product(embedding::DOUBLE[], qv), 6) AS dot
+        |FROM embeddings, q
+        |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+    "q127_event_paths" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_id) AS path,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
