@@ -7,8 +7,24 @@ import org.apache.spark.sql.SparkSession
   * Each query runs twice and reports the warm timing — the first
   * pass absorbs JVM/codegen warmup, which at this scale dwarfs the
   * queries themselves.
+  *
+  * The driver captures only the LAST ~2000 chars of output
+  * (BENCH_r01/r02 both show a truncated, unparseable tail), so the
+  * stdout line carries the total plus a fixed headline subset, and
+  * the full per-query map goes to BENCH_DETAIL.json next to the
+  * build instead of stdout.
   */
 object Bench {
+  /** Representative subset kept small enough that the one-line JSON
+    * survives a 2000-char tail capture: the flagship aggregate /
+    * window / join shapes plus every historically slow query. */
+  private val headline = Seq(
+    "q01_agg", "q04_latest_row", "q28_near_dups", "q31_tumbling_window",
+    "q35_ship_priority", "q44_jaccard_dedup", "q47_dedup_clusters",
+    "q53_local_supplier_volume", "q60_zscore", "q63_tfidf", "q64_bm25",
+    "q69_bloom_join", "q109_market_share", "q114_important_parts",
+    "q125_boilerplate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,17 +53,27 @@ object Bench {
       // Hygiene between queries, outside the timed sections: drop any
       // cached plans and force a GC so the ContextCleaner releases
       // shuffle files, broadcasts, and checkpoint blocks. Without this
-      // the 84-query sweep accumulates blocks across queries and, on a
-      // small driver heap, later queries GC-thrash 10-30x (BENCH_r02:
+      // the 100+-query sweep accumulates blocks across queries and, on
+      // a small driver heap, later queries GC-thrash 10-30x (BENCH_r02:
       // q47 120s vs 2s in isolation at the same heap).
       spark.catalog.clearCache()
       System.gc()
       r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonOf(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full detail to a file (driver tail capture would truncate it)
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":${jsonOf(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    val byName = results.toMap
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"detail":"BENCH_DETAIL.json",""" +
+      s""""queries":${jsonOf(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

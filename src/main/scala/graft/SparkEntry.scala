@@ -1389,9 +1389,15 @@ object SparkEntry {
     // shingles by distinct-document reach (one explode + one combined
     // count/count-distinct shuffle; top-k over the shingle vocab) -----
     "q125_boilerplate" -> ((s, dir) => {
+      // tokenize once per doc behind the parallelism exchange, THEN
+      // shingle the token attribute: shingling the raw text column
+      // re-runs the regex split per transform-lambda element
+      // (interpreted HOFs have no CSE) — measured 9s vs 1s at sf0.1
       val docs = graft.ops.Parallelism.ensure(
-        t(s, dir, "documents").select(col("doc_id"), col("text")))
-      docs.select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("shingle"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("_t")))
+      docs.select(col("doc_id"),
+          explode(TextOps.shinglesOfTokens(col("_t"), 5)).as("shingle"))
         .where(col("shingle") =!= "")
         .groupBy(col("shingle"))
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
@@ -1410,6 +1416,17 @@ object SparkEntry {
             col("embedding"), lit(qv.toArray)), 6).as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
+    }),
+    // ----- flagship composition: end-to-end corpus cleaning (language
+    // allowlist -> token gate -> quality gate -> exact-dedup keep-min)
+    // as ONE declarative plan; filters run map-side, only survivors
+    // reach the single fingerprint shuffle -----
+    "q128_clean_corpus" -> ((s, dir) => {
+      TextOps.cleanCorpus(t(s, dir, "documents"), "doc_id", "text", "lang",
+          Seq("en", "fr"), minTokens = 20, minQuality = 0.75)
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
     }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
@@ -2760,6 +2777,34 @@ object SparkEntry {
         |  round(list_inner_product(embedding::DOUBLE[], qv), 6) AS dot
         |FROM embeddings, q
         |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+    "q128_clean_corpus" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    regexp_replace(lower(text), '\s', '', 'g') AS stripped
+        |  FROM documents WHERE lang IN ('en', 'fr')),
+        |m AS (SELECT doc_id, lang, source, text,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS DOUBLE) AS n,
+        |  CASE WHEN len(stripped) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_replace(stripped, '[^a-z]', '', 'g')) AS DOUBLE) / CAST(len(stripped) AS DOUBLE) END AS alpha,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','of','and','to','in','is','it',
+        |     'der','die','das','und','ist','nicht','ein',
+        |     'le','la','les','et','est','une','dans',
+        |     'el','la','los','y','es','una','en'], x))) AS DOUBLE) AS hits,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_aggregate(list_transform(toks, w -> CAST(len(w) AS BIGINT)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS wl
+        |FROM t),
+        |q AS (SELECT doc_id, lang, source, text, n, round(
+        |    0.3 * least(n / 64.0, 1.0) + 0.3 * alpha +
+        |    0.2 * least((CASE WHEN n = 0 THEN 0.0 ELSE hits / n END) * 4.0, 1.0) +
+        |    0.2 * (CASE WHEN wl >= 2.5 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+        |  FROM m),
+        |f AS (SELECT doc_id, lang, source, quality,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM q WHERE n >= 20 AND quality >= 0.75)
+        |SELECT doc_id, lang, source, quality FROM f
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q127_event_paths" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY event_id) AS path,

@@ -542,4 +542,32 @@ object TextOps {
         count(lit(1)).as("n_spans"),
         sum(col("_keep").cast("long")).as("n_kept"))
   }
+
+  /** End-to-end corpus cleaning in ONE declarative plan — the
+    * composition a training-data pipeline actually ships: language
+    * allowlist, then minimum token count, then the quality-score
+    * gate, then exact-duplicate removal keeping the smallest id per
+    * normalized fingerprint.
+    *
+    * Shape at scale: every gate is a pure column predicate, so the
+    * filters run map-side on the parquet scan (language equality
+    * pushes into the scan itself) and only SURVIVORS reach the single
+    * fingerprint-keyed exchange for the keep-min window. At 100 TB
+    * the shuffle carries the cleaned subset, not the corpus, and each
+    * stage's selectivity is observable per-partition in the UI. The
+    * output keeps the input columns plus the computed `quality`.
+    */
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, langs: Seq[String], minTokens: Int,
+      minQuality: Double): DataFrame = {
+    val gated = df
+      .where(col(langCol).isin(langs: _*))
+      .where(tokenCount(col(textCol)) >= minTokens)
+      .withColumn("quality", qualityScore(col(textCol)))
+      .where(col("quality") >= minQuality)
+      .withColumn("_fp", normalizedFingerprint(col(textCol)))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    gated.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_fp", "_rn")
+  }
 }
