@@ -16,6 +16,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRewrite)
   }
 }
 
@@ -27,8 +28,11 @@ object GraftSparkExtensions {
     // sessionState is already built here, so the optimizer rule goes
     // through the experimental-methods escape hatch instead of
     // injectOptimizerRule (which only works pre-build)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.VectorFoldRewrite))
+    val rules = Seq(graft.plans.VectorFoldRewrite,
+      graft.plans.LevenshteinThresholdRewrite)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.VectorFoldRewrite
+        spark.experimental.extraOptimizations ++ missing
   }
 }
