@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
@@ -89,11 +89,32 @@ final case class FramePosition(position: Long) extends Offset {
   *   and sink (BufferSize=5000, pkg/imports/importer.go:34) and of
   *   `maxOffsetsPerTrigger` in Spark's built-in sources. */
 final class PgOutputFrameStream(path: String, maxFramesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   override def initialOffset(): Offset = FramePosition(0L)
 
+  /** Catch-up bound captured at query start under
+    * Trigger.AvailableNow: the backlog drains to exactly this frame
+    * count — in maxFramesPerTrigger-sized admission steps, so the
+    * bounded-batch backpressure still applies — and then the query
+    * stops on its own. Frames appended after the capture wait for the
+    * next run, which resumes from the checkpoint. This is the
+    * reference's "import then exit" operational mode (a worker that
+    * drains the queue and terminates) expressed through Spark's
+    * trigger contract.
+    */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(PgOutputFrameLog.frameCount(path))
+
+  private def visibleFrameCount: Long = {
+    val total = PgOutputFrameLog.frameCount(path)
+    availableNowBound.fold(total)(b => math.min(total, b))
+  }
+
   override def latestOffset(): Offset =
-    FramePosition(PgOutputFrameLog.frameCount(path))
+    FramePosition(visibleFrameCount)
 
   override def getDefaultReadLimit: ReadLimit =
     maxFramesPerTrigger.map(m => ReadLimit.maxRows(m))
@@ -101,7 +122,7 @@ final class PgOutputFrameStream(path: String, maxFramesPerTrigger: Option[Long] 
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FramePosition].position
-    val total = PgOutputFrameLog.frameCount(path)
+    val total = visibleFrameCount
     FramePosition(maxFramesPerTrigger.fold(total)(m => math.min(total, s + m)))
   }
 

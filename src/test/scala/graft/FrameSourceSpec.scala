@@ -48,6 +48,44 @@ class FrameSourceSpec extends AnyFunSuite {
     assert(batchSizes.length >= (total / 3).toInt)
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    val dir = tmp(); val ckpt = tmp()
+    PgOutputFrameLog.append(dir, "seg-000",
+      txn(100L, 1L -> "a", 2L -> "b") ++ txn(200L, 3L -> "c", 4L -> "d"))
+    val backlog = PgOutputFrameLog.frameCount(dir)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.PgOutputFrameSource")
+        .option("path", dir)
+        .option("maxFramesPerTrigger", "3")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batchSizes.synchronized { batchSizes += batch.count() }
+          ()
+        }
+        .start()
+      // AvailableNow terminates on its own once the captured backlog
+      // is drained — the "catch up then exit" operational mode
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+    }
+    drain()
+    assert(batchSizes.sum == backlog)
+    assert(batchSizes.forall(_ <= 3), s"batches exceeded limit: $batchSizes")
+    assert(batchSizes.length >= (backlog / 3).toInt, "admission bound ignored")
+
+    // frames appended later are NOT part of the finished run; a second
+    // AvailableNow run resumes from the checkpoint and takes only them
+    PgOutputFrameLog.append(dir, "seg-001", txn(300L, 5L -> "e"))
+    val added = PgOutputFrameLog.frameCount(dir) - backlog
+    batchSizes.clear()
+    drain()
+    assert(batchSizes.sum == added, s"second run must take only the new frames: $batchSizes")
+  }
+
   test("primary key discovery: single key ok, none/composite rejected") {
     import graft.model.{ColumnSpec, TableSchema}
     import graft.sources.ImportSource._
