@@ -177,6 +177,42 @@ object EpochFileSink {
     if (epochs.isEmpty) None
     else Some((epochs.map(_._1).max, epochs.map(_._2).max))
   }
+
+  /** Read back exactly the committed rows: only files LISTED in an
+    * epoch's `_MANIFEST.json` are loaded. A glob read over
+    * `part-*.jsonl` under every epoch dir trusts the directory
+    * contents; this reader trusts the commit record — on stores where rename is not
+    * atomic (or after manual interference), stray part files in an
+    * epoch directory are ignored and uncommitted epochs contribute
+    * nothing. The manifest listing is driver-side and O(epochs);
+    * the data read is a parallel multi-file JSON scan.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesRe = """"files":\[([^\]]*)\]""".r
+    val nameRe = "\"([^\"]+)\"".r
+    val committed: Seq[String] =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+        .flatMap { s =>
+          val manifest = new Path(s.getPath, "_MANIFEST.json")
+          if (!fs.exists(manifest)) Seq.empty
+          else {
+            val in = fs.open(manifest)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            filesRe.findFirstMatchIn(text).toSeq.flatMap(m =>
+              nameRe.findAllMatchIn(m.group(1)).map(f =>
+                new Path(s.getPath, f.group(1)).toString))
+          }
+        }
+    if (committed.isEmpty)
+      spark.emptyDataFrame
+    else spark.read.json(committed: _*)
+  }
 }
 
 final class EpochWriterFactory(root: String, schema: StructType,

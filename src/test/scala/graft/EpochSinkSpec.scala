@@ -62,6 +62,23 @@ class EpochSinkSpec extends AnyFunSuite {
     // staging space is empty after commit
     val staging = new java.io.File(out, "_staging")
     assert(!staging.exists() || staging.listFiles().isEmpty)
+
+    // the manifest-driven reader returns exactly the committed rows,
+    // ignoring (a) a stray part file inside a committed epoch dir and
+    // (b) a whole uncommitted epoch dir — the cases a glob read trusts
+    Files.writeString(epochs.head.toPath.resolve("part-stray-999.jsonl"),
+      """{"lsn":777,"msg":"stray"}""" + "\n")
+    val orphan = new java.io.File(out, "epoch=999")
+    orphan.mkdirs()
+    Files.writeString(orphan.toPath.resolve("part-00000-0.jsonl"),
+      """{"lsn":888,"msg":"uncommitted"}""" + "\n")
+    val committedOnly = EpochFileSink.readCommitted(spark, out)
+      .select($"lsn", $"msg").orderBy("lsn").as[(Long, String)].collect().toSeq
+    assert(committedOnly == Seq((1L, "a"), (2L, "b"), (9L, "c")))
+    val glob = spark.read
+      .schema(StructType(Seq(StructField("lsn", LongType), StructField("msg", StringType))))
+      .json(s"$out/epoch=*/part-*.jsonl")
+    assert(glob.count() == 5, "glob read should see the planted strays")
   }
 
   test("replayed epoch commit is a no-op: duplicates never reach committed space") {
