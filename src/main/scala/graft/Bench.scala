@@ -38,6 +38,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production posture: graft SQL functions + optimizer rules active
+    graft.functions.GraftSparkExtensions.register(spark)
 
     // session/codegen warmup on a small scan + shuffle
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()

@@ -19,6 +19,8 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production posture: graft SQL functions + optimizer rules active
+    graft.functions.GraftSparkExtensions.register(spark)
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warmup
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

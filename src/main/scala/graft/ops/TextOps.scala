@@ -245,10 +245,16 @@ object TextOps {
     val pref = Parallelism.ensure(df.select(col(groupCol),
       lower(substring(col(textCol), 1, prefixChars)).as("_pref")))
     val p = col("_pref")
+    // explode the POSITIONS, then substring in a separate projection:
+    // both Generate-over-sequence and substring are whole-stage
+    // codegen'd, whereas transform(sequence, i -> substr) evaluates an
+    // interpreted lambda per gram (~1M evals at sf0.1, measured ~2x
+    // slower). The prefix column rides the pipelined Generate; nothing
+    // is materialized before the partial aggregate.
     val counts = pref.where(length(p) >= n)
-      .select(col(groupCol), explode(transform(
-        sequence(lit(1), length(p) - (n - 1)),
-        i => p.substr(i, lit(n)))).as("gram"))
+      .select(col(groupCol), p,
+        explode(sequence(lit(1), length(p) - (n - 1))).as("_i"))
+      .select(col(groupCol), p.substr(col("_i"), lit(n)).as("gram"))
       .groupBy(col(groupCol), col("gram")).agg(count(lit(1)).as("n"))
     counts.withColumn("rank", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("gram"))))

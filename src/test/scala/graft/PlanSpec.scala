@@ -39,6 +39,28 @@ class PlanSpec extends AnyFunSuite {
       !s.contains("l_extendedprice"), "expected pruned read schema")
   }
 
+  test("corpus cleaning: lang filter pushed to scan, ONE shuffle (the fingerprint window)") {
+    val df = graft.ops.TextOps.cleanCorpus(
+      ImportSource.table(spark, sf, "documents"),
+      "doc_id", "text", "lang", Seq("en", "fr"), minTokens = 20, minQuality = 0.75)
+    val s = planString(df)
+    // the language allowlist is a scan-level pushed filter: at 100 TB
+    // the gate applies inside the parquet reader, not after it
+    assert(s.contains("PushedFilters:") && s.contains("In(lang"),
+      s"expected lang IN pushed to scan:\n$s")
+    // token/quality gates are map-side; the only exchange is the
+    // fingerprint keep-min window
+    assert(shuffles(df) == 1, s"expected exactly one shuffle:\n$s")
+  }
+
+  test("Q6 shape: every predicate reaches the scan (pure pushed-filter aggregate)") {
+    val df = SparkEntry.queries("q122_forecast_revenue")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("PushedFilters:") && s.contains("l_shipdate") &&
+      s.contains("l_discount") && s.contains("l_quantity"),
+      s"expected all Q6 predicates pushed:\n$s")
+  }
+
   test("keyset page plans as pushed filter + global TakeOrdered (no full sort)") {
     val df = ImportSource.keysetPage(
       ImportSource.table(spark, sf, "orders"), "o_orderkey", Some(100L), 50)
