@@ -1396,8 +1396,8 @@ object SparkEntry {
       val docs = graft.ops.Parallelism.ensure(
         t(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("_t")))
-      docs.select(col("doc_id"),
-          explode(TextOps.shinglesOfTokens(col("_t"), 5)).as("shingle"))
+      TextOps.explodeShingles(docs, col("_t"), 5, "shingle")
+        .select(col("doc_id"), col("shingle"))
         .where(col("shingle") =!= "")
         .groupBy(col("shingle"))
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))

@@ -204,10 +204,10 @@ object DedupOps {
       corpus: DataFrame, testSet: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 5): DataFrame = {
     def shingleHashes(df: DataFrame): DataFrame =
-      Parallelism.ensure(df.select(col(idCol).as("id"),
-          TextOps.tokens(col(textCol)).as("_t")))
-        .select(col("id"),
-          explode(TextOps.shinglesOfTokens(col("_t"), shingleSize)).as("s"))
+      TextOps.explodeShingles(
+          Parallelism.ensure(df.select(col(idCol).as("id"),
+            TextOps.tokens(col(textCol)).as("_t"))),
+          col("_t"), shingleSize, "s")
         .select(col("id"), md5(col("s")).as("h"))
     val testShingles = broadcast(shingleHashes(testSet).select(col("h")).distinct())
     val contaminated = shingleHashes(corpus)

@@ -108,6 +108,22 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
 
+  /** Explode word n-gram shingles through whole-stage codegen:
+    * positions come from a Generate over `sequence` and each gram
+    * from a codegen'd `slice`+`concat_ws`, instead of exploding the
+    * [[shinglesOfTokens]] array (whose per-element transform lambda
+    * is interpreted — measured ~2x slower at sf0.1). Semantics match
+    * shinglesOfTokens exactly, including the short-text case (one
+    * shingle of the whole array). The token array must already be a
+    * projected attribute. Appends column `out`, one row per shingle.
+    */
+  def explodeShingles(df: DataFrame, toksCol: Column, n: Int,
+      out: String): DataFrame =
+    df.withColumn("_shingle_i",
+        explode(sequence(lit(1), greatest(size(toksCol) - (n - 1), lit(1)))))
+      .withColumn(out, concat_ws(" ", slice(toksCol, col("_shingle_i"), lit(n))))
+      .drop("_shingle_i")
+
   /** Content-defined document fingerprint: the lexicographic min of
     * md5 over word 3-gram shingles (winnowing reduced to one band).
     * Two documents sharing their minimal shingle hash collide —
