@@ -1428,6 +1428,35 @@ object SparkEntry {
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
+    // ----- §2.8 breadth: calendar/date feature extraction (the
+    // feature-engineering scalars a training pipeline derives from
+    // event time; all map-side, no shuffle but the final agg) -----
+    "q129_date_features" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(d).as("y"), quarter(d).as("q"), month(d).as("m"),
+          dayofweek(d).as("dow"), weekofyear(d).as("woy"),
+          datediff(lit("1998-12-31").cast(DateType), d).as("days_to_end"))
+        .groupBy(col("y"), col("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dow").cast(DecimalType(18, 0))).cast(LongType).as("dow_sum"),
+          min(col("days_to_end")).as("min_days_to_end"))
+        .orderBy(col("y"), col("q"))
+    }),
+    // ----- §2.8 breadth: string normalization scalars (pad/case/
+    // translate/position — export-formatting surface) -----
+    "q130_string_funcs" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 12, ".").as("padded"),
+          initcap(lower(col("n_name"))).as("title"),
+          translate(col("n_name"), "_", "-").as("dashed"),
+          instr(col("n_name"), "_").as("uspos"),
+          reverse(col("n_name")).as("rev"),
+          substring(col("n_name"), 1, 3).as("pre3"))
+        .orderBy(col("n_nationkey"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2805,6 +2834,29 @@ object SparkEntry {
         |SELECT doc_id, lang, source, quality FROM f
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q129_date_features" ->
+      """WITH f AS (SELECT o_orderkey,
+        |    EXTRACT(YEAR FROM o_orderdate) AS y,
+        |    EXTRACT(QUARTER FROM o_orderdate) AS q,
+        |    dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+        |    datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |      AS days_to_end
+        |  FROM orders)
+        |SELECT y, q, count(*) AS n,
+        |  CAST(sum(dow) AS BIGINT) AS dow_sum,
+        |  min(days_to_end) AS min_days_to_end
+        |FROM f GROUP BY y, q ORDER BY y, q""".stripMargin,
+    "q130_string_funcs" ->
+      """SELECT n_nationkey,
+        |  lpad(n_name, 12, '.') AS padded,
+        |  list_aggregate(list_transform(string_split(lower(n_name), ' '),
+        |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS title,
+        |  replace(n_name, '_', '-') AS dashed,
+        |  CASE WHEN contains(n_name, '_')
+        |    THEN position('_' IN n_name) ELSE 0 END AS uspos,
+        |  reverse(n_name) AS rev,
+        |  n_name[1:3] AS pre3
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q127_event_paths" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY event_id) AS path,
