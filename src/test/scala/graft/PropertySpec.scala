@@ -103,6 +103,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cleanCorpus is idempotent: cleaning a cleaned corpus changes nothing") {
+    import graft.ops.TextOps
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = graft.sources.ImportSource.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val once = TextOps.cleanCorpus(docs, "doc_id", "text", "lang",
+      Seq("en", "fr"), minTokens = 20, minQuality = 0.75)
+    val twice = TextOps.cleanCorpus(once.drop("quality"), "doc_id", "text", "lang",
+      Seq("en", "fr"), minTokens = 20, minQuality = 0.75)
+    val a = once.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = twice.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("latest-row view: idempotent under replay, insensitive to batch arrival order") {
     // the invariant that makes at-least-once delivery + append-only
     // raw tables safe (SURVEY §5 dedup-view property)
