@@ -1457,6 +1457,36 @@ object SparkEntry {
           substring(col("n_name"), 1, 3).as("pre3"))
         .orderBy(col("n_nationkey"))
     }),
+    // ----- §2.3 breadth: null-safe equality join (<=> / IS NOT
+    // DISTINCT FROM) — NULL keys pair with NULL keys, the semantics
+    // CDC key comparison needs when a nullable column is part of the
+    // identity -----
+    "q131_nullsafe_join" -> ((s, dir) => {
+      // derive a nullable join key deterministically: multiples of 7
+      // become NULL on both sides
+      val a = t(s, dir, "nation")
+        .select(when(col("n_nationkey") % 7 === 0, lit(null))
+          .otherwise(col("n_regionkey")).as("ka"),
+          col("n_nationkey"))
+      val b = t(s, dir, "region")
+        .select(when(col("r_regionkey") === 0, lit(null))
+          .otherwise(col("r_regionkey")).as("kb"),
+          col("r_name"))
+      a.join(b, col("ka") <=> col("kb"))
+        .select(col("n_nationkey"), col("r_name"))
+        .orderBy(col("n_nationkey"), col("r_name"))
+    }),
+    // ----- §2.4 breadth: modern conditional aggregates (count_if /
+    // FILTER clause, bool_and/bool_or) -----
+    "q132_conditional_aggs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          min(col("o_orderpriority")).as("min_priority"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2834,6 +2864,22 @@ object SparkEntry {
         |SELECT doc_id, lang, source, quality FROM f
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q131_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+        |    ELSE n_regionkey END AS ka, n_nationkey FROM nation),
+        |b AS (SELECT CASE WHEN r_regionkey = 0 THEN NULL
+        |    ELSE r_regionkey END AS kb, r_name FROM region)
+        |SELECT n_nationkey, r_name
+        |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |ORDER BY n_nationkey, r_name""".stripMargin,
+    "q132_conditional_aggs" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  min(o_orderpriority) AS min_priority
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q129_date_features" ->
       """WITH f AS (SELECT o_orderkey,
         |    EXTRACT(YEAR FROM o_orderdate) AS y,
