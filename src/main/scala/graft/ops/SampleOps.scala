@@ -58,6 +58,9 @@ object SampleOps {
     val counts = df.where(col(stratumCol).isin(shares.keys.toSeq: _*))
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // empty corpus / no requested stratum present: nothing to sample
+    // (min over zero strata would throw)
+    if (counts.isEmpty) return df.where(lit(false))
     val nTotal = shares.collect {
       case (s, share) if counts.contains(s) => counts(s) / share
     }.min

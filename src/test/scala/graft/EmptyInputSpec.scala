@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Envelope
+import graft.ops._
+
+/** Empty-input robustness: at 100 TB every operator eventually meets
+  * an empty table, an empty partition, or a filter that matches
+  * nothing — none may throw, and all must produce an empty (or
+  * well-defined) result. Each op runs on a zero-row slice of its
+  * usual input so schemas are realistic.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs0: DataFrame =
+    graft.sources.ImportSource.table(spark, sf, "documents").where(lit(false))
+  private def events0: DataFrame =
+    graft.sources.ImportSource.table(spark, sf, "events").where(lit(false))
+
+  test("text/dedup/sampling operators accept empty corpora") {
+    assert(DedupOps.exactDuplicates(docs0, "doc_id", "text").count() == 0)
+    assert(DedupOps.jaccardNearDuplicates(docs0, "doc_id", "text", 0.0).count() == 0)
+    assert(DedupOps.nearDuplicates(docs0, "doc_id", "text", 0.0).count() == 0)
+    assert(DedupOps.decontaminate(docs0, docs0, "doc_id", "text").count() == 0)
+    assert(TextOps.cleanCorpus(docs0, "doc_id", "text", "lang",
+      Seq("en"), 1, 0.0).count() == 0)
+    assert(TextOps.tfidfTopTerms(docs0, "doc_id", "text", 3).count() == 0)
+    assert(TextOps.bm25(docs0, "doc_id", "text", Seq("x")).count() == 0)
+    assert(TextOps.vocabulary(docs0, "text", 5).count() == 0)
+    assert(TextOps.invertedIndex(docs0, "doc_id", "text").count() == 0)
+    assert(SampleOps.weightedSample(docs0, "doc_id", "n_chars", 0.01).count() == 0)
+    assert(SampleOps.mixtureSample(docs0, "doc_id", "lang",
+      Map("en" -> 1.0)).count() == 0)
+    assert(PackOps.chunkAssignments(docs0, "doc_id",
+      TextOps.tokenCount(col("text")), 512L).count() == 0)
+  }
+
+  test("changelog/window/join operators accept empty changelogs") {
+    val cl0 = events0.select(
+      col("ts").as(Envelope.TimestampCol),
+      col("event_id").as(Envelope.LsnCol),
+      col("user_id"), lit("UPDATE").as(Envelope.OperationCol), col("value"))
+      .withColumn(Envelope.SequenceCol, lit(null).cast("long"))
+    assert(ChangelogOps.latestRowView(cl0, Seq(col("user_id"))).count() == 0)
+    assert(ChangelogOps.sessionize(events0, col("user_id"), col("ts"), 60L).count() == 0)
+    assert(ChangelogOps.gapDetect(events0, col("event_id")).count() == 0)
+    assert(TemporalJoins.asOfJoin(
+      events0.select(col("user_id"), col("ts"), col("event_id")),
+      events0.select(col("user_id"), col("ts"), col("value")),
+      "user_id", "user_id", "ts", "ts", Seq("value")).count() == 0)
+    // the fold over zero rows is the identity InsertResult, not a crash
+    val r = ChangelogOps.insertResult(
+      events0.withColumnRenamed("event_id", Envelope.LsnCol))
+    assert(r.count() == 1) // one summary row: (0 rows, null lsn)
+  }
+
+  test("duplicate clustering converges immediately on an empty pair list") {
+    val pairs0 = spark.range(0).select(col("id").as("id_a"), col("id").as("id_b"))
+    assert(DedupOps.duplicateClusters(pairs0).count() == 0)
+  }
+}
