@@ -1487,6 +1487,15 @@ object SparkEntry {
           min(col("o_orderpriority")).as("min_priority"))
         .orderBy(col("o_orderstatus"))
     }),
+    // ----- similarity: exact Euclidean (L2) top-k via the
+    // polarization identity (all terms through the native codegen dot;
+    // oracle reproduces the identical double arithmetic) -----
+    "q133_l2_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 2)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      SimilarityOps.l2TopK(emb, "vec_id", "embedding", qv, 10)
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2864,6 +2873,15 @@ object SparkEntry {
         |SELECT doc_id, lang, source, quality FROM f
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q133_l2_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
+        |SELECT vec_id,
+        |  round(sqrt(greatest(
+        |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      - 2.0 * list_inner_product(embedding::DOUBLE[], qv)
+        |      + list_inner_product(qv, qv), 0.0)), 6) AS l2
+        |FROM embeddings, q
+        |ORDER BY l2, vec_id LIMIT 10""".stripMargin,
     "q131_nullsafe_join" ->
       """WITH a AS (SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
         |    ELSE n_regionkey END AS ka, n_nationkey FROM nation),

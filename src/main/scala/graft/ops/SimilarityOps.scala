@@ -62,6 +62,29 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Brute-force Euclidean (L2) top-k against one query vector —
+    * the distance family for unnormalized embeddings where magnitude
+    * carries signal. Computed via the polarization identity
+    * d² = <v,v> − 2<v,q> + <q,q> so all three terms run through the
+    * native codegen'd dot product (the direct sum-of-squared-diffs
+    * form would be an interpreted zip_with fold), and the oracle can
+    * reproduce the exact double arithmetic term for term. Map-side
+    * scoring, TakeOrderedAndProject — same zero-shuffle shape as
+    * [[cosineTopK]].
+    */
+  def l2TopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val v = col(vecCol)
+    val d2 = dot(v, v) - lit(2.0) * dot(v, q) + dot(q, q)
+    Parallelism.ensure(embeddings.select(col(idCol), v))
+      .select(col(idCol),
+        round(sqrt(greatest(d2, lit(0.0))), 6).as("l2"))
+      .orderBy(col("l2").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane component: md5("plane<p>|<d>") first 8
     * hex chars as uint32, scaled to [-1, 1) — identical math to the
     * oracle SQL, but evaluated ONCE driver-side: the hyperplane
