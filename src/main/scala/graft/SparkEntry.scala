@@ -1496,6 +1496,21 @@ object SparkEntry {
         .select(col("embedding")).collect()(0).getSeq[Float](0)
       SimilarityOps.l2TopK(emb, "vec_id", "embedding", qv, 10)
     }),
+    // ----- §2.11(c): the native as-of join physical operator (custom
+    // LogicalPlan + Strategy + merge exec) — same DuckDB ASOF oracle
+    // as q40/q58, third execution strategy for the same semantics -----
+    "q134_asof_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      TemporalJoins.asOfJoinNative(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2873,6 +2888,13 @@ object SparkEntry {
         |SELECT doc_id, lang, source, quality FROM f
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q134_asof_native" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q133_l2_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
         |SELECT vec_id,

@@ -17,6 +17,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     VectorExpressions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -34,5 +35,8 @@ object GraftSparkExtensions {
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ missing
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

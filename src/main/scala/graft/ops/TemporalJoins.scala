@@ -140,4 +140,36 @@ object TemporalJoins {
           col("_gr._rts") <= col("_gl._lts") + widthSec)
       .drop("_lband", "_rband", "_lts", "_rts")
   }
+
+  /** As-of join through the native physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics as [[asOfJoin]]
+    * (inclusive at-or-before, greatest-payload tie-break, left-outer;
+    * NULL keys never match), but executed as a per-partition forward
+    * merge over key-clustered, time-sorted children — O(|L| + |R|)
+    * per partition with no union materialization and no window
+    * buffering. Requires [[graft.functions.GraftSparkExtensions]]
+    * (the planner strategy) on the session.
+    */
+  def asOfJoinNative(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "asOfJoinNative needs a right payload")
+    import graft.plans.AsOfJoinNode
+    import org.apache.spark.sql.graftbridge.Bridge
+    val lp = Bridge.analyzed(left)
+    // restrict the right side to what the operator reads, so column
+    // pruning happens by construction
+    val rp = Bridge.analyzed(
+      right.select((Seq(rightKey, rightTs) ++ rightPayload).distinct.map(col): _*))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    Bridge.ofRows(left.sparkSession,
+      AsOfJoinNode(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTs), attr(rp, rightTs),
+        rightPayload.map(attr(rp, _))))
+  }
 }

@@ -94,6 +94,51 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(hashExchanges <= 1, s"fact side must not shuffle:\n$plan")
   }
 
+  test("asOfJoinNative (custom physical operator) equals asOfJoin incl. ties and missing keys") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    val viaWindow = TemporalJoins.asOfJoin(trades, quotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])].collect().toMap
+    val native = TemporalJoins.asOfJoinNative(trades, quotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])].collect().toMap
+    assert(native == viaWindow)
+
+    // ties at equal (key, ts): greatest payload, same as the window form
+    val dupQuotes = quotes.unionByName(
+      Seq(("A", ts("2024-01-01 10:00:05"), 150.0)).toDF("q_sym", "q_ts", "price"))
+    val tied = TemporalJoins.asOfJoinNative(trades, dupQuotes,
+        "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])].collect().toMap
+    assert(tied(2L).contains(150.0) && tied(3L).contains(150.0))
+
+    // the plan is the custom exec: no window, no union, one merge node
+    val plan = TemporalJoins.asOfJoinNative(trades, quotes,
+      "sym", "q_sym", "ts", "q_ts", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      s"native plan must not fall back to union+window:\n$plan")
+  }
+
+  test("asOfJoinNative equals asOfJoin on the events table (real data, many keys)") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    val ev = graft.sources.ImportSource.table(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("p_event_id"), $"value".as("p_value"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"p_event_id", $"p_value")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val a = key(TemporalJoins.asOfJoin(clicks, purchases,
+      "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value")))
+    val b = key(TemporalJoins.asOfJoinNative(clicks, purchases,
+      "user_id", "p_user", "ts", "p_ts", Seq("p_event_id", "p_value")))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bandedRangeJoin finds exactly the pairs inside (ts, ts+width]") {
     val e = Seq(
       (1L, "u1", ts("2024-01-01 10:00:00")),
