@@ -1511,6 +1511,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
         .orderBy(col("event_id"))
     }),
+    // ----- §2.2 breadth: UNPIVOT/melt (wide -> long reshaping, the
+    // inverse of q56's pivot) + per-measure aggregate -----
+    "q135_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(DecimalType(18, 4))).cast(DoubleType).as("total"),
+          round(avg(col("val")), 6).as("mean"))
+        .orderBy(col("measure"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2895,6 +2909,15 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q135_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, measure, val
+        |  FROM (SELECT l_orderkey, l_quantity, l_discount, l_tax FROM lineitem)
+        |  UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax)))
+        |SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  round(avg(val), 6) AS mean
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "q133_l2_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
         |SELECT vec_id,
