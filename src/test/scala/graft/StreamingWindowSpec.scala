@@ -172,6 +172,51 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(streamedSessions.nonEmpty)
   }
 
+  test("append mode emits a window exactly once, only after the watermark closes it") {
+    // the sink-facing contract for incremental window emission: a
+    // window row appears in the output stream exactly once, finalized,
+    // when the watermark passes its end — not before, and never again
+    val src = Files.createTempDirectory("graft-append").toString
+    import java.sql.Timestamp
+    def batch(rows: (String, Long)*) =
+      rows.toSeq.map { case (t, v) => (Timestamp.valueOf(t), v) }
+        .toDF("ts", "v")
+
+    batch("2024-01-01 10:05:00" -> 1L, "2024-01-01 10:50:00" -> 2L)
+      .write.parquet(s"$src/b0")
+    val q = spark.readStream.schema("ts TIMESTAMP, v LONG").parquet(s"$src/*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(sum($"v").as("total"))
+      .select($"window.start".as("w"), $"total")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("append_out").start()
+    try {
+      q.processAllAvailable()
+      // watermark still inside hour 10: nothing finalized yet
+      assert(spark.table("append_out").count() == 0)
+
+      // an event far past hour 10 advances the watermark beyond 11:00:
+      // the 10:00 window must emit, finalized with BOTH rows
+      batch("2024-01-01 12:30:00" -> 5L).write.mode("append").parquet(s"$src/b1")
+      q.processAllAvailable()
+      val after = spark.table("append_out")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(after == Map(Timestamp.valueOf("2024-01-01 10:00:00") -> 3L))
+
+      // more data past the next hour: hour-12 closes and emits once;
+      // hour-10 must NOT re-emit
+      batch("2024-01-01 13:30:00" -> 7L).write.mode("append").parquet(s"$src/b2")
+      q.processAllAvailable()
+      val again = spark.table("append_out")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(again == Map(
+        Timestamp.valueOf("2024-01-01 10:00:00") -> 3L,
+        Timestamp.valueOf("2024-01-01 12:00:00") -> 5L))
+      assert(spark.table("append_out").count() == 2) // exactly once each
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running state across micro-batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // per-user running event count + max lsn — the distributed,
