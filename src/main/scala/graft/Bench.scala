@@ -23,7 +23,7 @@ object Bench {
     "q35_ship_priority", "q44_jaccard_dedup", "q47_dedup_clusters",
     "q53_local_supplier_volume", "q60_zscore", "q63_tfidf", "q64_bm25",
     "q69_bloom_join", "q109_market_share", "q114_important_parts",
-    "q125_boilerplate")
+    "q125_boilerplate", "q134_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
