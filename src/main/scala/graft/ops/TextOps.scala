@@ -130,13 +130,16 @@ object TextOps {
     * a cheap near-dup prefilter; md5 keeps it engine-portable.
     */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => md5(s)))
+    minShingleFingerprintOfTokens(tokens(text), n)
 
   /** [[minShingleFingerprint]] over an already-tokenized array
-    * column (see [[shinglesOfTokens]] for why that matters in
-    * compute-dense pipelines). */
+    * column. Runs through the native codegen'd
+    * [[graft.functions.MinShingleMd5]] — one pass, no interpreted
+    * per-shingle lambda, no intermediate shingle/hash arrays; equal
+    * to `array_min(transform(shinglesOfTokens(t, n), md5))` bit for
+    * bit (asserted in VectorExpressionsSpec). */
   def minShingleFingerprintOfTokens(t: Column, n: Int = 3): Column =
-    array_min(transform(shinglesOfTokens(t, n), s => md5(s)))
+    graft.functions.MinShingleMd5.of(t, n)
 
   /** PII scrubbing: emails, URLs, and long digit runs replaced by
     * typed placeholders — the standard pre-training redaction pass.

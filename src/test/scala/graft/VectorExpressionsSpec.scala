@@ -110,6 +110,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(!opt.contains("vector_dot"), s"over-eager rewrite:\n$opt")
   }
 
+  test("MinShingleMd5 equals the array_min(transform(shingles, md5)) fold exactly") {
+    import graft.ops.TextOps
+    val docs = graft.sources.ImportSource.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    for (n <- Seq(1, 3, 7)) {
+      val both = docs.select(
+        graft.functions.MinShingleMd5.of(TextOps.tokens(col("text")), n).as("native"),
+        array_min(transform(TextOps.shinglesOfTokens(TextOps.tokens(col("text")), n),
+          s => md5(s))).as("fold"))
+      assert(both.where(col("native") =!= col("fold")).count() == 0, s"n=$n mismatch")
+      assert(both.where(col("native").isNull).count() == 0)
+    }
+    // short-text edge: fewer tokens than n -> single whole-array shingle
+    val tiny = Seq("one two", "", "solo").toDF("text")
+    val t = tiny.select(
+      graft.functions.MinShingleMd5.of(TextOps.tokens(col("text")), 5).as("native"),
+      array_min(transform(TextOps.shinglesOfTokens(TextOps.tokens(col("text")), 5),
+        s => md5(s))).as("fold"))
+    assert(t.where(col("native") =!= col("fold")).count() == 0)
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // a parquet scan can't constant-fold away, so the projection must
     // actually compile (a CodegenFallback expression would split the
