@@ -223,5 +223,16 @@ object VectorExpressions {
     composed("graft_simhash",
       "graft_simhash(text) - 32-bit SimHash of a text column") {
       es => graft.ops.DedupOps.simhash(es(0))
+    },
+    composed("min_shingle_md5",
+      "min_shingle_md5(text, n) - minimal md5 over word n-gram shingles (dedup blocking key)") {
+      es =>
+        val n = org.apache.spark.sql.graftbridge.Bridge.expression(es(1)) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"min_shingle_md5 needs a literal shingle size, got $other")
+        }
+        graft.functions.MinShingleMd5.of(graft.ops.TextOps.tokens(es(0)), n)
     })
 }

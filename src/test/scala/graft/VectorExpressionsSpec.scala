@@ -110,6 +110,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(!opt.contains("vector_dot"), s"over-eager rewrite:\n$opt")
   }
 
+  test("min_shingle_md5 is SQL-callable and matches the Scala API") {
+    GraftSparkExtensions.register(spark)
+    val docs = graft.sources.ImportSource.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("vdocs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, min_shingle_md5(text, 3) AS fp FROM vdocs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val viaApi = docs.select(col("doc_id"),
+        graft.ops.TextOps.minShingleFingerprint(col("text"), 3).as("fp"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaSql.toSeq == viaApi.toSeq && viaSql.nonEmpty)
+  }
+
   test("MinShingleMd5 equals the array_min(transform(shingles, md5)) fold exactly") {
     import graft.ops.TextOps
     val docs = graft.sources.ImportSource.table(spark,
