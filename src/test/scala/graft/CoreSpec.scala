@@ -128,8 +128,10 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("all declared queries run and oracle keys align") {
-    // every oracle key has a query; every query returns rows at sf0.001
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // the driver contract is 1:1 — a query without an oracle would
+    // silently skip the correctness gate
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"asymmetric: ${SparkEntry.oracleSql.keySet ^ SparkEntry.queries.keySet}")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
