@@ -158,6 +158,10 @@ object TemporalJoins {
     require(rightPayload.nonEmpty, "asOfJoinNative needs a right payload")
     import graft.plans.AsOfJoinNode
     import org.apache.spark.sql.graftbridge.Bridge
+    // the node is unplannable without its strategy; registration is
+    // idempotent, so self-register rather than fail with an internal
+    // planner error on sessions built without the extensions
+    graft.functions.GraftSparkExtensions.register(left.sparkSession)
     val lp = Bridge.analyzed(left)
     // restrict the right side to what the operator reads, so column
     // pruning happens by construction

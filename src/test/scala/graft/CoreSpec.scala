@@ -131,7 +131,8 @@ class CoreSpec extends AnyFunSuite {
     // the driver contract is 1:1 — a query without an oracle would
     // silently skip the correctness gate
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
-      s"asymmetric: ${SparkEntry.oracleSql.keySet ^ SparkEntry.queries.keySet}")
+      s"asymmetric: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) ++
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)}")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
