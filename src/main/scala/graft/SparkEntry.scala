@@ -1525,6 +1525,25 @@ object SparkEntry {
           round(avg(col("val")), 6).as("mean"))
         .orderBy(col("measure"))
     }),
+    // ----- CDC: snapshot diff — reconstruct a changelog by comparing
+    // two keyed table versions (the batch complement of log capture);
+    // one full-outer join, no-ops filtered before anything downstream -----
+    "q136_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val before = o.where(col("o_orderkey") % 10 =!= 0)
+      // +1000.0 is exact in binary double: no rounding disagreement
+      // between engines can creep into the UPDATE detection
+      val after = o.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      ChangelogOps.snapshotDiff(before, after, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col(Envelope.OperationCol),
+          col("before.o_totalprice").as("before_price"),
+          col("after.o_totalprice").as("after_price"))
+        .orderBy(col("o_orderkey"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2909,6 +2928,28 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q136_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),
+        |a AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+        |    WHEN a.o_orderkey IS NULL THEN 'DELETE'
+        |    WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |      OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |    THEN 'UPDATE' END AS operation,
+        |  b.o_totalprice AS before_price,
+        |  a.o_totalprice AS after_price
+        |FROM b FULL OUTER JOIN a USING (o_orderkey)
+        |WHERE CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+        |    WHEN a.o_orderkey IS NULL THEN 'DELETE'
+        |    WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |      OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |    THEN 'UPDATE' END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "q135_unpivot" ->
       """WITH u AS (
         |  SELECT l_orderkey, measure, val

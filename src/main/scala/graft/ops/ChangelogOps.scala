@@ -134,6 +134,40 @@ object ChangelogOps {
   def reconcileIncludes(these: DataFrame, those: DataFrame, keys: Seq[String]): DataFrame =
     these.join(those, keys, "left_semi")
 
+  /** Snapshot diff: derive a changelog by comparing two versions of a
+    * keyed table — the batch complement of log-based CDC (the
+    * reference captures changes from the WAL; this reconstructs them
+    * from state when no log exists, the classic "diff last night's
+    * snapshot" pipeline). One full-outer join on the key:
+    *  - key only in `after`            → INSERT
+    *  - key only in `before`           → DELETE
+    *  - both, any payload field differs → UPDATE
+    *  - identical rows drop out (no-ops are the overwhelming majority
+    *    at scale, so the filter keeps the result changes-sized).
+    * Output: key columns + `operation` + null-safe `before`/`after`
+    * payload structs — the Modification envelope shape (§1.1).
+    * Payload comparison is null-safe struct equality (`<=>`).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val payloadCols = before.columns.filterNot(keys.contains).toSeq
+    require(payloadCols.nonEmpty, "snapshotDiff needs non-key columns")
+    require(after.columns.sorted.sameElements(before.columns.sorted),
+      "snapshots must share a schema")
+    val b = before.select(
+      keys.map(col) :+ struct(payloadCols.map(col): _*).as("_b"): _*)
+    val a = after.select(
+      keys.map(col) :+ struct(payloadCols.map(col): _*).as("_a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn(Envelope.OperationCol,
+        when(col("_b").isNull, Operation.Insert)
+          .when(col("_a").isNull, Operation.Delete)
+          .when(!(col("_b") <=> col("_a")), Operation.Update))
+      .where(col(Envelope.OperationCol).isNotNull)
+      .select(keys.map(col) :+ col(Envelope.OperationCol) :+
+        col("_b").as("before") :+ col("_a").as("after"): _*)
+  }
+
   /** Route-by-table partitioning: the Router's exchange
     * (reference: pkg/sinks/generic/router.go:82-99). In Spark this is
     * a hash repartition on the qualified table name so each output
