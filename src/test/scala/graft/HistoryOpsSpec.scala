@@ -98,6 +98,29 @@ class HistoryOpsSpec extends AnyFunSuite {
       Row(3, 1L, 320000000L)))  // [0,320)
   }
 
+  test("snapshotDiff: identical snapshots diff to nothing; each op classifies correctly") {
+    import graft.ops.ChangelogOps
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "price")
+    assert(ChangelogOps.snapshotDiff(v1, v1, Seq("id")).count() == 0)
+
+    val v2 = Seq((2L, "b", 20.0), (3L, "c", 35.0), (4L, "d", 40.0))
+      .toDF("id", "status", "price") // 1 deleted, 3 updated, 4 inserted
+    val diff = ChangelogOps.snapshotDiff(v1, v2, Seq("id"))
+      .select($"id", $"operation").as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "DELETE", 3L -> "UPDATE", 4L -> "INSERT"))
+
+    // null payloads are compared null-safely: NULL -> value is UPDATE,
+    // NULL -> NULL is a no-op
+    val n1 = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "price")
+    val n2 = Seq((1L, Some(5.0): Option[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "price")
+    val ndiff = ChangelogOps.snapshotDiff(n1, n2, Seq("id"))
+      .select($"id", $"operation").as[(Long, String)].collect().toMap
+    assert(ndiff == Map(1L -> "UPDATE"))
+  }
+
   test("spanDedup keeps first occurrences corpus-wide and within documents") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
