@@ -168,6 +168,23 @@ object ChangelogOps {
         col("_b").as("before") :+ col("_a").as("after"): _*)
   }
 
+  /** Apply a [[snapshotDiff]] changelog to its base snapshot,
+    * reconstructing the target version: DELETE/UPDATE keys leave the
+    * base (one anti join against the changes-sized key set — AQE
+    * broadcasts it when changes are sparse, the common case), then
+    * INSERT/UPDATE `after` images union in. Round-trip law (spec):
+    * applyDiff(before, snapshotDiff(before, after)) == after.
+    */
+  def applyDiff(base: DataFrame, diff: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val payloadCols = base.columns.filterNot(keys.contains).toSeq
+    val touched = diff.select(keys.map(col): _*)
+    val additions = diff
+      .where(col(Envelope.OperationCol).isin(Operation.Insert, Operation.Update))
+      .select(keys.map(col) ++ payloadCols.map(c => col(s"after.$c").as(c)): _*)
+    base.join(touched, keys, "left_anti").unionByName(additions)
+  }
+
   /** Route-by-table partitioning: the Router's exchange
     * (reference: pkg/sinks/generic/router.go:82-99). In Spark this is
     * a hash repartition on the qualified table name so each output

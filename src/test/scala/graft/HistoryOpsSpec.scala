@@ -121,6 +121,23 @@ class HistoryOpsSpec extends AnyFunSuite {
     assert(ndiff == Map(1L -> "UPDATE"))
   }
 
+  test("applyDiff(before, snapshotDiff(before, after)) reconstructs after (real data)") {
+    import graft.ops.ChangelogOps
+    val o = graft.sources.ImportSource.table(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val before = o.where($"o_orderkey" % 10 =!= 0)
+    val after = o.where($"o_orderkey" % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 3 === 0, $"o_totalprice" + 1000.0)
+          .otherwise($"o_totalprice"))
+    val diff = ChangelogOps.snapshotDiff(before, after, Seq("o_orderkey"))
+    val rebuilt = ChangelogOps.applyDiff(before, diff, Seq("o_orderkey"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Double)].collect().toSet
+    assert(rows(rebuilt) == rows(after))
+    assert(rows(after).nonEmpty)
+  }
+
   test("spanDedup keeps first occurrences corpus-wide and within documents") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
