@@ -1544,6 +1544,36 @@ object SparkEntry {
           col("after.o_totalprice").as("after_price"))
         .orderBy(col("o_orderkey"))
     }),
+    // ----- RAG prep: overlapping token-window chunking (size 128,
+    // stride 64) — one explode over positions, all bounds computed
+    // map-side from the token count -----
+    "q137_overlap_chunks" -> ((s, dir) => {
+      val n = TextOps.tokenCount(col("text"))
+      val size = 128; val stride = 64
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_tok"))
+        .where(col("n_tok") > 0)
+        // chunk starts: 0, stride, 2*stride, ... while start < n
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0),
+            greatest(ceil(col("n_tok") / lit(stride.toDouble)) - 1, lit(0))))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("start_tok"),
+          least(lit(size), col("n_tok") - col("chunk_idx") * stride).as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    // ----- crawl hygiene: per-source document cap (keep at most K per
+    // source, deterministic hash order — the domain-cap dedup step) -----
+    "q138_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(SampleOps.hashUnit(col("doc_id")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -2928,6 +2958,27 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q137_overlap_chunks" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tok
+        |  FROM documents),
+        |x AS (SELECT doc_id, n_tok,
+        |    unnest(range(0, CAST(greatest(ceil(n_tok / 64.0) - 1, 0) AS BIGINT) + 1))
+        |      AS chunk_idx
+        |  FROM c WHERE n_tok > 0)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * 64 AS start_tok,
+        |  least(128, n_tok - chunk_idx * 64) AS chunk_len
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q138_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |        / 4294967296.0, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
     "q136_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |b AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),
