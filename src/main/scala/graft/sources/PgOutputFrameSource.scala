@@ -189,14 +189,21 @@ object PgOutputFrameLog {
   def frameCount(dir: String): Long =
     segments(dir).map(countIn).sum
 
+  /** Count COMPLETE frames only: a segment torn mid-record by a
+    * writer crash has a length header without a full body — counting
+    * it would advance latestOffset onto a frame readRange can never
+    * deliver (readFully EOF), poisoning the stream forever. A torn
+    * tail was never durably written, so it is invisible (the
+    * uncommitted-write semantics a WAL reader applies). */
   private def countIn(f: File): Long = {
     val in = new DataInputStream(new FileInputStream(f))
     try {
       var n = 0L
-      while (in.available() >= 4) {
+      var complete = true
+      while (complete && in.available() >= 4) {
         val len = in.readInt()
-        in.skipBytes(len)
-        n += 1
+        if (in.available() >= len) { in.skipBytes(len); n += 1 }
+        else complete = false
       }
       n
     } finally in.close()
@@ -210,14 +217,18 @@ object PgOutputFrameLog {
       if (pos < end) {
         val in = new DataInputStream(new FileInputStream(f))
         try {
-          while (in.available() >= 4 && pos < end) {
+          var complete = true
+          while (complete && in.available() >= 4 && pos < end) {
             val len = in.readInt()
-            if (pos >= start) {
-              val buf = new Array[Byte](len)
-              in.readFully(buf)
-              out += buf
-            } else in.skipBytes(len)
-            pos += 1
+            if (in.available() < len) complete = false // torn tail: stop
+            else {
+              if (pos >= start) {
+                val buf = new Array[Byte](len)
+                in.readFully(buf)
+                out += buf
+              } else in.skipBytes(len)
+              pos += 1
+            }
           }
         } finally in.close()
       }

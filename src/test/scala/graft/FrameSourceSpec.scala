@@ -86,6 +86,31 @@ class FrameSourceSpec extends AnyFunSuite {
     assert(batchSizes.sum == added, s"second run must take only the new frames: $batchSizes")
   }
 
+  test("a segment torn mid-record (writer crash) hides the torn frame, not the stream") {
+    val dir = tmp()
+    val frames = txn(100L, 1L -> "a", 2L -> "b") // 5 frames
+    PgOutputFrameLog.append(dir, "seg-000", frames)
+    val full = PgOutputFrameLog.frameCount(dir)
+    assert(full == frames.size.toLong)
+
+    // tear the tail: chop the last frame's body short (crash mid-write)
+    val f = new java.io.File(dir, "seg-000")
+    val chan = new java.io.RandomAccessFile(f, "rw")
+    try chan.setLength(f.length() - 2) finally chan.close()
+
+    // the torn frame is invisible — counted out and never delivered
+    assert(PgOutputFrameLog.frameCount(dir) == full - 1)
+    val read = PgOutputFrameLog.readRange(dir, 0, full)
+    assert(read.length == (full - 1).toInt)
+    assert(read.toSeq.map(_.toSeq) == frames.dropRight(1).map(_.toSeq))
+
+    // new complete segments after the torn one still deliver
+    PgOutputFrameLog.append(dir, "seg-001", txn(200L, 3L -> "c"))
+    val total = PgOutputFrameLog.frameCount(dir)
+    assert(total == full - 1 + 4)
+    assert(PgOutputFrameLog.readRange(dir, 0, total).length == total.toInt)
+  }
+
   test("primary key discovery: single key ok, none/composite rejected") {
     import graft.model.{ColumnSpec, TableSchema}
     import graft.sources.ImportSource._
