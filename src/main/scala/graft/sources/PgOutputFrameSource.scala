@@ -202,6 +202,8 @@ object PgOutputFrameLog {
       var complete = true
       while (complete && in.available() >= 4) {
         val len = in.readInt()
+        if (len < 0) throw new IllegalStateException(
+          s"corrupt frame log ${f.getName}: negative frame length $len")
         if (in.available() >= len) { in.skipBytes(len); n += 1 }
         else complete = false
       }
@@ -220,6 +222,8 @@ object PgOutputFrameLog {
           var complete = true
           while (complete && in.available() >= 4 && pos < end) {
             val len = in.readInt()
+            if (len < 0) throw new IllegalStateException(
+              s"corrupt frame log ${f.getName}: negative frame length $len")
             if (in.available() < len) complete = false // torn tail: stop
             else {
               if (pos >= start) {
