@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sweeping plan-hygiene gate over EVERY declared query: none may
+  * silently degrade to a nested-loop or cartesian join — the plan
+  * shapes that stop scaling first. Queries that intentionally cross
+  * tiny inputs are allowlisted with the reason inline; adding a query
+  * that trips this gate means either fix the plan or consciously
+  * extend the allowlist.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  // deliberate tiny-side cross products, bounded by construction:
+  // a BroadcastNestedLoopJoin whose build side is ONE row (a corpus
+  // statistic joined to every row) costs a broadcast of one row —
+  // the loop is over a single element. q70 crosses the 10 distinct
+  // sources (100 pairs) by design.
+  private val allowCross = Set(
+    "q63_tfidf", "q64_bm25", "q71_unigram_logprob", // 1-row corpus stats
+    "q94_kl_divergence", "q108_idle_customers",     // 1-row scalar threshold
+    "q114_important_parts",                         // 1-row total for share-of
+    "q70_edit_distance")                            // all-pairs of 10 sources
+
+  test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !allowCross.contains(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian plans outside the allowlist: $offenders")
+  }
+}
