@@ -30,6 +30,10 @@ object TimeQuery {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        // same hygiene as Bench: drop cached plans / checkpoint
+        // blocks so runs don't contaminate each other
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
     spark.stop()

@@ -167,16 +167,17 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** N-gram-Jaccard near-duplicates with single-fingerprint blocking:
-    * candidates share their minimal shingle hash
-    * (winnowing collapsed to one band — cheaper and stricter than
-    * MinHash LSH), then exact token-Jaccard verifies. One aggregation
-    * on a 32-byte key plus two id hash joins; no step is quadratic in
-    * the corpus.
+  /** Candidate pairs from single-fingerprint blocking: documents
+    * sharing their minimal shingle hash (winnowing collapsed to one
+    * band — cheaper and stricter than MinHash LSH). One aggregation
+    * on a 32-byte key; no verification, no join back to text — the
+    * input to [[jaccardNearDuplicates]] (which verifies) and to
+    * [[duplicateClusters]] (where an always-true verification filter
+    * would only re-tokenize the corpus a second time for nothing).
     */
-  def jaccardNearDuplicates(
+  def fingerprintCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame = {
     // tokenize (cheap regex, once per doc) BEFORE the guard, compute
     // the md5-per-shingle fingerprint AFTER its exchange — otherwise
     // the fingerprint runs inside the scan's (possibly single)
@@ -185,9 +186,19 @@ object DedupOps {
       TextOps.tokens(col(textCol)).as("_t")))
     val fp = tok.select(col("id"),
       TextOps.minShingleFingerprintOfTokens(col("_t"), shingleSize).as("fp"))
-    verifyByJaccard(pairsWithinGroups(fp, col("fp"), col("id")),
-      df, idCol, textCol, threshold)
+    pairsWithinGroups(fp, col("fp"), col("id"))
   }
+
+  /** N-gram-Jaccard near-duplicates with single-fingerprint blocking
+    * ([[fingerprintCandidatePairs]]), then exact token-Jaccard
+    * verification. One aggregation on a 32-byte key plus two id hash
+    * joins; no step is quadratic in the corpus.
+    */
+  def jaccardNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleSize: Int = 3): DataFrame =
+    verifyByJaccard(fingerprintCandidatePairs(df, idCol, textCol, shingleSize),
+      df, idCol, textCol, threshold)
 
   /** Test-set decontamination: drop corpus documents that share ANY
     * word `shingleSize`-gram with the evaluation set — the standard
@@ -236,36 +247,55 @@ object DedupOps {
     * if components ever become long chains. The only driver-side data
     * is the one-row convergence check per round.
     */
+  /** Nodes-per-round threshold below which the label table joins by
+    * broadcast instead of shuffle. 4M (id, label) longs ≈ 64 MB —
+    * comfortably under executor broadcast limits; above it the loop
+    * falls back to a co-partitioned shuffle join, the 100 TB path.
+    */
+  private val BroadcastLabelLimit = 4_000_000L
+
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // both edge directions from ONE pass over pairs (a union of two
-    // selects would evaluate the upstream pair pipeline twice)
+    // Both edge directions from ONE pass over pairs (a union of two
+    // selects would evaluate the upstream pair pipeline twice), cached
+    // partitioned BY src so every round's neighbor aggregation —
+    // groupBy(src) over a broadcast join that preserves the cache's
+    // partitioning — needs no exchange.
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id")).cache()
-    // the currently-persisted round output; each round unpersists its
-    // predecessor once the new round has materialized, so repeated
-    // calls don't accumulate checkpoint blocks in the block manager
+      .distinct().repartition(col("src")).cache()
+    // Round 1 fused into initialization: label = min(self ∪ neighbors)
+    // is a single src-partitioned aggregation over the edge cache — no
+    // identity-label join. localCheckpoint (lazy) truncates lineage and
+    // materializes inside the count, which doubles as the node-count
+    // probe that decides broadcast-vs-shuffle for later rounds.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"), least(col("src"), col("_m")).as("label"))
+      .localCheckpoint(false)
+    val nodes = labels.count()
     var persisted = labels
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIterations) {
-      // one job per round: the node's own label rides along tagged, so
-      // the same aggregation yields both the new label (min over self +
-      // neighbors) and the old one — the convergence probe needs no
-      // second join. localCheckpoint (lazy) truncates lineage and
-      // materializes inside the probe's action.
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"), lit(false).as("_own"))
-      val next = labels.withColumn("_own", lit(true))
-        .unionByName(viaNeighbors)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"),
-          min(when(col("_own"), col("label"))).as("_old"))
+      // One job per round. Small graphs (node table under
+      // BroadcastLabelLimit) run the whole round in a single map-side
+      // stage over the src-partitioned edge cache: broadcast label
+      // join, exchange-free groupBy(src), then a co-partitioned join
+      // back to the previous labels (both sides hash-partitioned on
+      // the node id — the groupBy output directly, the label side via
+      // the partitioning localCheckpoint preserves). Large graphs use
+      // the same plan with shuffle joins — still one exchange of
+      // edge-sized data per round.
+      val lbl = if (nodes <= BroadcastLabelLimit) broadcast(labels) else labels
+      val viaNeighbors = edges.join(lbl, edges("dst") === lbl("id"))
+        .groupBy(edges("src")).agg(min(col("label")).as("_nbr"))
+      val next = labels.join(viaNeighbors, labels("id") === viaNeighbors("src"))
+        .select(labels("id"), least(col("label"), col("_nbr")).as("label"),
+          col("label").as("_old"))
         .localCheckpoint(false)
+      // the same action materializes the round and reads the
+      // convergence probe — no second job
       val changed = next.where(col("label") < col("_old")).limit(1).count()
       persisted.unpersist() // superseded: next is materialized now
       persisted = next
@@ -275,6 +305,25 @@ object DedupOps {
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Incremental re-clustering: fold a previous run's label table in
+    * as edges (member → cluster id is a star over each old component,
+    * so connectivity — and therefore the min-id labels — match a full
+    * recompute over old ∪ new pairs) and propagate only the new pair
+    * list. At 100 TB this is the daily-delta shape: the day's
+    * candidate pairs plus yesterday's (much smaller) label table,
+    * instead of re-shingling the whole corpus.
+    */
+  def duplicateClustersIncremental(
+      previousLabels: DataFrame, newPairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val prevEdges = previousLabels
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    duplicateClusters(
+      newPairs.select(col("id_a"), col("id_b")).unionByName(prevEdges),
+      maxIterations)
   }
 
   /** Prefix-containment pairs: documents where one's normalized text

@@ -393,6 +393,22 @@ class LlmOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("duplicateClustersIncremental: equals full recompute on a grown pair set") {
+    // yesterday's corpus: triangle {1,2,3} + pair {10,11}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val prev = DedupOps.duplicateClusters(oldPairs)
+    // today's delta: a pair merging both old components (11-3), a new
+    // member joining an old cluster (12-10), and a brand-new component
+    val delta = Seq((11L, 3L), (12L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val full = DedupOps.duplicateClusters(oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    val incr = DedupOps.duplicateClustersIncremental(prev, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(incr == full)
+    assert(incr(12L) == 1L && incr(20L) == 20L) // merged component min
+  }
+
   test("rollingStats: row frame and time-range frame agree with hand rolls") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
