@@ -583,14 +583,22 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("user_id"))
     }),
-    // ----- §2.5 breadth: ranking windows (ntile, percent_rank, dense_rank) -----
+    // ----- §2.5 breadth: ranking windows (ntile, percent_rank,
+    // dense_rank) — via the two-phase globalRank (range partition +
+    // offset shift), NOT an unpartitioned window that would funnel
+    // the table through one partition. The sort is total (custkey
+    // tiebreak), so dense_rank == row_number and percent_rank ==
+    // (rank-1)/(n-1); ntile is closed-form over rank and n. -----
     "q57_rank_windows" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t(s, dir, "customer")
-        .select(col("c_custkey"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          dense_rank().over(w).as("drank"))
+      val (ranked, n) = graft.ops.StatsOps.globalRank(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        "_rnk", col("c_acctbal").desc, col("c_custkey"))
+      ranked.select(col("c_custkey"),
+          graft.ops.StatsOps.ntileOfRank(col("_rnk"), n, 4).as("quartile"),
+          (if (n <= 1) lit(0.0) else
+            round((col("_rnk") - 1).cast(DoubleType) / lit((n - 1).toDouble), 6))
+            .as("pct_rank"),
+          col("_rnk").cast(IntegerType).as("drank"))
         .orderBy(col("c_custkey"))
     }),
     // ----- temporal: the broadcast as-of variant against the same
@@ -771,13 +779,16 @@ object SparkEntry {
         ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST,
           o_orderpriority ASC NULLS FIRST""")
     }),
-    // ----- stats: equi-depth deciles via ntile. Global-order window —
-    // fine on a dimension-sized input; at fact scale the same output
-    // comes from approx quantile boundaries + a bucket join -----
+    // ----- stats: equi-depth deciles over a FACT table — two-phase
+    // globalRank (range partition + per-partition rank + broadcast
+    // offset shift) + closed-form ntile, never a single-partition
+    // global window -----
     "q76_deciles" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+      val (ranked, n) = graft.ops.StatsOps.globalRank(
+        t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        "_rnk", col("o_totalprice"), col("o_orderkey"))
+      ranked.select(col("o_totalprice"),
+          graft.ops.StatsOps.ntileOfRank(col("_rnk"), n, 10).as("decile"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("lo"),

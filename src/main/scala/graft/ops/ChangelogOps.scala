@@ -414,10 +414,15 @@ object ChangelogOps {
       .select(col("_prev").as("gap_after"), seqCol.as("gap_before"))
     val byBucket = df.groupBy(b.as("_b"))
       .agg(min(seqCol).as("_min"), max(seqCol).as("_max"))
-    val wB = Window.orderBy(col("_b"))
-    val boundary = byBucket
-      .withColumn("_prev_max", lag(col("_max"), 1).over(wB))
-      .where(col("_prev_max").isNotNull && col("_min") - col("_prev_max") > 1)
+    // bucket-boundary gaps: adjacency over the (data/bucket-sized)
+    // bucket table via two-phase globalRank + a rank-shift self-join —
+    // an unpartitioned lag window here would funnel every bucket row
+    // through one partition
+    val (rankedB, _) = StatsOps.globalRank(byBucket, "_r", col("_b"))
+    val prevB = rankedB.select((col("_r") + 1).as("_r"),
+      col("_max").as("_prev_max"))
+    val boundary = rankedB.join(prevB, Seq("_r"))
+      .where(col("_min") - col("_prev_max") > 1)
       .select(col("_prev_max").as("gap_after"), col("_min").as("gap_before"))
     inner.unionByName(boundary)
       .withColumn("missing", col("gap_before") - col("gap_after") - 1)

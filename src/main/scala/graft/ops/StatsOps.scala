@@ -154,4 +154,78 @@ object StatsOps {
           .otherwise((valueCol.cast("double") - col("_mean")) / col("_std")))
       .drop("_mean", "_std")
   }
+
+  /** Global row numbers over a total order, at scale — the
+    * replacement for an unpartitioned `Window.orderBy(...)`, which
+    * funnels the whole table through ONE partition ("No Partition
+    * Defined" warning) and dies at fact-table size.
+    *
+    * Two-phase (the RDD `zipWithIndex` shape, same family as
+    * PackOps's partition-local cumsum + broadcast shift):
+    *  1. range-partition on the sort key and sort within partitions
+    *     (one shuffle, every partition works in parallel);
+    *  2. one lightweight job counts rows per partition (the shuffle
+    *     files are reused — only the per-partition iteration
+    *     repeats), the cumulative counts broadcast as plain offsets;
+    *  3. a per-partition pass assigns `rank = offset(pid) + local
+    *     position` — genuinely imperative per-partition logic, the
+    *     sanctioned mapPartitions case.
+    *
+    * Returns the ranked frame (input columns + `rankCol`, 1-based)
+    * and the total row count (free from the counts job — callers
+    * need it for ntile/percent_rank arithmetic). The sort must be
+    * total for ranks to be deterministic: pass a unique tiebreaker.
+    */
+  def globalRank(df: DataFrame, rankCol: String, sortCols: Column*): (DataFrame, Long) = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = ranged.rdd // one RDD: both jobs below reuse its shuffle
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })), preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      var r = bc.value(pid)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }, preservesPartitioning = true)
+    (spark.createDataFrame(ranked,
+      ranged.schema.add(rankCol, LongType, nullable = false)), total)
+  }
+
+  /** 1-based rank for the direct output of `orderBy(...).limit(k)`,
+    * with zero extra jobs and no window. Both physical forms of a
+    * global sort-limit (TakeOrderedAndProject, Sort + GlobalLimit)
+    * contract to a SINGLE output partition holding rows in sort
+    * order, so `monotonically_increasing_id` (partitionId << 33 |
+    * position, = position here) numbers them 1..k exactly. Only
+    * valid immediately above a sort-limit — anything that can
+    * repartition in between voids the contract.
+    */
+  def postLimitRank(df: DataFrame, rankCol: String): DataFrame =
+    df.withColumn(rankCol, (monotonically_increasing_id() + 1).cast("int"))
+
+  /** Exact `ntile(k)` bucket from a 1-based global rank and the total
+    * row count: the first `total mod k` buckets take ⌈total/k⌉ rows,
+    * the rest ⌊total/k⌋ — the SQL-standard distribution, as plain
+    * column arithmetic over [[globalRank]] output. */
+  def ntileOfRank(rank: Column, total: Long, k: Int): Column = {
+    val q = total / k // small-bucket size
+    val r = total % k // number of large (q+1) buckets
+    // column `/` is IEEE double division; floor over it is exact for
+    // numerators below 2^53 — far past any physical row count
+    if (total == 0L) lit(null).cast("int")
+    else if (q == 0L) rank.cast("int") // fewer rows than buckets
+    else when(rank <= r * (q + 1),
+        floor((rank - 1) / lit((q + 1).toDouble)) + 1)
+      .otherwise(lit(r) + floor((rank - 1 - r * (q + 1)) / lit(q.toDouble)) + 1)
+      .cast("int")
+  }
 }

@@ -199,10 +199,11 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    counts.orderBy(col("n").desc, col("token")).limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("token"))))
+    // rank the k survivors by their position in the sort-limit's
+    // single ordered partition — zero extra jobs, and no
+    // unpartitioned row_number window (WindowExec's global-order path)
+    StatsOps.postLimitRank(
+      counts.orderBy(col("n").desc, col("token")).limit(k), "rank")
   }
 
   /** Exact content fingerprint over normalized text (whitespace
@@ -222,11 +223,14 @@ object TextOps {
     val toks = Parallelism.ensure(df.select(col(textCol)))
       .select(filter(tokens(col(textCol)), w => w =!= "").as("t"))
       .where(size(col("t")) >= 2)
-    toks.select(explode(shinglesOfTokens(col("t"), 2)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("pair")).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("pair"))))
+    // rank the k survivors by their position in the sort-limit's
+    // single ordered partition — zero extra jobs, no unpartitioned
+    // row_number window (a constant partition key wouldn't help
+    // either: the optimizer folds it away)
+    StatsOps.postLimitRank(
+      toks.select(explode(shinglesOfTokens(col("t"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(k), "rank")
   }
 
   /** Per-document out-of-vocabulary rate against the corpus top-`k`

@@ -127,6 +127,28 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(gotC == (("b", 4L, 0.75)))
   }
 
+  test("globalRank matches an oracle sort; ntileOfRank matches SQL ntile") {
+    import graft.ops.StatsOps
+    // values deliberately unsorted + duplicated (tiebreak on id)
+    val df = (1L to 997L).toDF("id")
+      .withColumn("v", ($"id" * 37L) % 100L)
+    val (ranked, n) = StatsOps.globalRank(df, "rnk", $"v", $"id")
+    assert(n == 997L)
+    val got = ranked.orderBy($"rnk").select($"v", $"id").as[(Long, Long)]
+      .collect().toSeq
+    val want = df.select($"v", $"id").as[(Long, Long)]
+      .collect().toSeq.sortBy(identity)
+    assert(got == want, "rank order must equal the total sort order")
+    // ranks are exactly 1..n with no gaps or repeats
+    val ranks = ranked.select($"rnk").as[Long].collect().sorted.toSeq
+    assert(ranks == (1L to 997L))
+    // ntile distribution: 997 = 7 buckets of 100 + 3 of 99 over k=10
+    val tiles = ranked
+      .select(StatsOps.ntileOfRank($"rnk", n, 10).as("t")).groupBy($"t")
+      .count().as[(Int, Long)].collect().toMap
+    assert((1 to 7).forall(tiles(_) == 100L) && (8 to 10).forall(tiles(_) == 99L))
+  }
+
   test("weightedSample keeps heavier rows at proportionally higher rates") {
     val df = (1L to 4000L).toDF("id").withColumn("w",
       when($"id" % 2 === 0, 300.0).otherwise(30.0))
