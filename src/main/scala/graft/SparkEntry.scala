@@ -1390,7 +1390,12 @@ object SparkEntry {
     // by multiplicative hashing (engine-portable integer arithmetic;
     // stable under reshuffling, re-runs, and engine swaps) -----
     "q124_hash_split" -> ((s, dir) => {
-      val h = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100
+      // mask the id to 2^31 BEFORE the Knuth multiply: (2^31-1) *
+      // 2654435761 stays under 2^63, so the arithmetic is exact in
+      // any engine — an unmasked multiply wraps silently in Spark
+      // (non-ANSI) but raises in DuckDB once doc_id ≳ 3.5e9
+      val h = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+        % lit(4294967296L)) % 100
       t(s, dir, "documents")
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "val").otherwise("test"))
@@ -2915,8 +2920,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q124_hash_split" ->
       """WITH s AS (SELECT *,
-        |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-        |      WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |    CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |      WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,

@@ -164,9 +164,17 @@ object TemporalJoins {
     graft.functions.GraftSparkExtensions.register(left.sparkSession)
     val lp = Bridge.analyzed(left)
     // restrict the right side to what the operator reads, so column
-    // pruning happens by construction
+    // pruning happens by construction — and ALIAS every column
+    // (col(n).as(n) mints a fresh exprId) so a self-join can't leave
+    // the right side sharing the left's exprIds: the exec's output
+    // projection binds payload references by exprId, and a duplicate
+    // would silently read the LEFT row's columns
     val rp = Bridge.analyzed(
-      right.select((Seq(rightKey, rightTs) ++ rightPayload).distinct.map(col): _*))
+      right.select((Seq(rightKey, rightTs) ++ rightPayload).distinct
+        .map(n => col(n).as(n)): _*))
+    require(lp.output.map(_.exprId).toSet
+        .intersect(rp.output.map(_.exprId).toSet).isEmpty,
+      "as-of join sides must not share attribute ids")
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         n: String) = p.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))

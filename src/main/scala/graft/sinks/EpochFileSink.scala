@@ -118,8 +118,14 @@ final class EpochStreamingWrite(root: String, schema: StructType)
       }
       val rows = msgs.map(_.rows).sum
       val lsn = if (msgs.isEmpty) -1L else msgs.map(_.maxLsn).max
-      val files = msgs.map(m => "\"" + new Path(m.file).getName + "\"")
-        .sorted.mkString("[", ",", "]")
+      // render names through the JSON string escaper — the reader
+      // parses this with a real JSON parser, so the writer must
+      // produce real JSON even for hostile characters in names
+      val files = msgs.map { m =>
+        val sb = new StringBuilder
+        EpochJson.appendString(sb, new Path(m.file).getName)
+        sb.toString()
+      }.sorted.mkString("[", ",", "]")
       val out = fs.create(manifest, true)
       try out.write(
         s"""{"epoch":$epochId,"rows":$rows,"lsn":$lsn,"files":$files}"""
@@ -145,6 +151,31 @@ object EpochFileSink {
     c
   }
 
+  /** Parse a `_MANIFEST.json` with a real JSON parser (json4s, the
+    * one Spark ships) — a regex scrape would mis-split on escaped
+    * quotes inside file names. Returns (lsn, file names). */
+  private def parseManifest(text: String): (Long, Seq[String]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(text)
+    ((j \ "lsn").extract[Long], (j \ "files").extract[Seq[String]])
+  }
+
+  /** Escape Hadoop glob metacharacters in a literal path:
+    * DataFrameReader paths are globs, so a committed file name
+    * containing `* ? [ ] { } \` would otherwise be re-interpreted
+    * (or rejected) at read time. */
+  private def globEscape(p: String): String =
+    p.replaceAll("""([*?\[\]{}\\])""", """\\$1""")
+
+  private def readManifest(fs: FileSystem, manifest: Path): (Long, Seq[String]) = {
+    val in = fs.open(manifest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseManifest(text)
+  }
+
   /** The sink's committed ack watermark: (latest committed epoch,
     * max LSN across committed epochs). This is the position the
     * source may safely confirm — the reference's `AckCallback` after
@@ -160,19 +191,13 @@ object EpochFileSink {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(hadoopConf)
     if (!fs.exists(rootPath)) return None
-    val lsnRe = """"lsn":(-?\d+)""".r
     val epochs = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
       .flatMap { s =>
         val manifest = new Path(s.getPath, "_MANIFEST.json")
         if (!fs.exists(manifest)) None // uncommitted epoch: not ackable
-        else {
-          val in = fs.open(manifest)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          val epoch = s.getPath.getName.stripPrefix("epoch=").toLong
-          lsnRe.findFirstMatchIn(text).map(m => (epoch, m.group(1).toLong))
-        }
+        else Some((s.getPath.getName.stripPrefix("epoch=").toLong,
+          readManifest(fs, manifest)._1))
       }
     if (epochs.isEmpty) None
     else Some((epochs.map(_._1).max, epochs.map(_._2).max))
@@ -186,13 +211,18 @@ object EpochFileSink {
     * epoch directory are ignored and uncommitted epochs contribute
     * nothing. The manifest listing is driver-side and O(epochs);
     * the data read is a parallel multi-file JSON scan.
+    *
+    * Pass `schema` to fix the result shape: an EMPTY sink then still
+    * returns a frame with those columns (downstream selects don't
+    * throw on day zero), and a non-empty read skips the JSON
+    * schema-inference pass — at scale, inference is a full extra
+    * read of every committed file. Without a schema, an empty sink
+    * yields the zero-column empty frame.
     */
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
-      root: String): org.apache.spark.sql.DataFrame = {
+      root: String, schema: StructType = null): org.apache.spark.sql.DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val filesRe = """"files":\[([^\]]*)\]""".r
-    val nameRe = "\"([^\"]+)\"".r
     val committed: Seq[String] =
       if (!fs.exists(rootPath)) Seq.empty
       else fs.listStatus(rootPath).toSeq
@@ -200,18 +230,16 @@ object EpochFileSink {
         .flatMap { s =>
           val manifest = new Path(s.getPath, "_MANIFEST.json")
           if (!fs.exists(manifest)) Seq.empty
-          else {
-            val in = fs.open(manifest)
-            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            filesRe.findFirstMatchIn(text).toSeq.flatMap(m =>
-              nameRe.findAllMatchIn(m.group(1)).map(f =>
-                new Path(s.getPath, f.group(1)).toString))
-          }
+          else readManifest(fs, manifest)._2
+            .map(f => globEscape(new Path(s.getPath, f).toString))
         }
-    if (committed.isEmpty)
-      spark.emptyDataFrame
-    else spark.read.json(committed: _*)
+    val reader =
+      if (schema == null) spark.read else spark.read.schema(schema)
+    if (committed.isEmpty) {
+      if (schema == null) spark.emptyDataFrame
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else reader.json(committed: _*)
   }
 }
 
@@ -347,6 +375,10 @@ object EpochJson {
     case other =>
       throw new IllegalArgumentException(s"unsupported sink type: $other")
   }
+
+  /** JSON-escaped string literal appended to `sb` (shared with the
+    * manifest writer). */
+  private[sinks] def appendString(sb: StringBuilder, s: String): Unit = str(sb, s)
 
   private def str(sb: StringBuilder, s: String): Unit = {
     sb.append('"')

@@ -172,12 +172,53 @@ final class FrameReader(range: FrameRange)
 object PgOutputFrameLog {
   import java.io.{DataInputStream, DataOutputStream, FileOutputStream, FileInputStream, File}
 
-  /** Append frames as a new log segment file. */
+  /** Append frames as a new log segment file.
+    *
+    * Position-stability contract: checkpointed offsets are frame
+    * counts summed across segments in name order, so history must
+    * never renumber. `append` enforces both ways that could happen:
+    *  - the new segment name must sort strictly AFTER every existing
+    *    one (an earlier or equal name would renumber — or silently
+    *    overwrite — frames a reader already counted);
+    *  - a torn tail left in the previous segment by a writer crash
+    *    is TRUNCATED here, during recovery, before the new segment
+    *    exists. Readers skip torn tails (never durably written); if
+    *    the same bytes later became a complete frame, every position
+    *    after them would shift by one and checkpointed offsets would
+    *    deliver wrong frames. Truncation makes that impossible.
+    */
   def append(dir: String, segment: String, frames: Seq[Array[Byte]]): Unit = {
     new File(dir).mkdirs()
+    segments(dir).lastOption.foreach { last =>
+      require(segment > last.getName,
+        s"segment '$segment' must sort after '${last.getName}': an earlier " +
+          "or equal name would renumber committed frame positions")
+      truncateTornTail(last)
+    }
     val out = new DataOutputStream(new FileOutputStream(new File(dir, segment)))
     try frames.foreach { f => out.writeInt(f.length); out.write(f) }
     finally out.close()
+  }
+
+  /** Cut a crash-torn trailing record off a sealed segment so it can
+    * never complete into a frame after readers have counted past it. */
+  private def truncateTornTail(f: File): Unit = {
+    val in = new DataInputStream(new FileInputStream(f))
+    var good = 0L
+    try {
+      var complete = true
+      while (complete && in.available() >= 4) {
+        val len = in.readInt()
+        if (len < 0) throw new IllegalStateException(
+          s"corrupt frame log ${f.getName}: negative frame length $len")
+        if (in.available() >= len) { in.skipBytes(len); good += 4L + len }
+        else complete = false
+      }
+    } finally in.close()
+    if (good < f.length()) {
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try raf.setLength(good) finally raf.close()
+    }
   }
 
   private def segments(dir: String): Seq[File] = {

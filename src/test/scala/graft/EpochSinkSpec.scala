@@ -173,6 +173,41 @@ class EpochSinkSpec extends AnyFunSuite {
     assert(manifest.contains("\"rows\":2") && manifest.contains("\"lsn\":21"))
   }
 
+  test("readCommitted with a schema: empty sink keeps columns; reads skip inference") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("lsn", LongType), StructField("msg", StringType)))
+    // day zero: nothing committed (even the root doesn't exist) —
+    // downstream column selects must still resolve
+    val empty = EpochFileSink.readCommitted(spark, tmp("epoch-empty") + "/x", schema)
+    assert(empty.select($"lsn", $"msg").count() == 0)
+    assert(empty.schema == schema)
+    // without a schema the old zero-column behavior remains
+    assert(EpochFileSink.readCommitted(spark, tmp("epoch-empty2") + "/x")
+      .schema.isEmpty)
+  }
+
+  test("manifest survives a JSON parser: escaped quotes in file names round-trip") {
+    spark.version
+    val out = tmp("epoch-esc")
+    val schema = StructType(Seq(
+      StructField("lsn", LongType), StructField("msg", StringType)))
+    val sw = new EpochStreamingWrite(out, schema)
+    // a commit message whose staged file name contains a quote and a
+    // backslash — hostile but FileSystem-legal on most stores. Stage
+    // it by hand (the writer factory derives names itself).
+    val staged = new java.io.File(out, "_staging/epoch=3")
+    staged.mkdirs()
+    val hostile = new java.io.File(staged, """part-a"b\c.jsonl""")
+    Files.writeString(hostile.toPath, "{\"lsn\":1,\"msg\":\"m\"}\n")
+    sw.commit(3L, Array(EpochFileMessage(hostile.getAbsolutePath, 1L, 1L)))
+    // the reader parses the manifest as real JSON and resolves the file
+    val got = EpochFileSink.readCommitted(spark, out, schema)
+    import spark.implicits._
+    assert(got.select($"lsn", $"msg").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "m")))
+  }
+
   test("EpochJson emits null for non-finite floats (valid JSON always)") {
     val schema = StructType(Seq(
       StructField("d1", DoubleType), StructField("d2", DoubleType),

@@ -111,6 +111,34 @@ class FrameSourceSpec extends AnyFunSuite {
     assert(PgOutputFrameLog.readRange(dir, 0, total).length == total.toInt)
   }
 
+  test("append truncates a predecessor's torn tail and rejects renumbering names") {
+    val dir = tmp()
+    val frames = txn(100L, 1L -> "a") // 4 frames
+    PgOutputFrameLog.append(dir, "seg-000", frames)
+    val f = new java.io.File(dir, "seg-000")
+    val intact = f.length()
+    // crash mid-write of a 5th frame: header + partial body
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(f, true))
+    try { out.writeInt(100); out.write(Array[Byte](1, 2, 3)) }
+    finally out.close()
+    assert(PgOutputFrameLog.frameCount(dir) == frames.size.toLong)
+
+    // recovery appends the next segment: the torn bytes must be CUT,
+    // not left to complete later — a completed tail would renumber
+    // every later position and break checkpointed offsets
+    PgOutputFrameLog.append(dir, "seg-001", txn(200L, 2L -> "b"))
+    assert(f.length() == intact, "torn tail must be truncated on recovery")
+    assert(PgOutputFrameLog.frameCount(dir) == frames.size.toLong + 4)
+
+    // names that sort at-or-before the live tail renumber history (or
+    // silently overwrite a segment): refused
+    assertThrows[IllegalArgumentException](
+      PgOutputFrameLog.append(dir, "seg-001", txn(300L, 3L -> "c")))
+    assertThrows[IllegalArgumentException](
+      PgOutputFrameLog.append(dir, "seg-0001", txn(300L, 3L -> "c")))
+  }
+
   test("primary key discovery: single key ok, none/composite rejected") {
     import graft.model.{ColumnSpec, TableSchema}
     import graft.sources.ImportSource._

@@ -139,6 +139,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("asOfJoinNative self-join (shared exprIds) binds the RIGHT payload") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    // same DataFrame on both sides, right columns NOT renamed by the
+    // caller: without internal aliasing the right projection keeps the
+    // left's exprIds and the payload silently reads the LEFT row.
+    // Two rows tie at (sym, ts), so the correct answer for BOTH is
+    // the greatest payload (5.0) — a left rebind would echo each
+    // row's own price back instead.
+    val ev = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("sym", "ts", "price")
+    val out = TemporalJoins.asOfJoinNative(ev, ev,
+        "sym", "sym", "ts", "ts", Seq("price"))
+      .toDF("sym", "ts", "l_price", "r_price") // positional: names collide
+      .select($"l_price", $"r_price").as[(Double, Double)]
+      .collect().toSet
+    assert(out == Set((1.0, 5.0), (5.0, 5.0)))
+  }
+
   test("bandedRangeJoin finds exactly the pairs inside (ts, ts+width]") {
     val e = Seq(
       (1L, "u1", ts("2024-01-01 10:00:00")),
