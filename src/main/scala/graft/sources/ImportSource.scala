@@ -141,4 +141,95 @@ object ImportSource {
       spark: SparkSession, sfDir: String, name: String,
       asOf: java.sql.Timestamp): DataFrame =
     Envelope.importEnvelope(table(spark, sfDir, name), asOf)
+
+  // ------------------------------------------------------------------
+  // Live-database (JDBC) import — the reference's actual import target
+  // (pkg/imports/import.go:209-223 pages a live Postgres with
+  // `SELECT ... WHERE pk > $1 ORDER BY pk LIMIT batch` riding the PK
+  // index; relation build from pg_class/pg_attribute,
+  // import.go:150-201). Spark expresses the same two shapes:
+  // a partitioned parallel scan (every executor reads its own PK
+  // range — the 100 TB form) and the resumable keyset page (cursor
+  // semantics identical to the reference, the page query evaluated
+  // server-side where the index lives).
+  // ------------------------------------------------------------------
+
+  /** Plain JDBC table handle. Filters and projections applied on the
+    * returned frame push into the remote SQL (JDBCRelation's
+    * PushedFilters — asserted in ImportJdbcSpec), so `.where(pk >
+    * cursor)` rides the source index rather than filtering in Spark.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Parallel JDBC import: `numPartitions` executors each scan one PK
+    * stride of `[lower, upper]` concurrently — Spark's partitioned
+    * JDBC read, replacing the reference's sequential page loop for
+    * bulk snapshots the way SURVEY §2.1 prescribes for parquet.
+    */
+  def jdbcParallelScan(spark: SparkSession, url: String, table: String,
+      pk: String, lower: Long, upper: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, pk, lower, upper, numPartitions, props)
+
+  /** One resumable keyset page against a live database: the ENTIRE
+    * page query — cursor predicate, PK order, and row limit — is
+    * shipped as a derived table, so the source executes
+    * `WHERE pk > cursor ORDER BY pk FETCH FIRST n ROWS ONLY` on its
+    * own index and returns exactly one page over the wire
+    * (reference: pkg/imports/import.go:209-223; FETCH FIRST is the
+    * SQL-standard spelling of its LIMIT).
+    */
+  def jdbcKeysetPage(spark: SparkSession, url: String, table: String,
+      pk: String, cursor: Option[Any], limit: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame = {
+    val where = cursor.map(c => s"WHERE $pk > ${sqlLiteral(c)}").getOrElse("")
+    val page = s"(SELECT * FROM $table $where ORDER BY $pk " +
+      s"FETCH FIRST $limit ROWS ONLY) page"
+    spark.read.jdbc(url, page, props)
+  }
+
+  /** Resumable JDBC import driver: the reference's page loop
+    * (pkg/imports/importer.go:84-167) against a live database.
+    * Returns (pages, final cursor); each page is one server-side
+    * keyset query. Control-plane pacing — the bulk path is
+    * [[jdbcParallelScan]].
+    */
+  def jdbcKeysetImport(spark: SparkSession, url: String, table: String,
+      pk: String, limit: Int, startCursor: Option[Any] = None,
+      props: java.util.Properties = new java.util.Properties): (Seq[DataFrame], Option[Any]) = {
+    val pages = Seq.newBuilder[DataFrame]
+    var cursor = startCursor
+    var done = false
+    while (!done) {
+      val page = jdbcKeysetPage(spark, url, table, pk, cursor, limit, props)
+      // bounded by `limit` — cursor bookkeeping, not the data path
+      val rows = page.collect()
+      if (rows.isEmpty) done = true
+      else {
+        pages += page
+        // resolve the PK field with the database's identifier case
+        val pkField = page.schema.fieldNames
+          .find(_.equalsIgnoreCase(pk)).getOrElse(pk)
+        cursor = Some(rows.last.getAs[Any](pkField))
+        if (rows.length < limit) done = true
+      }
+    }
+    (pages.result(), cursor)
+  }
+
+  /** Render a cursor value as a SQL literal for the derived-table
+    * page query. Strings escape embedded quotes; temporal values use
+    * JDBC escape syntax. */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"{ts '$t'}"
+    case d: java.sql.Date => s"{d '$d'}"
+    case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
+      _: java.math.BigDecimal | _: BigDecimal) => n.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported cursor type: ${other.getClass.getName}")
+  }
 }
