@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, exactly like
   * bytea payloads ride the CDC envelope. The Spark-side plumbing —
   * schema, batched per-partition execution, feature/frame shapes —
-  * is real; the codec itself is STUBBED behind [[MediaDecoder]]
-  * (no image/audio libraries in this environment): plug in a real
-  * JNI/Java codec without touching the plan.
+  * is real, and so is the IMAGE codec ([[ImageIoDecoder]], pure-JDK
+  * javax.imageio: decode, channel statistics, bilinear resize).
+  * Audio/video decode remains STUBBED behind [[MediaDecoder]] (no
+  * such codec ships with the JDK): plug a JNI/Java codec in without
+  * touching the plan.
   *
   * Scale design: decode runs inside `mapPartitions` so each task
   * initialises its decoder once and streams its split — the Scala
@@ -40,6 +42,9 @@ object MultimodalOps {
     /** Byte offsets of sampled frames (video) — plumbing contract
       * for frame extraction. */
     def frameOffsets(payload: Array[Byte], everyNth: Int): Array[Long]
+    /** Transcode the payload to the target dimensions; identity for
+      * codecs that can't (the caller still rewrites metadata). */
+    def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] = payload
   }
 
   /** STUB decoder — deterministic fake standing in for a real codec.
@@ -71,6 +76,82 @@ object MultimodalOps {
       val step = math.max(1, payload.length / target)
       payload.indices.by(step).map(payload).toArray
     }
+    override def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      resizeStub(payload, w, h)
+  }
+
+  /** REAL image codec over `javax.imageio` — pure JDK, headless-safe,
+    * no external libraries. Image payloads (PNG/JPEG/GIF/BMP — any
+    * registered ImageIO reader) decode to pixels; the feature vector
+    * is [width/4096, height/4096, aspect, mean R, mean G, mean B,
+    * luma mean, luma stddev] (all but the first three in [0,1]).
+    * Non-image kinds and undecodable payloads fall back to the
+    * deterministic byte statistics of [[StubDecoder]], so a corrupt
+    * blob degrades instead of failing the task. `resizePayload`
+    * really scales: Graphics2D bilinear onto a target canvas,
+    * re-encoded as PNG.
+    */
+  final class ImageIoDecoder(featureDim: Int = 8) extends MediaDecoder {
+    private def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    override def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      val img = if (kind == "image") decode(payload) else None
+      img match {
+        case None => new StubDecoder(featureDim).features(kind, payload)
+        case Some(im) =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          var (sr, sg, sb, sl, sl2) = (0.0, 0.0, 0.0, 0.0, 0.0)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              val r = ((rgb >> 16) & 0xff) / 255.0
+              val g = ((rgb >> 8) & 0xff) / 255.0
+              val b = (rgb & 0xff) / 255.0
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sl += luma; sl2 += luma * luma
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val lumaMean = sl / n
+          val lumaStd = math.sqrt(math.max(0.0, sl2 / n - lumaMean * lumaMean))
+          val out = Array(w / 4096.0f, h / 4096.0f, w.toFloat / h,
+            (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+            lumaMean.toFloat, lumaStd.toFloat)
+          if (out.length >= featureDim) out.take(featureDim)
+          else out ++ Array.fill(featureDim - out.length)(0.0f)
+      }
+    }
+
+    // no JDK video codec: keep the stub's byte-stride offsets so the
+    // frame-sampling PLAN stays exercised end to end
+    override def frameOffsets(payload: Array[Byte], everyNth: Int): Array[Long] =
+      (0L until payload.length.toLong by everyNth.toLong).toArray
+
+    override def resizePayload(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      decode(payload) match {
+        case None => payload // not an image: pass through untouched
+        case Some(im) =>
+          val target = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = target.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(target, "png", bos)
+          bos.toByteArray
+      }
   }
 
   /** Decode features for every media row: batched per-partition
@@ -158,10 +239,7 @@ object MultimodalOps {
         batch.map { r =>
           val meta = r.getStruct(metaIdx)
           val payload = r.getAs[Array[Byte]](payloadIdx)
-          val resized = decoder match {
-            case s: StubDecoder => s.resizeStub(payload, targetWidth, targetHeight)
-            case _ => payload // real codecs override via StubDecoder-like hooks
-          }
+          val resized = decoder.resizePayload(payload, targetWidth, targetHeight)
           Row(r.get(idIdx), resized,
             if (meta == null) null
             else Row(meta.getString(0), targetWidth, targetHeight,

@@ -285,6 +285,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r1.getStruct(2).getInt(1) == 4 && r1.getStruct(2).getInt(2) == 4)
   }
 
+  test("multimodal: ImageIoDecoder decodes a real PNG through the distributed plan") {
+    import MultimodalOps._
+    // render a real 8x4 PNG in memory: left half pure red, right half
+    // pure blue — known dimensions and channel means
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val rows = Seq(
+      Row(1L, png, Row("image", 8, 4, null, null)),
+      Row(2L, Array[Byte](1, 2, 3), Row("image", null, null, null, null)), // corrupt
+      Row(3L, Array.tabulate[Byte](50)(_.toByte), Row("audio", null, null, 16000, 1000)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema())
+    val decoder = new ImageIoDecoder()
+    val feats = extractFeatures(media, decoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // real decode: [w/4096, h/4096, aspect, meanR, meanG, meanB, ...]
+    val f1 = feats(1L)
+    assert(math.abs(f1(0) - 8 / 4096.0f) < 1e-6 &&
+      math.abs(f1(1) - 4 / 4096.0f) < 1e-6)
+    assert(math.abs(f1(2) - 2.0f) < 1e-6) // aspect 8:4
+    assert(math.abs(f1(3) - 0.5f) < 1e-3 && // half the pixels red
+      math.abs(f1(4) - 0.0f) < 1e-3 &&
+      math.abs(f1(5) - 0.5f) < 1e-3) // half blue
+    // corrupt image and non-image kinds degrade to byte stats, not task failure
+    assert(feats(2L).length == 8 && feats(3L).length == 8)
+
+    // REAL resize: 8x4 -> 4x2, output re-decodes with the new dims and
+    // stays solid-colored halves
+    val resized = resize(media, decoder, 4, 2)
+    val out = resized.where(col("media_id") === 1L)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xff0000) != 0 && (back.getRGB(3, 1) & 0xff) != 0)
+    // wellFormed stays declarative: prunes the corrupt-metadata shapes
+    // without decoding any payload
+    assert(wellFormed(media).count() == 3)
+  }
+
   test("jaccardNearDuplicates blocks on the min-shingle fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
