@@ -47,34 +47,52 @@ object Bench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    def hygiene(): Unit = { spark.catalog.clearCache(); System.gc() }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = try {
         time(fn(spark, sfDir).count()) // cold (codegen + plan)
+        // drop the cold run's cache/checkpoint blocks BEFORE timing
+        // the warm run (outside the timed section): queries that
+        // legitimately persist intermediate state (iterative
+        // clustering) otherwise measure the cold run's garbage, not
+        // the query — q47 reads 3s worse without this
+        hygiene()
         name -> time(fn(spark, sfDir).count()) // warm, reported
       } catch { case _: Throwable => name -> -1.0 }
-      // Hygiene between queries, outside the timed sections: drop any
-      // cached plans and force a GC so the ContextCleaner releases
-      // shuffle files, broadcasts, and checkpoint blocks. Without this
-      // the 100+-query sweep accumulates blocks across queries and, on
-      // a small driver heap, later queries GC-thrash 10-30x (BENCH_r02:
-      // q47 120s vs 2s in isolation at the same heap).
-      spark.catalog.clearCache()
-      System.gc()
+      // Same hygiene between queries: without it the 100+-query sweep
+      // accumulates blocks across queries and, on a small driver heap,
+      // later queries GC-thrash 10-30x (BENCH_r02: q47 120s vs 2s in
+      // isolation at the same heap).
+      hygiene()
       r
     }
     def fmt(v: Double): String = f"$v%.3f"
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Per-query scheduling floor: a no-op query (tiny range + one
+    // shuffle) through the same cold/warm protocol. Multiplied by
+    // n_queries this bounds the pure harness overhead in the total —
+    // lets round-over-round comparisons separate engine cost from
+    // Spark's fixed per-query cost at this scale.
+    val floor = {
+      def noop(): Unit = spark.range(1024)
+        .groupBy((org.apache.spark.sql.functions.col("id") % 8).as("k"))
+        .count().count()
+      time(noop()); time(noop())
+      time(noop())
+    }
     // full detail to a file (driver tail capture would truncate it)
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":${jsonOf(results)},"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +
+      s""""queries":${jsonOf(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"detail":"BENCH_DETAIL.json",""" +
+      s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +
+      s""""detail":"BENCH_DETAIL.json",""" +
       s""""queries":${jsonOf(head)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -805,14 +805,16 @@ object SparkEntry {
             .cast(DoubleType).as("total"))
         .orderBy(col("yr"), col("mo"))
     }),
-    // ----- skew: salted fact-dim join (result provably equals the
-    // plain join — the oracle IS the plain join) -----
+    // ----- skew: salted fact-dim join, salt factor sized to the
+    // OBSERVED skew (uniform keys -> plain join, no replication
+    // overhead; result provably equals the plain join — the oracle
+    // IS the plain join) -----
     "q78_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"))
       val ords = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      ChangelogOps.saltedJoin(li, ords, "l_orderkey", saltBuckets = 8)
+      ChangelogOps.skewAwareSaltedJoin(li, ords, "l_orderkey", maxBuckets = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2)))
@@ -1416,11 +1418,16 @@ object SparkEntry {
       val docs = graft.ops.Parallelism.ensure(
         t(s, dir, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("_t")))
+      // two plain aggregations instead of countDistinct+count mixed:
+      // the mixed form plans an Expand that doubles every exploded
+      // shingle row through the shuffle; (shingle, doc) partial
+      // aggregation dedupes map-side first
       TextOps.explodeShingles(docs, col("_t"), 5, "shingle")
         .select(col("doc_id"), col("shingle"))
         .where(col("shingle") =!= "")
+        .groupBy(col("shingle"), col("doc_id")).agg(count(lit(1)).as("_c"))
         .groupBy(col("shingle"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_c")).cast("long").as("n_occur"))
         .orderBy(col("n_docs").desc, col("n_occur").desc, col("shingle"))
         .limit(20)
     }),

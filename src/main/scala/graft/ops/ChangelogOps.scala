@@ -238,12 +238,38 @@ object ChangelogOps {
       saltBuckets: Int): DataFrame = {
     // pmod, not abs(...)%n: hash can return Int.MinValue, whose abs is
     // still negative — that salt would match no replicated dimension
-    // row and silently drop the fact row
+    // row and silently drop the fact row. The salt rides the row id,
+    // not a hash of the whole row: any spread works (the join is
+    // correct for every salt assignment), so don't pay per-row hashing
+    // of wide rows.
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** [[saltedJoin]] with the salt factor SIZED TO THE OBSERVED SKEW
+    * instead of a constant: a cheap sampled frequency probe measures
+    * max/mean key multiplicity; uniform keys degrade to the plain
+    * un-salted join (replicating the dimension would be pure
+    * overhead), pathological keys get up to `maxBuckets` replicas.
+    * Result equals the plain join in every case.
+    */
+  def skewAwareSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      maxBuckets: Int = 32, sampleFraction: Double = 0.001): DataFrame = {
+    val probe = fact.select(col(key)).sample(sampleFraction, seed = 7L)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), avg(col("c")).as("av")).head()
+    // deadband at 4x: sampled max/mean sits near 2 even for uniform
+    // keys (small-count noise), and AQE's runtime skew split already
+    // absorbs mild imbalance — salt only when a key is pathological
+    val ratio =
+      if (probe.isNullAt(0)) 1.0 // empty sample: nothing to size against
+      else probe.getLong(0) / math.max(1.0, probe.getDouble(1))
+    if (ratio < 4.0) fact.join(dim, Seq(key))
+    else saltedJoin(fact, dim, key,
+      math.min(maxBuckets, math.round(ratio).toInt))
   }
 
   /** Event sessionization: assign a session index per key using the

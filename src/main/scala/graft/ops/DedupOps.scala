@@ -60,18 +60,25 @@ object DedupOps {
   /** Mersenne prime modulus for the affine hash family. */
   val MinhashPrime: Long = 2147483647L
 
-  def minhashSignatures(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleSize: Int = 3): DataFrame = {
+  /** (id, token array) behind the parallelism guard's exchange —
+    * the ONE tokenization pass every dedup pipeline stage shares.
+    * Tokenize BEFORE the guard: when the exchange fires, the token
+    * array materializes and the regex split runs once per doc
+    * instead of once per shingle lambda. Candidate generation and
+    * Jaccard verification both build on the same frame, so
+    * ReuseExchange collapses their scans into one.
+    */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Parallelism.ensure(
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t")))
+
+  /** [[minhashSignatures]] over an already-tokenized (id, _t) frame. */
+  def minhashSignaturesOfTokens(
+      tok: DataFrame, k: Int, shingleSize: Int = 3): DataFrame = {
     val p = MinhashPrime
     // standard affine family over ONE base hash per shingle:
     // h_i(s) = (a_i * base(s) + b_i) mod p — one md5 per shingle
     // instead of k, then k cheap integer aggregates.
-    // Tokenize BEFORE the parallelism guard: when the guard's
-    // exchange fires, the token array materializes and the regex
-    // split runs once per doc instead of once per shingle lambda.
-    val tok = Parallelism.ensure(
-      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t")))
     val exploded = tok.select(col("id"),
         explode(TextOps.shinglesOfTokens(col("_t"), shingleSize)).as("s"))
       .select(col("id"),
@@ -86,6 +93,11 @@ object DedupOps {
       .select(col("id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
 
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleSize: Int = 3): DataFrame =
+    minhashSignaturesOfTokens(tokenized(df, idCol, textCol), k, shingleSize)
+
   /** Candidate near-duplicate pairs via MinHash LSH.
     * Shuffle cost: explode to (band-hash, id) — b rows per doc —
     * then a self-equi-join on the 32-byte bucket key. At 100 TB the
@@ -95,8 +107,15 @@ object DedupOps {
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rows: Int = 4, shingleSize: Int = 3,
-      maxBucket: Int = 0): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, bands * rows, shingleSize)
+      maxBucket: Int = 0): DataFrame =
+    lshCandidatePairsOfTokens(tokenized(df, idCol, textCol),
+      bands, rows, shingleSize, maxBucket)
+
+  /** [[lshCandidatePairs]] over an already-tokenized (id, _t) frame. */
+  def lshCandidatePairsOfTokens(
+      tok: DataFrame, bands: Int, rows: Int, shingleSize: Int,
+      maxBucket: Int): DataFrame = {
+    val sigs = minhashSignaturesOfTokens(tok, bands * rows, shingleSize)
     val buckets = sigs.select(col("id"),
       explode(lshBandHashes(col("sig"), bands, rows)).as("bucket"))
     // pairs via grouped combination generation, NOT a self-join: one
@@ -143,19 +162,19 @@ object DedupOps {
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, bands: Int = 4, rows: Int = 4): DataFrame = {
-    verifyByJaccard(lshCandidatePairs(df, idCol, textCol, bands, rows),
-      df, idCol, textCol, threshold)
+    val tok = tokenized(df, idCol, textCol)
+    verifyByJaccard(lshCandidatePairsOfTokens(tok, bands, rows, 3, 0),
+      tok, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs: join the token
-    * sets back by id (hash joins, never a cross product; token sets
-    * materialised once per doc) and keep pairs at or above the
-    * threshold. */
+    * sets back by id (hash joins, never a cross product). `tok` is
+    * the same tokenized frame candidates came from, so the corpus is
+    * scanned and tokenized ONCE — the verification projection sits
+    * above the shared exchange and ReuseExchange dedupes it. */
   private def verifyByJaccard(
-      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val toks = Parallelism.ensure(df.select(col(idCol).as("id"),
-      array_distinct(TextOps.tokens(col(textCol))).as("toks")))
+      pairs: DataFrame, tok: DataFrame, threshold: Double): DataFrame = {
+    val toks = tok.select(col("id"), array_distinct(col("_t")).as("toks"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
     val union = size(array_union(col("toks_a"), col("toks_b"))).cast("double")
     pairs
@@ -177,13 +196,15 @@ object DedupOps {
     */
   def fingerprintCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    // tokenize (cheap regex, once per doc) BEFORE the guard, compute
-    // the md5-per-shingle fingerprint AFTER its exchange — otherwise
-    // the fingerprint runs inside the scan's (possibly single)
-    // partition; same shape as minhashSignatures
-    val tok = Parallelism.ensure(df.select(col(idCol).as("id"),
-      TextOps.tokens(col(textCol)).as("_t")))
+      shingleSize: Int = 3): DataFrame =
+    fingerprintCandidatePairsOfTokens(tokenized(df, idCol, textCol), shingleSize)
+
+  /** [[fingerprintCandidatePairs]] over an already-tokenized frame:
+    * the md5-per-shingle fingerprint runs AFTER the guard's exchange —
+    * otherwise it runs inside the scan's (possibly single) partition.
+    */
+  private def fingerprintCandidatePairsOfTokens(
+      tok: DataFrame, shingleSize: Int): DataFrame = {
     val fp = tok.select(col("id"),
       TextOps.minShingleFingerprintOfTokens(col("_t"), shingleSize).as("fp"))
     pairsWithinGroups(fp, col("fp"), col("id"))
@@ -192,13 +213,16 @@ object DedupOps {
   /** N-gram-Jaccard near-duplicates with single-fingerprint blocking
     * ([[fingerprintCandidatePairs]]), then exact token-Jaccard
     * verification. One aggregation on a 32-byte key plus two id hash
-    * joins; no step is quadratic in the corpus.
+    * joins over ONE shared tokenization pass; no step is quadratic in
+    * the corpus.
     */
   def jaccardNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleSize: Int = 3): DataFrame =
-    verifyByJaccard(fingerprintCandidatePairs(df, idCol, textCol, shingleSize),
-      df, idCol, textCol, threshold)
+      threshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+    val tok = tokenized(df, idCol, textCol)
+    verifyByJaccard(fingerprintCandidatePairsOfTokens(tok, shingleSize),
+      tok, threshold)
+  }
 
   /** Test-set decontamination: drop corpus documents that share ANY
     * word `shingleSize`-gram with the evaluation set — the standard

@@ -127,6 +127,28 @@ class CoreSpec extends AnyFunSuite {
     assert(plain.size == 901)
   }
 
+  test("skew-aware salted join sizes the salt to observed skew") {
+    import spark.implicits._
+    val dim = Seq((1L, "hot"), (1950L, "cold")).toDF("k", "name")
+    // pathological skew: the probe must salt, and results still equal
+    // the plain join (sample big enough to see the hot key for sure)
+    val skewed = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val plainS = skewed.join(dim, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val saltedS = ChangelogOps.skewAwareSaltedJoin(skewed, dim, "k",
+        maxBuckets = 8, sampleFraction = 0.2)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(saltedS == plainS && plainS.size == 1801)
+    // uniform keys: degrades to the plain join — NO dim replication
+    val uniform = (1 to 2000).map(i => (i.toLong % 100, i)).toDF("k", "v")
+    val out = ChangelogOps.skewAwareSaltedJoin(uniform, dim, "k",
+      maxBuckets = 8, sampleFraction = 0.2)
+    assert(!out.queryExecution.executedPlan.toString.contains("Generate"),
+      "uniform keys must not replicate the dimension")
+    assert(out.count() == uniform.where($"k" === 1L).count())
+  }
+
   test("all declared queries run and oracle keys align") {
     // the driver contract is 1:1 — a query without an oracle would
     // silently skip the correctness gate
