@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.{Envelope, Operation}
-import graft.ops.{ChangelogOps, DedupOps, SampleOps, SimilarityOps, TemporalJoins, TextOps}
+import graft.ops.{ChangelogOps, DedupOps, Parallelism, SampleOps, SimilarityOps, TemporalJoins, TextOps}
 import graft.sources.ImportSource
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
@@ -277,18 +277,22 @@ object SparkEntry {
     }),
     // ----- LLM ops: minhash signatures -----
     "q25_minhash" -> ((s, dir) => {
-      // scalar signature: k=4 used once -> single map-side projection
-      // beats the explode+agg shape (that shape wins inside LSH where
-      // the signature feeds a self-join; see DedupOps scaladoc)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat_ws("|", DedupOps.minhashSignature(col("text"), 4)).as("sig"))
+      // explode+agg affine-family shape (one md5 per shingle, k integer
+      // min-aggregates) — the interpreted per-(shingle,i) md5 scalar
+      // measured 23s vs ~1.5s for this at sf0.1 once the bench stopped
+      // letting count() prune the projection (noop sink)
+      DedupOps.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", k = 4)
+        .select(col("id").as("doc_id"),
+          concat_ws("|", transform(col("sig"), v => v.cast("string"))).as("sig"))
         .orderBy(col("doc_id"))
     }),
     // ----- LLM ops: simhash fingerprint -----
     "q26_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash"))
+      // explode+agg twin of the scalar simhash (same semantics, same
+      // oracle): 32 codegen sum-aggregates instead of interpreted
+      // per-bit HOF folds — 9.4s → ~1s at sf0.1
+      DedupOps.simhashTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))
     }),
     // ----- LLM ops: brute-force cosine top-k -----
@@ -408,13 +412,20 @@ object SparkEntry {
     }),
     // ----- LLM ops: int8 embedding quantization (4x storage at scale) -----
     "q38_quantize" -> ((s, dir) => {
-      val e = col("embedding")
-      t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          round(SimilarityOps.quantizeScale(e), 6).as("scale"),
-          aggregate(SimilarityOps.quantize(e), lit(0L),
-            (acc, x) => acc + x.cast("long")).as("q_sum"),
-          array_max(SimilarityOps.quantize(e)).as("q_max"))
+      // scale as a projected attribute behind an exchange: inlined
+      // into a per-element lambda it re-evaluates the O(d) array_max
+      // PER ELEMENT (interpreted HOFs have no CSE) — O(d²)/row, 4.3s
+      // for 2000 rows. Exploded codegen shape: ~0.3s, same oracle.
+      val base = Parallelism.ensure(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+          SimilarityOps.quantizeScale(col("embedding")).as("_scale")))
+      base.select(col("vec_id"), col("_scale"), explode(col("embedding")).as("v"))
+        .select(col("vec_id"), col("_scale"),
+          round(col("v").cast("double") * col("_scale")).cast("int").as("q"))
+        .groupBy(col("vec_id"))
+        .agg(round(max(col("_scale")), 6).as("scale"),
+          sum(col("q").cast("long")).as("q_sum"),
+          max(col("q")).as("q_max"))
         .orderBy(col("vec_id"))
     }),
     // ----- §2.4 distribution stats: exact interpolated percentiles -----
@@ -1601,6 +1612,38 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // ----- PII redaction: deterministic PII-laced text built from doc
+    // fields (the synthetic corpus carries no natural PII), scrubbed by
+    // the TextOps.scrubPii regexp chain — map-side, no UDF -----
+    "q139_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextOps.scrubPii(concat_ws(" ",
+            substring(col("text"), 1, 40),
+            concat(lit("user"), col("doc_id"), lit("@example.com")),
+            concat(lit("ref "), (col("doc_id") * 37 + 1000000).cast("string")),
+            concat(lit("see https://docs.example.com/p/"), col("doc_id"))))
+            .as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- URL normalization: host + registered domain extraction over
+    // deterministic synthesized URLs; per-domain crawl statistics -----
+    "q140_url_normalize" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("https://www."))
+              .otherwise(lit("http://cdn.")),
+            col("source"), lit(".example"),
+            when(col("doc_id") % 3 === 0, lit(":8443")).otherwise(lit("")),
+            lit("/p/"), col("doc_id")).as("url"))
+      urls.select(col("doc_id"),
+          TextOps.urlHost(col("url")).as("host"),
+          TextOps.registeredDomain(col("url")).as("domain"))
+        .groupBy(col("host"), col("domain"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("host"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -1795,10 +1838,15 @@ object SparkEntry {
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
-        |  FROM t)
+        |  FROM t),
+        |b AS (SELECT doc_id, list_transform(s,
+        |    x -> CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 2147483647 AS BIGINT)) AS bases
+        |  FROM sh)
         |SELECT doc_id, array_to_string(list_transform(range(4),
-        |  i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))), '|') AS sig
-        |FROM sh ORDER BY doc_id""".stripMargin,
+        |  i -> list_min(list_transform(bases,
+        |    h -> (h * (((2*i+1) * 2654435761) % 2147483647)
+        |          + ((i*40503 + 17) % 2147483647)) % 2147483647))), '|') AS sig
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q26_simhash" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM documents),
@@ -3006,6 +3054,33 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10
         |ORDER BY doc_id""".stripMargin,
+    "q139_pii_scrub" ->
+      """WITH base AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 40),
+        |    concat('user', CAST(doc_id AS VARCHAR), '@example.com'),
+        |    concat('ref ', CAST(doc_id * 37 + 1000000 AS VARCHAR)),
+        |    concat('see https://docs.example.com/p/', CAST(doc_id AS VARCHAR))
+        |  ) AS raw FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "q140_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    concat(CASE WHEN doc_id % 2 = 0 THEN 'https://www.'
+        |        ELSE 'http://cdn.' END,
+        |      source, '.example',
+        |      CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END,
+        |      '/p/', CAST(doc_id AS VARCHAR)) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS host FROM u)
+        |SELECT host,
+        |  regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain,
+        |  count(*) AS n, min(doc_id) AS first_doc
+        |FROM h GROUP BY host, domain ORDER BY host""".stripMargin,
     "q136_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |b AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),

@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, exactly like
   * bytea payloads ride the CDC envelope. The Spark-side plumbing —
   * schema, batched per-partition execution, feature/frame shapes —
-  * is real, and so is the IMAGE codec ([[ImageIoDecoder]], pure-JDK
-  * javax.imageio: decode, channel statistics, bilinear resize).
-  * Audio/video decode remains STUBBED behind [[MediaDecoder]] (no
-  * such codec ships with the JDK): plug a JNI/Java codec in without
-  * touching the plan.
+  * is real, and so are the IMAGE codec ([[ImageIoDecoder]], pure-JDK
+  * javax.imageio: decode, channel statistics, bilinear resize) and
+  * the AUDIO codec ([[AudioWavDecoder]], pure-JDK javax.sound.sampled:
+  * WAV/AU/AIFF → PCM statistics + frame seek table). Video decode
+  * remains STUBBED behind [[MediaDecoder]] (no video codec ships with
+  * the JDK): plug a JNI/Java codec in without touching the plan.
   *
   * Scale design: decode runs inside `mapPartitions` so each task
   * initialises its decoder once and streams its split — the Scala
@@ -151,6 +152,96 @@ object MultimodalOps {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(target, "png", bos)
           bos.toByteArray
+      }
+  }
+
+  /** REAL audio codec over `javax.sound.sampled` — pure JDK. WAV/AU/
+    * AIFF payloads decode to PCM; the feature vector is
+    * [sampleRate/48000, channels, duration_s, RMS, peak, zero-crossing
+    * rate, mean, stddev] over the normalized [-1,1] samples. Non-audio
+    * kinds and undecodable payloads fall back to [[StubDecoder]] byte
+    * statistics (degrade, don't fail the task), mirroring
+    * [[ImageIoDecoder]]. `frameOffsets` returns the byte offset of
+    * every Nth PCM frame *after the header* — the real seek table an
+    * audio chunker needs, not a byte stride.
+    */
+  final class AudioWavDecoder(featureDim: Int = 8) extends MediaDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    private def pcmStream(payload: Array[Byte]) =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+        val f = in.getFormat
+        // normalise to signed 16-bit PCM so sample maths is uniform
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        Some(AudioSystem.getAudioInputStream(target, in))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    override def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      val pcm = if (kind == "audio") pcmStream(payload) else None
+      pcm match {
+        case None => new StubDecoder(featureDim).features(kind, payload)
+        case Some(in) =>
+          try {
+            val fmt = in.getFormat
+            val buf = new Array[Byte](8192)
+            var n = 0L
+            var (sum, sumSq, peak, crossings) = (0.0, 0.0, 0.0, 0L)
+            var prevSign = 0
+            var read = in.read(buf)
+            while (read > 0) {
+              var i = 0
+              while (i + 1 < read) {
+                // little-endian signed 16-bit
+                val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+                sum += s; sumSq += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+                if (prevSign != 0 && sign != prevSign) crossings += 1
+                prevSign = sign
+                n += 1
+                i += 2
+              }
+              read = in.read(buf)
+            }
+            val samples = math.max(1L, n).toDouble
+            val mean = sum / samples
+            val rms = math.sqrt(sumSq / samples)
+            val std = math.sqrt(math.max(0.0, sumSq / samples - mean * mean))
+            val frames = n / math.max(1, fmt.getChannels)
+            val out = Array(
+              fmt.getSampleRate / 48000.0f, fmt.getChannels.toFloat,
+              (frames / fmt.getSampleRate.toDouble).toFloat,
+              rms.toFloat, peak.toFloat,
+              (crossings / samples).toFloat, mean.toFloat, std.toFloat)
+            if (out.length >= featureDim) out.take(featureDim)
+            else out ++ Array.fill(featureDim - out.length)(0.0f)
+          } finally in.close()
+      }
+    }
+
+    /** Byte offsets of every Nth PCM frame relative to the decoded
+      * stream start — header-aware (frame size × index), unlike the
+      * stub's raw byte stride. */
+    override def frameOffsets(payload: Array[Byte], everyNth: Int): Array[Long] =
+      pcmStream(payload) match {
+        case None => (0L until (if (payload == null) 0L else payload.length.toLong)
+          by everyNth.toLong).toArray
+        case Some(in) =>
+          try {
+            val frameSize = in.getFormat.getFrameSize.toLong
+            val totalFrames = in.getFrameLength
+            if (totalFrames <= 0) Array.empty[Long]
+            else (0L until totalFrames by everyNth.toLong)
+              .map(_ * frameSize).toArray
+          } finally in.close()
       }
   }
 

@@ -154,6 +154,27 @@ object TextOps {
     regexp_replace(url, "[0-9]{7,}", "<NUM>")
   }
 
+  /** URL host normalization — the crawl-dedup key: extract the
+    * authority from a URL, lowercase it, strip the port and a leading
+    * `www.`. Pure `regexp_extract`/`regexp_replace` chain (map-side,
+    * codegen, engine-portable RE2-safe patterns — no backreferences,
+    * no lookaround).
+    */
+  def urlHost(url: Column): Column = {
+    val auth = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val noPort = regexp_replace(noUser, ":[0-9]+$", "")
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Registered-domain approximation: the last two dot-labels of the
+    * normalized host (`a.b.example.com` → `example.com`) — the
+    * per-site aggregation key for crawl caps and domain statistics.
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
   /** Per-document repetition statistics — the Gopher/C4-style
     * repetitiousness filters:
     *  - `dup_token_ratio`: 1 − distinct/total tokens (1 ⇒ one token

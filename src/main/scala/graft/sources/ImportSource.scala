@@ -51,13 +51,24 @@ object ImportSource {
     * 2^53 ns.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
-    nanoTimestampCols(spark, path).foldLeft(df) { (d, c) =>
-      d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-    }
+    // Catalog-style registration: the analyzed frame for a given
+    // (session, path) is built once and reused — repeated reads of the
+    // same table otherwise re-list the path and re-read the footer on
+    // the driver per query (a real catalog resolves the table once).
+    // Keyed by session so a stopped test session never leaks its
+    // frames into a new one.
+    tableCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { key =>
+      val (s, path) = key
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(path)
+      nanoTimestampCols(s, path).foldLeft(df) { (d, c) =>
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      }
+    })
   }
+
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Column names whose parquet logical type is TIMESTAMP(NANOS),
     * from the file footer (spark can't represent them natively).

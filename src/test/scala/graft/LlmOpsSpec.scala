@@ -330,6 +330,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(wellFormed(media).count() == 3)
   }
 
+  test("multimodal: AudioWavDecoder decodes a real WAV through the distributed plan") {
+    import MultimodalOps._
+    // synthesize a real 16-bit mono WAV in memory: 8000 Hz, 0.5s,
+    // 440 Hz full-scale sine — known rate, duration, RMS (1/sqrt(2))
+    val rate = 8000f
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val rows = Seq(
+      Row(1L, wav, Row("audio", null, null, 8000, 500)),
+      Row(2L, Array[Byte](9, 9, 9), Row("audio", null, null, null, null)), // corrupt
+      Row(3L, Array.tabulate[Byte](50)(_.toByte), Row("image", 5, 5, null, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema())
+    val decoder = new AudioWavDecoder()
+    val feats = extractFeatures(media, decoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // real decode: [rate/48000, channels, duration_s, rms, peak, zcr, mean, std]
+    val f1 = feats(1L)
+    assert(math.abs(f1(0) - 8000 / 48000.0f) < 1e-4)
+    assert(f1(1) == 1.0f)
+    assert(math.abs(f1(2) - 0.5f) < 1e-3) // 4000 frames @ 8 kHz
+    assert(math.abs(f1(3) - (1.0 / math.sqrt(2)).toFloat) < 0.01) // sine RMS
+    assert(f1(4) > 0.98f && f1(4) <= 1.0f) // full-scale peak
+    // 440 Hz sine at 8 kHz: ~880 sign flips/s -> zcr ~ 880/8000 = 0.11
+    assert(math.abs(f1(5) - 0.11f) < 0.01)
+    assert(math.abs(f1(6)) < 0.01) // zero-mean sine
+    // corrupt audio and non-audio kinds degrade to byte stats, not task failure
+    assert(feats(2L).length == 8 && feats(3L).length == 8)
+
+    // frame seek table: header-aware, every-Nth PCM frame × frame size
+    val offs = decoder.frameOffsets(wav, everyNth = 1000)
+    assert(offs.toSeq == Seq(0L, 2000L, 4000L, 6000L)) // 2-byte mono frames
+  }
+
   test("jaccardNearDuplicates blocks on the min-shingle fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

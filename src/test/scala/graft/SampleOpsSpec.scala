@@ -72,6 +72,27 @@ class SampleOpsSpec extends AnyFunSuite {
       "clean text stays 123 intact"))
   }
 
+  test("urlHost/registeredDomain normalize authority, port, www, userinfo") {
+    import graft.ops.TextOps
+    val df = Seq(
+      "https://www.Example.COM:8443/path?q=1",
+      "http://cdn.assets.example.org/x",
+      "ftp://user:pw@files.example.net:21/pub",
+      "https://example.io",
+      "not a url at all"
+    ).toDF("url")
+    val got = df.select(
+        TextOps.urlHost($"url").as("host"),
+        TextOps.registeredDomain($"url").as("domain"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("example.com", "example.com"),
+      ("cdn.assets.example.org", "example.org"),
+      ("files.example.net", "example.net"),
+      ("example.io", "example.io"),
+      ("", "")))
+  }
+
   test("sampling is a map-side filter: zero shuffles") {
     val plan = SampleOps.stratifiedSample(ids, "id", "stratum",
       Map("en" -> 0.1), default = 0.5).queryExecution.executedPlan.toString
