@@ -69,8 +69,12 @@ object DedupOps {
     * ReuseExchange collapses their scans into one.
     */
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Parallelism.ensure(
-      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t")))
+    // hash-partitioned on the id (not round-robin): per-doc signature
+    // aggregations downstream (groupBy(id), groupBy(id, ...)) are then
+    // exchange-free, and joins back on the id co-locate for free
+    Parallelism.ensureKeyed(
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t")),
+      col("id"))
 
   /** [[minhashSignatures]] over an already-tokenized (id, _t) frame. */
   def minhashSignaturesOfTokens(

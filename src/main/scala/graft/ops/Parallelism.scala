@@ -32,4 +32,19 @@ object Parallelism {
     // cheap relative to the compute this guard protects.
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** [[ensure]], but hash-partitioned on `key` instead of round-robin.
+    * Every downstream `groupBy(key, ...)` — the key alone OR the key
+    * plus more columns — and every join on `key` is then satisfied by
+    * this one exchange (HashPartitioning(key) satisfies any
+    * ClusteredDistribution that contains key), so a
+    * tokenize→explode→aggregate-per-doc pipeline runs with a single
+    * shuffle of the compact token arrays instead of re-shuffling the
+    * exploded rows at every stage.
+    */
+  def ensureKeyed(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(target, key)
+  }
 }

@@ -186,22 +186,36 @@ object TextOps {
     * documents; both shuffles key on the doc id.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = Parallelism.ensure(
-      df.select(col(idCol).as("id"), tokens(col(textCol)).as("_t")))
-    val counts = tok.select(col("id"),
-      size(col("_t")).as("_n_tokens"),
-      size(array_distinct(col("_t"))).as("_n_distinct"))
+    // ONE exchange total: the token arrays shuffle hash-partitioned on
+    // the id, after which both groupBys below are exchange-free —
+    // HashPartitioning(id) satisfies ClusteredDistribution(id, b) (id
+    // is a subset of the grouping keys), so the 200×-wider exploded
+    // bigram rows never cross the wire. The per-doc scalar counts ride
+    // the exploded rows as constants instead of a separate branch +
+    // join (two more exchanges in the old shape).
+    // the scalar counts are computed BELOW the exchange: a projection
+    // in the same select as an explode is evaluated per EXPLODED row
+    // (the Project sits above the Generate), which would re-run
+    // array_distinct once per bigram — measured 6x slower than the
+    // whole query. Behind the exchange they cross as plain attributes.
+    val tok = Parallelism.ensureKeyed(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("_t"))
+        .select(col("id"), col("_t"),
+          size(col("_t")).as("_nt"),
+          size(array_distinct(col("_t"))).as("_nd")),
+      col("id"))
     // explode the shingle EXPRESSION, not a projected attribute:
     // InferFiltersFromGenerate only infers its size(...)>0 filter for
     // cheap (attribute) children, and that inferred filter pushes
     // below the parallelism guard's exchange where it re-evaluates
     // the whole shingle pipeline on the scan's partitioning
-    val top = tok.select(col("id"),
+    tok.select(col("id"), col("_nt"), col("_nd"),
         explode(shinglesOfTokens(col("_t"), 2)).as("b"))
-      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("c"), max(col("_nt")).as("_nt"), max(col("_nd")).as("_nd"))
       .groupBy(col("id"))
-      .agg(max(col("c")).as("_top_bigram"), sum(col("c")).as("_n_bigrams"))
-    counts.join(top, "id")
+      .agg(max(col("c")).as("_top_bigram"), sum(col("c")).as("_n_bigrams"),
+        max(col("_nt")).as("_n_tokens"), max(col("_nd")).as("_n_distinct"))
       .select(col("id"),
         round(lit(1.0) - col("_n_distinct").cast("double") / col("_n_tokens"), 6)
           .as("dup_token_ratio"),
@@ -412,7 +426,11 @@ object TextOps {
     */
   def unigramLogProb(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+    // keyed exchange (see tokenEntropy): the (id, token) aggregation
+    // is exchange-free; only the corpus-wide token window and the
+    // final per-doc fold shuffle
+    val tf = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
@@ -454,7 +472,8 @@ object TextOps {
       zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
         (a, b) => struct(a.as("w1"), b.as("w2"))),
       p => p.getField("w1") =!= "" && p.getField("w2") =!= "")
-    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+    val tf = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(bigrams).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
@@ -483,7 +502,12 @@ object TextOps {
     * folds in sorted token order (partitioning-invariant double).
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = Parallelism.ensure(df.select(col(idCol), col(textCol)))
+    // keyed exchange: partitioning the raw (id, text) rows on the id
+    // makes the (id, token) aggregation, the per-doc window, AND the
+    // final per-doc aggregation all exchange-free — the exploded token
+    // rows never shuffle (three exchanges in the round-robin shape)
+    val tf = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
@@ -572,7 +596,7 @@ object TextOps {
     val id = col(idCol)
     // (id, span_index, span_text), spans of exactly spanWords tokens
     // (the tail span may be shorter)
-    val spans = Parallelism.ensure(df.select(id, col(textCol)))
+    val spans = Parallelism.ensureKeyed(df.select(id, col(textCol)), id)
       .select(id, posexplode(tokens(col(textCol))).as(Seq("_i", "_w")))
       .groupBy(id, (col("_i") / spanWords).cast("long").as("_span"))
       .agg(concat_ws(" ",
