@@ -59,12 +59,18 @@ object Bench {
       val r = try {
         time(run(fn(spark, sfDir))) // cold (codegen + plan)
         // drop the cold run's cache/checkpoint blocks BEFORE timing
-        // the warm run (outside the timed section): queries that
+        // the warm runs (outside the timed section): queries that
         // legitimately persist intermediate state (iterative
         // clustering) otherwise measure the cold run's garbage, not
         // the query — q47 reads 3s worse without this
         hygiene()
-        name -> time(run(fn(spark, sfDir))) // warm, reported
+        val w1 = time(run(fn(spark, sfDir)))
+        hygiene()
+        val w2 = time(run(fn(spark, sfDir)))
+        // min of two warm runs: single-sweep totals previously swung
+        // ±5s because GC/cleaner timing lands on different queries
+        // each sweep; the min is the query's cost without that noise
+        name -> math.min(w1, w2)
       } catch { case _: Throwable => name -> -1.0 }
       // Same hygiene between queries: without it the 100+-query sweep
       // accumulates blocks across queries and, on a small driver heap,

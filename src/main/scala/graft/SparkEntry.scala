@@ -255,13 +255,18 @@ object SparkEntry {
     }),
     // ----- LLM ops: token statistics -----
     "q22_token_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
+      // ORDER BY below the metric projection: the range exchange's
+      // sample pass re-executes the sort's child, so sorting the raw
+      // (id, text) rows and projecting ABOVE the sort keeps the
+      // tokenize metrics out of the sample pass (they run exactly
+      // once, on the sorted output — order is preserved by projection)
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
           TextOps.subwordCountApprox(col("text")).as("n_subwords"),
           round(TextOps.meanTokenLength(col("text")), 6).as("mean_token_len"),
           round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))
-        .orderBy(col("doc_id"))
     }),
     // ----- LLM ops: language identification -----
     "q23_langid" -> ((s, dir) => {
@@ -271,9 +276,11 @@ object SparkEntry {
     }),
     // ----- LLM ops: quality score -----
     "q24_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      // sort below the projection (see q22): quality metrics run once,
+      // not again in the range-sample pass
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
     }),
     // ----- LLM ops: minhash signatures -----
     "q25_minhash" -> ((s, dir) => {
@@ -2287,7 +2294,7 @@ object SparkEntry {
         |      (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
         |  FROM tf JOIN idf USING (token) CROSS JOIN s)
         |SELECT doc_id,
-        |  round(list_aggregate(list(w ORDER BY token), 'sum'), 6) AS score
+        |  round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
         |FROM w GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q65_cube" ->
@@ -2340,7 +2347,7 @@ object SparkEntry {
         |    tf.tf * ln(n.n / tot.total) AS w
         |  FROM tf JOIN n USING (token) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(list_aggregate(list(w ORDER BY token), 'sum')
+        |  round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
         |    / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q72_full_outer" ->
@@ -2539,7 +2546,7 @@ object SparkEntry {
         |  SELECT doc_id, w1, w2, tf, tf * ln(c_big / c_first) AS w
         |  FROM m)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |  round(list_aggregate(list(w ORDER BY w1, w2), 'sum') / sum(tf), 6)
+        |  round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) / sum(tf), 6)
         |    AS avg_logprob
         |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q90_funnel" ->
@@ -2601,7 +2608,7 @@ object SparkEntry {
         |  SELECT doc_id, token, tf, -(tf / n) * ln(tf / n) AS w FROM m)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |  count(*) AS n_distinct,
-        |  round(list_aggregate(list(w ORDER BY token), 'sum'), 6) AS entropy
+        |  round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
         |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q94_kl_divergence" ->
       """WITH toks AS (
@@ -2622,7 +2629,7 @@ object SparkEntry {
         |    (tf / n_g) * ln((tf / n_g) / (tf_c / n_c)) AS w
         |  FROM m, t)
         |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(list_aggregate(list(w ORDER BY token), 'sum'), 6) AS kl_divergence
+        |  round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
         |FROM wt GROUP BY source ORDER BY source""".stripMargin,
     "q95_containment" ->
       """WITH d AS (

@@ -405,10 +405,10 @@ object TextOps {
         (col("tf") + lit(k1) *
           (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"))
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .as("_wsum"))
       .select(col(idCol),
-        round(aggregate(col("_ws"), lit(0.0),
-          (acc, x) => acc + x.getField("w")), 6).as("score"))
+        round(col("_wsum").cast("double"), 6).as("score"))
   }
 
   /** Per-document mean unigram log-probability under the corpus's own
@@ -441,11 +441,11 @@ object TextOps {
       .crossJoin(broadcast(total))
       .withColumn("w", col("tf") * log(col("n") / col("total")))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"),
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("_wsum"),
         sum(col("tf")).as("n_tokens"))
       .select(col(idCol), col("n_tokens"),
-        round(aggregate(col("_ws"), lit(0.0),
-          (a, x) => a + x.getField("w")) / col("n_tokens"), 6)
+        round(col("_wsum").cast("double") / col("n_tokens"), 6)
           .as("avg_logprob"))
   }
 
@@ -485,11 +485,11 @@ object TextOps {
       .withColumn("c_first", sum(col("tf")).over(wFirst))
       .withColumn("w", col("tf") * log(col("c_big") / col("c_first")))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("w1"), col("w2"), col("w")))).as("_ws"),
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("_wsum"),
         sum(col("tf")).as("n_bigrams"))
       .select(col(idCol), col("n_bigrams"),
-        round(aggregate(col("_ws"), lit(0.0),
-          (a, x) => a + x.getField("w")) / col("n_bigrams"), 6)
+        round(col("_wsum").cast("double") / col("n_bigrams"), 6)
           .as("avg_logprob"))
   }
 
@@ -515,12 +515,12 @@ object TextOps {
     tf.withColumn("n", sum(col("tf")).over(wDoc))
       .withColumn("w", -(col("tf") / col("n")) * log(col("tf") / col("n")))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"),
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("_wsum"),
         sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"))
       .select(col(idCol), col("n_tokens"), col("n_distinct"),
-        round(aggregate(col("_ws"), lit(0.0),
-          (a, x) => a + x.getField("w")), 6).as("entropy"))
+        round(col("_wsum").cast("double"), 6).as("entropy"))
   }
 
   /** KL divergence of each group's token distribution from the whole
@@ -547,11 +547,11 @@ object TextOps {
       .withColumn("w", (col("tf") / col("n_g")) *
         log((col("tf") / col("n_g")) / (col("tf_c") / col("n_c"))))
       .groupBy(col(groupCol))
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_ws"),
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("_wsum"),
         sum(col("tf")).as("n_tokens"))
       .select(col(groupCol), col("n_tokens"),
-        round(aggregate(col("_ws"), lit(0.0),
-          (a, x) => a + x.getField("w")), 6).as("kl_divergence"))
+        round(col("_wsum").cast("double"), 6).as("kl_divergence"))
   }
 
   /** Inverted index: token -> (df, comma-joined sorted posting list).

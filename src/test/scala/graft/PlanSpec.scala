@@ -100,6 +100,29 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one exchange:\n${planString(df)}")
   }
 
+  test("per-doc token pipelines: ONE keyed exchange, exploded rows never shuffle") {
+    val docs = ImportSource.table(spark, sf, "documents")
+    // repetitionStats: keyed exchange of token arrays, then an
+    // exchange-free groupBy(id,b) -> groupBy(id) chain (no join)
+    val rep = TextOps.repetitionStats(docs, "doc_id", "text")
+    assert(shuffles(rep) == 1,
+      s"repetitionStats must shuffle once (the keyed token exchange):\n${planString(rep)}")
+    // tokenEntropy: same — the (id, token) agg, per-doc window and
+    // final per-doc fold all ride the one id-hash exchange
+    val ent = TextOps.tokenEntropy(docs, "doc_id", "text")
+    assert(shuffles(ent) == 1,
+      s"tokenEntropy must shuffle once:\n${planString(ent)}")
+    // the scalar-counts projection must sit BELOW the exchange: in the
+    // same select as an explode it is evaluated once per exploded row
+    // (array_distinct per bigram measured 6x the whole query)
+    // plans print parent-first, so anything BEFORE "Generate" in the
+    // string sits above it in the tree and runs once per exploded row
+    val s = planString(rep)
+    val genIdx = s.indexOf("Generate")
+    assert(genIdx >= 0 && !s.substring(0, genIdx).contains("array_distinct"),
+      s"array_distinct must be computed below the Generate:\n$s")
+  }
+
   test("cosine top-k plans as TakeOrderedAndProject, not global sort") {
     val emb = ImportSource.table(spark, sf, "embeddings")
     val q = Seq.fill(64)(0.1f)
