@@ -282,6 +282,20 @@ object DedupOps {
     */
   private val BroadcastLabelLimit = 4_000_000L
 
+  /** Free the block-manager storage behind a `localCheckpoint`ed
+    * frame NOW. `Dataset.unpersist` is a no-op for checkpoints (it
+    * only clears the SQL cache; the blocks belong to the checkpoint
+    * RDD), so superseded round states otherwise linger until the
+    * async ContextCleaner gets to them — whose cleanup storms land in
+    * whatever query the bench times next.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // Both edge directions from ONE pass over pairs (a union of two
     // selects would evaluate the upstream pair pipeline twice), cached
@@ -325,7 +339,7 @@ object DedupOps {
       // the same action materializes the round and reads the
       // convergence probe — no second job
       val changed = next.where(col("label") < col("_old")).limit(1).count()
-      persisted.unpersist() // superseded: next is materialized now
+      freeLocalCheckpoint(persisted) // superseded: next is materialized now
       persisted = next
       labels = next.select(col("id"), col("label"))
       converged = changed == 0

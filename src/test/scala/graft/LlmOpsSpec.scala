@@ -485,6 +485,25 @@ class LlmOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("duplicateClusters frees superseded round checkpoints deterministically") {
+    // Dataset.unpersist is a no-op for localCheckpoint blocks (they
+    // belong to the checkpoint RDD, not the SQL cache) — without the
+    // explicit RDD free, every round's state lingers until the async
+    // ContextCleaner, whose cleanup storms land in whatever runs next.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Seq( // 6-link chain: needs several propagation rounds
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), (25L, 26L)
+    ).toDF("id_a", "id_b")
+    val labels = DedupOps.duplicateClusters(pairs)
+    assert(labels.count() == 7)
+    // at most the FINAL round's checkpoint may remain persisted (the
+    // result reads it); every superseded round and the edge cache are
+    // freed inline, not left to GC
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"superseded checkpoints leaked: $before -> $after persistent RDDs")
+  }
+
   test("duplicateClustersIncremental: equals full recompute on a grown pair set") {
     // yesterday's corpus: triangle {1,2,3} + pair {10,11}
     val oldPairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
