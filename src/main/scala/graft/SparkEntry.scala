@@ -24,6 +24,29 @@ object SparkEntry {
     * stamps NOW(); see Envelope.importEnvelope). */
   private val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
 
+  /** One-hot literal centroids shared by q141's Spark plan and its
+    * DuckDB oracle (both sides are generated from this one value, so
+    * the constants are identical by construction). */
+  private val semCentroids: Seq[Seq[Float]] =
+    (0 until 4).map(c => Seq.tabulate(64)(d => if (d == c) 1.0f else 0.0f))
+
+  /** DuckDB cosine over two DOUBLE[] expressions — the exact
+    * arithmetic of the native VectorCosine (double products in index
+    * order, zero-norm guard), as proven cross-engine by q34. */
+  private def duckCosine(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_aggregate(list_transform($a, x -> x*x), 'sum')) *
+       |      sqrt(list_aggregate(list_transform($b, x -> x*x), 'sum')) = 0 THEN 0.0
+       |    ELSE list_aggregate(list_transform(range(len($a)), d -> $a[d+1] * $b[d+1]), 'sum') /
+       |      (sqrt(list_aggregate(list_transform($a, x -> x*x), 'sum')) *
+       |       sqrt(list_aggregate(list_transform($b, x -> x*x), 'sum'))) END""".stripMargin
+
+  private def duckList(c: Seq[Float]): String =
+    // parenthesized: a literal cast list must be wrapped before it can
+    // be indexed ( ([...]::DOUBLE[])[i] parses; [...]::DOUBLE[][i]
+    // does not )
+    c.map(v => if (v == v.floor) f"${v.toDouble}%.1f" else v.toString)
+      .mkString("([", ", ", "]::DOUBLE[])")
+
   /** events.parquet viewed as a changelog: user_id is the primary key,
     * ts the commit timestamp, event_id the LSN, and the operation is
     * derived deterministically from event_type (FIXTURES.md §B). */
@@ -1651,6 +1674,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("host"))
     }),
+    // ----- SemDedup: cluster-then-threshold semantic dedup — nearest
+    // literal centroid (IVF cell) blocks the candidate pairs; any
+    // vector with a >=threshold-cosine smaller-id neighbor in its
+    // cell is dropped -----
+    "q141_semdedup" -> ((s, dir) => {
+      SimilarityOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          semCentroids, threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cell"),
+          col("kept").cast("int").as("kept"))
+        .orderBy(col("vec_id"))
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -3061,6 +3095,22 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10
         |ORDER BY doc_id""".stripMargin,
+    "q141_semdedup" -> {
+      val scores = semCentroids
+        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
+         |a AS (SELECT vec_id, v,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
+         |  FROM sc),
+         |p AS (SELECT y.vec_id AS dup_id,
+         |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |d AS (SELECT DISTINCT dup_id FROM p WHERE cosine >= 0.3)
+         |SELECT a.vec_id, a.cell, CAST(d.dup_id IS NULL AS INTEGER) AS kept
+         |FROM a LEFT JOIN d ON a.vec_id = d.dup_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
     "q139_pii_scrub" ->
       """WITH base AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 40),
         |    concat('user', CAST(doc_id AS VARCHAR), '@example.com'),

@@ -366,6 +366,32 @@ object SimilarityOps {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, x => x.cast("double") / scale)
 
+  /** SemDedup — cluster-then-threshold semantic deduplication (the
+    * Abbas et al. 2023 shape, re-expressed Spark-first): assign every
+    * embedding to its nearest centroid (map-side literal argmax — the
+    * same IVF cell expression the ANN index uses), self-join WITHIN
+    * cells only, and drop every vector that has a ≥`threshold`-cosine
+    * neighbor with a smaller id. Candidate generation is blocked by
+    * the cell exactly like LSH bands block MinHash — never all-pairs;
+    * at corpus scale k is sized so cells stay join-able (k ≈ n/target
+    * cell size) and skewed cells fall to AQE's skew split. Cosine is
+    * rounded to 6 places before the threshold compare so the keep
+    * decision is stable across engines. Output: (id, cell, kept).
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], threshold: Double): DataFrame = {
+    val assigned = Parallelism.ensure(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        ivfAssign(col("vec"), centroids).as("cell"))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    val dups = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(round(cosine(col("a.vec"), col("b.vec")), 6) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dups.withColumn("_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
+  }
+
   /** All-pairs top neighbors within LSH buckets — the corpus-scale
     * "find my duplicates" shape: bucket first (shuffle on bucket id),
     * pair only within buckets, never a cross join.

@@ -485,6 +485,26 @@ class LlmOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("semDedup: cell-blocked threshold dedup keeps the smallest id per dup set") {
+    // centroids: one-hot x / one-hot y — vectors cluster by dominant axis
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.1f)),  // cell 0
+      (2L, Seq(2.0f, 0.2f)),  // cell 0, same direction as 1 -> dup of 1
+      (3L, Seq(1.0f, 0.9f)),  // cell 0 (x still dominant), different direction
+      (4L, Seq(0.1f, 1.0f)),  // cell 1
+      (5L, Seq(0.2f, 2.0f))   // cell 1, same direction as 4 -> dup of 4
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semDedup(rows, "vec_id", "embedding", cents, 0.99)
+      .select($"id", $"cell", $"kept").as[(Long, Int, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0, true)) && got(2L) == ((0, false)), s"$got")
+    assert(got(4L) == ((1, true)) && got(5L) == ((1, false)))
+    assert(got(3L)._2, "different-direction vector must survive")
+    // cross-cell near-dups are NOT candidates (blocked by design):
+    // 1 and 4 are dissimilar anyway; pairs only form within cells
+  }
+
   test("duplicateClusters frees superseded round checkpoints deterministically") {
     // Dataset.unpersist is a no-op for localCheckpoint blocks (they
     // belong to the checkpoint RDD, not the SQL cache) — without the
