@@ -136,6 +136,10 @@ object Example {
       m = 8, k = 16, iterations = 2)
     println("pq-adc top-5:  " +
       ids(SimilarityOps.pqTopK(emb, "vec_id", "embedding", qVec, pqBooks, 5)))
+    val sem = SimilarityOps.semDedup(emb, "vec_id", "embedding",
+      centroids, threshold = 0.3)
+    println("semdedup kept: " + sem.where(org.apache.spark.sql.functions
+      .col("kept")).count() + "/" + sem.count())
 
     // 5. temporal joins + deterministic sampling over the event stream
     import graft.ops.{SampleOps, TemporalJoins}

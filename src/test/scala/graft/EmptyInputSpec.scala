@@ -38,6 +38,16 @@ class EmptyInputSpec extends AnyFunSuite {
       Map("en" -> 1.0)).count() == 0)
     assert(PackOps.chunkAssignments(docs0, "doc_id",
       TextOps.tokenCount(col("text")), 512L).count() == 0)
+    assert(TextOps.repetitionStats(docs0, "doc_id", "text").count() == 0)
+    assert(TextOps.tokenEntropy(docs0, "doc_id", "text").count() == 0)
+    assert(TextOps.unigramLogProb(docs0, "doc_id", "text").count() == 0)
+    assert(docs0.select(TextOps.scrubPii(col("text")),
+      TextOps.urlHost(col("text")),
+      TextOps.registeredDomain(col("text"))).count() == 0)
+    val emb0 = graft.sources.ImportSource.table(spark, sf, "embeddings")
+      .where(lit(false))
+    assert(graft.ops.SimilarityOps.semDedup(emb0, "vec_id", "embedding",
+      Seq(Seq(1.0f, 0.0f)), 0.5).count() == 0)
   }
 
   test("changelog/window/join operators accept empty changelogs") {
