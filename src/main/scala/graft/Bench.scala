@@ -101,9 +101,15 @@ object Bench {
       time(noop()); time(noop())
       time(noop())
     }
+    // Protocol marker: r4 switched from count()-based timing (which
+    // let the optimizer prune aggregate values and final sorts) to
+    // full-plan noop-sink execution — totals are NOT comparable to
+    // r1-r3 numbers; this field makes the change machine-visible.
+    val protocol = "noop-full-plan,min2warm"
     // full detail to a file (driver tail capture would truncate it)
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +
+      s""""protocol":"$protocol",""" +
       s""""queries":${jsonOf(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
@@ -111,7 +117,7 @@ object Bench {
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +
-      s""""detail":"BENCH_DETAIL.json",""" +
+      s""""protocol":"$protocol","detail":"BENCH_DETAIL.json",""" +
       s""""queries":${jsonOf(head)},"sf":"$sfDir"}""")
     spark.stop()
   }

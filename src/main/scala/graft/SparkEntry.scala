@@ -1685,6 +1685,29 @@ object SparkEntry {
           col("kept").cast("int").as("kept"))
         .orderBy(col("vec_id"))
     }),
+    // ----- ANN store upsert: base write + generation append to the
+    // cell-partitioned IVF store, read back merge-on-read (latest
+    // _gen per id wins) with every cell probed — the daily-delta
+    // maintenance path, oracled as latest-wins union + cosine top-k -----
+    "q142_ann_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = "/tmp/graft_q142_store_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = emb.where(col("vec_id") % 7 =!= 0)
+      // delta: every %5 id re-embedded (negated — moves cells), so it
+      // both inserts new ids and upserts over gen-0 rows
+      val delta = emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      SimilarityOps.writeIvfPartitioned(base, "vec_id", "embedding",
+        semCentroids, path)
+      SimilarityOps.appendIvfPartitioned(delta, "vec_id", "embedding",
+        semCentroids, path, gen = 1L)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      SimilarityOps.ivfTopKPartitioned(s, path, "vec_id", "embedding",
+        query, semCentroids, k = 50, nprobe = semCentroids.length)
+    }),
     // ----- export/report: per-user ordered event path (LISTAGG/
     // string_agg equivalent via sorted collect_list, deterministic) -----
     "q127_event_paths" -> ((s, dir) => {
@@ -3111,6 +3134,18 @@ object SparkEntry {
          |FROM a LEFT JOIN d ON a.vec_id = d.dup_id
          |ORDER BY a.vec_id""".stripMargin
     },
+    "q142_ann_upsert" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |base AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),
+         |delta AS (SELECT vec_id, list_transform(v, x -> -x) AS v
+         |  FROM e WHERE vec_id % 5 = 0),
+         |merged AS (
+         |  SELECT vec_id, v FROM base WHERE vec_id % 5 <> 0
+         |  UNION ALL SELECT vec_id, v FROM delta),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${duckCosine("v", "qv")}, 6) AS cosine
+         |FROM merged, q
+         |ORDER BY cosine DESC, vec_id LIMIT 50""".stripMargin,
     "q139_pii_scrub" ->
       """WITH base AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 40),
         |    concat('user', CAST(doc_id AS VARCHAR), '@example.com'),

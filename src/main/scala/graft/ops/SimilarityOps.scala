@@ -419,12 +419,39 @@ object SimilarityOps {
     * 1/2^planes slice (times probe width). Bucket assignment is the
     * same pure column expression the in-memory path uses, so the
     * layout and the query can never disagree.
+    *
+    * Stores carry a `_gen` generation column (0 for the initial
+    * write): the store is append-only with merge-on-read — the same
+    * semantics as the warehouse sink's raw table + latest view — so
+    * a daily embedding delta is [[appendSrpPartitioned]], never a
+    * rebuild. Generations must be distinct per append (latest-wins
+    * needs a total order per id).
     */
   def writeSrpPartitioned(embeddings: DataFrame, idCol: String,
       vecCol: String, planes: Int, dims: Int, path: String): Unit =
-    embeddings.select(col(idCol), col(vecCol),
-        srpBucket(col(vecCol), planes, dims).as("bucket"))
+    stampedStore(embeddings, idCol, vecCol,
+      srpBucket(col(vecCol), planes, dims).as("bucket"), gen = 0L)
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Appends a generation of vectors to an SRP-partitioned store:
+    * dynamic-partition append touches only the buckets the delta
+    * lands in; ids already present become upserts resolved at read
+    * (latest `_gen` wins). An update whose re-embedding moved it to
+    * a DIFFERENT bucket shadows the stale version only when the
+    * probe covers both buckets — the standard freshness/recall
+    * trade of partitioned ANN; [[compactSrpPartitioned]] restores
+    * exactness by folding the log.
+    */
+  def appendSrpPartitioned(delta: DataFrame, idCol: String,
+      vecCol: String, planes: Int, dims: Int, path: String,
+      gen: Long): Unit =
+    stampedStore(delta, idCol, vecCol,
+      srpBucket(col(vecCol), planes, dims).as("bucket"), gen)
+      .write.partitionBy("bucket").mode("append").parquet(path)
+
+  private def stampedStore(df: DataFrame, idCol: String, vecCol: String,
+      part: Column, gen: Long): DataFrame =
+    df.select(col(idCol), col(vecCol), lit(gen).as("_gen"), part)
 
   /** ANN top-k against an SRP-partitioned store written by
     * [[writeSrpPartitioned]]: same probed-bucket semantics as
@@ -441,12 +468,22 @@ object SimilarityOps {
     val probed: Seq[Long] =
       if (probe <= 0) Seq(qBucket)
       else qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
-    spark.read.parquet(path)
-      .where(col("bucket").isin(probed: _*))
+    latestVersions(spark.read.parquet(path)
+        .where(col("bucket").isin(probed: _*)), idCol, vecCol)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Merge-on-read over the probed slice: one id may carry several
+    * generations after appends — keep the latest. The groupBy
+    * shuffles only the directory-pruned probe slice (bucket/cell
+    * filter runs first), never the store.
+    */
+  private def latestVersions(slice: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    slice.groupBy(col(idCol))
+      .agg(max_by(col(vecCol), col("_gen")).as(vecCol))
 
   /** IVF twin of [[writeSrpPartitioned]]: the coarse-quantizer cell
     * becomes the partition column, so a probe reads only its nprobe
@@ -455,9 +492,23 @@ object SimilarityOps {
     */
   def writeIvfPartitioned(embeddings: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Float]], path: String): Unit =
-    embeddings.select(col(idCol), col(vecCol),
-        ivfAssign(col(vecCol), centroids).as("cell"))
+    stampedStore(embeddings, idCol, vecCol,
+      ivfAssign(col(vecCol), centroids).as("cell"), gen = 0L)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** IVF twin of [[appendSrpPartitioned]]: a delta generation lands
+    * in its cells via dynamic-partition append; read resolves
+    * upserts latest-wins. Centroids stay FROZEN across appends
+    * (standard IVF practice — retraining reassigns every cell, i.e.
+    * is a rebuild); drift is absorbed by nprobe until the next
+    * offline retrain + [[writeIvfPartitioned]].
+    */
+  def appendIvfPartitioned(delta: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Float]], path: String,
+      gen: Long): Unit =
+    stampedStore(delta, idCol, vecCol,
+      ivfAssign(col(vecCol), centroids).as("cell"), gen)
+      .write.partitionBy("cell").mode("append").parquet(path)
 
   /** IVF top-k against a cell-partitioned store written by
     * [[writeIvfPartitioned]] — [[ivfTopK]] semantics, directory-pruned.
@@ -469,10 +520,54 @@ object SimilarityOps {
       k: Int, nprobe: Int = 2): DataFrame = {
     val probeCells = ivfCellOf(query, centroids).take(nprobe)
     val q = lit(query.toArray)
-    spark.read.parquet(path)
-      .where(col("cell").isin(probeCells: _*))
+    latestVersions(spark.read.parquet(path)
+        .where(col("cell").isin(probeCells: _*)), idCol, vecCol)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Folds the append log: keeps one row per id (latest `_gen`,
+    * which also re-homes a moved id into the partition its CURRENT
+    * vector assigns to), restoring exact probe semantics after a
+    * run of appends — the ANN store's analogue of the warehouse
+    * sink's compaction. The surviving generation number is
+    * preserved so appends made after a compaction still win.
+    *
+    * Rewrites through a sibling staging directory then swaps —
+    * Spark cannot overwrite a path it is reading — so a crash
+    * leaves either the old store or the new one, never a partial.
+    */
+  def compactIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]]): Unit =
+    compactStore(spark, path, idCol, vecCol,
+      v => ivfAssign(v, centroids).as("cell"), "cell")
+
+  /** SRP twin of [[compactIvfPartitioned]]. */
+  def compactSrpPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String,
+      planes: Int, dims: Int): Unit =
+    compactStore(spark, path, idCol, vecCol,
+      v => srpBucket(v, planes, dims).as("bucket"), "bucket")
+
+  private def compactStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String,
+      part: Column => Column, partCol: String): Unit = {
+    val staging = path + "_compacting"
+    spark.read.parquet(path)
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col(vecCol), col("_gen")), col("_gen")).as("_v"))
+      .select(col(idCol), col("_v")(vecCol).as(vecCol),
+        col("_v")("_gen").as("_gen"))
+      .withColumn(partCol, part(col(vecCol)))
+      .write.partitionBy(partCol).mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
+      throw new IllegalStateException(
+        s"compaction rename $staging -> $path failed; store left at $staging")
   }
 }

@@ -173,6 +173,91 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [cell"), scan)
   }
 
+  test("ANN store upsert: append resolves latest-wins, compaction re-homes moved ids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upsert").toString + "/store"
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val c0 = v(1, 0, 0, 0); val c1 = v(0, 1, 0, 0)
+    val centroids = Seq(c0, c1)
+    val base = Seq(
+      (1L, v(1, 0, 0, 0)),      // cell 0
+      (2L, v(0.9, 0.1, 0, 0)),  // cell 0 — updated by gen 1 below
+      (3L, v(0, 0.9, 0, 0.1))). // cell 1
+      toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfPartitioned(base, "vec_id", "embedding", centroids, dir)
+    // gen 1: id 2 re-embedded into cell 1 (a cell MOVE), id 4 inserted
+    val delta = Seq(
+      (2L, v(0, 1, 0, 0)),
+      (4L, v(0.8, 0.2, 0, 0))).toDF("vec_id", "embedding")
+    SimilarityOps.appendIvfPartitioned(delta, "vec_id", "embedding",
+      centroids, dir, gen = 1L)
+
+    // all cells probed: merge-on-read is exact — id 2 answers with its
+    // NEW vector (cosine 0 to the query), never its stale gen-0 row
+    val all = SimilarityOps.ivfTopKPartitioned(spark, dir, "vec_id",
+        "embedding", c0, centroids, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(all.keySet == Set(1L, 2L, 3L, 4L))
+    assert(all(1L) == 1.0 && all(2L) == 0.0, all.toString)
+
+    // single-cell probe BEFORE compaction: id 2's stale gen-0 row
+    // still lives in cell 0 and shadows (documented freshness trade)
+    val stale = SimilarityOps.ivfTopKPartitioned(spark, dir, "vec_id",
+        "embedding", c0, centroids, k = 10, nprobe = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(stale.contains(2L) && stale(2L) > 0.9, stale.toString)
+
+    // compaction folds the log: one row per id, moved ids re-homed —
+    // the narrow probe no longer sees id 2, and the wide probe's
+    // answer is unchanged
+    SimilarityOps.compactIvfPartitioned(spark, dir, "vec_id", "embedding", centroids)
+    assert(spark.read.parquet(dir).count() == 4)
+    val narrow = SimilarityOps.ivfTopKPartitioned(spark, dir, "vec_id",
+        "embedding", c0, centroids, k = 10, nprobe = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(!narrow.contains(2L), narrow.toString)
+    val wide = SimilarityOps.ivfTopKPartitioned(spark, dir, "vec_id",
+        "embedding", c0, centroids, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(wide == all, s"compaction changed the wide-probe answer: $wide vs $all")
+
+    // generations survive compaction: a later append still wins
+    SimilarityOps.appendIvfPartitioned(
+      Seq((4L, v(0, 0, 1, 0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, dir, gen = 2L)
+    val after = SimilarityOps.ivfTopKPartitioned(spark, dir, "vec_id",
+        "embedding", c0, centroids, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(after(4L) == 0.0, after.toString)
+  }
+
+  test("SRP store append keeps directory pruning and latest-wins reads") {
+    val dir = java.nio.file.Files.createTempDirectory("srp_upsert").toString + "/store"
+    val query = embeddings.where($"vec_id" === 7)
+      .select($"embedding").collect()(0).getSeq[Float](0)
+    val base = embeddings.where($"vec_id" % 2 === 0)
+    val delta = embeddings.where($"vec_id" % 2 === 1)
+    SimilarityOps.writeSrpPartitioned(
+      base, "vec_id", "embedding", planes = 4, dims = query.length, dir)
+    SimilarityOps.appendSrpPartitioned(
+      delta, "vec_id", "embedding", planes = 4, dims = query.length, dir, gen = 1L)
+    val stored = SimilarityOps.annTopKPartitioned(
+      spark, dir, "vec_id", "embedding", query, 10, planes = 4, probe = 1)
+    val mem = SimilarityOps.annTopK(
+      embeddings, "vec_id", "embedding", query, 10, planes = 4, probe = 1)
+    assert(stored.as[(Long, Double)].collect().toSeq ==
+      mem.as[(Long, Double)].collect().toSeq,
+      "base+delta store must answer like the in-memory path over the union")
+    val scan = stored.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [bucket"), scan)
+    // compaction is a no-op on distinct ids but must preserve answers
+    SimilarityOps.compactSrpPartitioned(
+      spark, dir, "vec_id", "embedding", planes = 4, dims = query.length)
+    val again = SimilarityOps.annTopKPartitioned(
+      spark, dir, "vec_id", "embedding", query, 10, planes = 4, probe = 1)
+    assert(again.as[(Long, Double)].collect().toSeq ==
+      mem.as[(Long, Double)].collect().toSeq)
+  }
+
   test("bucketed neighbor pairs never cross buckets and are cosine-filtered") {
     val pairs = SimilarityOps.bucketedNeighborPairs(
       embeddings, "vec_id", "embedding", planes = 2, minCosine = 0.5)
