@@ -140,6 +140,22 @@ object Example {
       centroids, threshold = 0.3)
     println("semdedup kept: " + sem.where(org.apache.spark.sql.functions
       .col("kept")).count() + "/" + sem.count())
+    // partitioned ANN store lifecycle: base write → generation append
+    // (the daily delta) → directory-pruned probe resolving upserts
+    // latest-wins → compaction folding the log
+    locally {
+      import org.apache.spark.sql.functions.col
+      val store = s"$out/ann_store"
+      SimilarityOps.writeIvfPartitioned(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centroids, store)
+      SimilarityOps.appendIvfPartitioned(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", centroids, store, gen = 1L)
+      println("ivf-store top-5: " + ids(SimilarityOps.ivfTopKPartitioned(
+        spark, store, "vec_id", "embedding", qVec, centroids, 5, nprobe = 2)))
+      SimilarityOps.compactIvfPartitioned(spark, store, "vec_id", "embedding",
+        centroids)
+      println("ivf-store compacted rows: " + spark.read.parquet(store).count())
+    }
 
     // 5. temporal joins + deterministic sampling over the event stream
     import graft.ops.{SampleOps, TemporalJoins}

@@ -554,6 +554,19 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       DedupOps.duplicateClusters(pairs).orderBy(col("doc_id"))
     }),
+    // ----- LLM ops: incremental re-clustering (daily-delta shape) —
+    // yesterday's label table + today's new pairs must reproduce the
+    // full recompute's connectivity, which is all the oracle sees -----
+    "q143_incremental_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.fingerprintCandidatePairs(
+        t(s, dir, "documents").where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      val yesterday = pairs.where(col("id_a") % 3 =!= 0)
+      val today = pairs.where(col("id_a") % 3 === 0)
+      val prev = DedupOps.duplicateClusters(yesterday)
+      DedupOps.duplicateClustersIncremental(prev, today)
+        .orderBy(col("doc_id"))
+    }),
     // ----- LLM ops: repetition filters (Gopher/C4-style) -----
     "q48_repetition" -> ((s, dir) => {
       TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
@@ -2126,6 +2139,22 @@ object SparkEntry {
     "q47_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
+        |  FROM t),
+        |fp AS (SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS f FROM sh),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, d) AS (SELECT s, d FROM e
+        |  UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "q143_incremental_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |    ELSE list_transform(range(len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END AS s
         |  FROM t),

@@ -48,6 +48,28 @@ class EmptyInputSpec extends AnyFunSuite {
       .where(lit(false))
     assert(graft.ops.SimilarityOps.semDedup(emb0, "vec_id", "embedding",
       Seq(Seq(1.0f, 0.0f)), 0.5).count() == 0)
+    // an EMPTY delta append (a day with no new embeddings) must leave
+    // the store answering unchanged, and compaction must accept a
+    // store holding empty-generation appends
+    locally {
+      val emb = graft.sources.ImportSource.table(spark, sf, "embeddings")
+      val cents = Seq(Seq.tabulate(64)(d => if (d == 0) 1.0f else 0.0f),
+        Seq.tabulate(64)(d => if (d == 1) 1.0f else 0.0f))
+      val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString + "/s"
+      graft.ops.SimilarityOps.writeIvfPartitioned(
+        emb, "vec_id", "embedding", cents, dir)
+      val q = emb.select(col("embedding")).head().getSeq[Float](0)
+      def top() = graft.ops.SimilarityOps.ivfTopKPartitioned(
+          spark, dir, "vec_id", "embedding", q, cents, 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = top()
+      graft.ops.SimilarityOps.appendIvfPartitioned(
+        emb0, "vec_id", "embedding", cents, dir, gen = 1L)
+      assert(top() == before)
+      graft.ops.SimilarityOps.compactIvfPartitioned(
+        spark, dir, "vec_id", "embedding", cents)
+      assert(top() == before)
+    }
   }
 
   test("changelog/window/join operators accept empty changelogs") {
