@@ -534,9 +534,12 @@ object SimilarityOps {
     * sink's compaction. The surviving generation number is
     * preserved so appends made after a compaction still win.
     *
-    * Rewrites through a sibling staging directory then swaps —
-    * Spark cannot overwrite a path it is reading — so a crash
-    * leaves either the old store or the new one, never a partial.
+    * Rewrites through a sibling staging directory then swaps in
+    * two renames (old aside, staging in): no byte of the store is
+    * deleted before its replacement is complete, so every crash
+    * window leaves a full copy on disk — the live store, or (for a
+    * crash between the renames) the `_prev` + staging pair, which
+    * the next compaction run sweeps.
     */
   def compactIvfPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String,
@@ -555,6 +558,18 @@ object SimilarityOps {
       path: String, idCol: String, vecCol: String,
       part: Column => Column, partCol: String): Unit = {
     val staging = path + "_compacting"
+    val prev = path + "_prev"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // sweep leftovers from an earlier crashed compaction before
+    // reading: a `_prev` here means the last swap completed its
+    // first rename only — restore it as the store and retry cleanly
+    if (fs.exists(p(prev))) {
+      if (!fs.exists(p(path))) fs.rename(p(prev), p(path))
+      else fs.delete(p(prev), true)
+    }
+    fs.delete(p(staging), true)
     spark.read.parquet(path)
       .groupBy(col(idCol))
       .agg(max_by(struct(col(vecCol), col("_gen")), col("_gen")).as("_v"))
@@ -562,12 +577,14 @@ object SimilarityOps {
         col("_v")("_gen").as("_gen"))
       .withColumn(partCol, part(col(vecCol)))
       .write.partitionBy(partCol).mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
+    if (!fs.rename(p(path), p(prev)))
       throw new IllegalStateException(
-        s"compaction rename $staging -> $path failed; store left at $staging")
+        s"compaction could not move $path aside; store untouched")
+    if (!fs.rename(p(staging), p(path))) {
+      fs.rename(p(prev), p(path)) // roll back; compacted copy kept
+      throw new IllegalStateException(
+        s"compaction swap failed; store restored, compacted copy at $staging")
+    }
+    fs.delete(p(prev), true)
   }
 }

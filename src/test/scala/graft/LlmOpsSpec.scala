@@ -230,6 +230,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(after(4L) == 0.0, after.toString)
   }
 
+  test("ANN store compaction recovers every crash window of the two-rename swap") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    val dir = root + "/store"
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val centroids = Seq(v(1, 0), v(0, 1))
+    SimilarityOps.writeIvfPartitioned(
+      Seq((1L, v(1, 0)), (2L, v(0, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, dir)
+    SimilarityOps.appendIvfPartitioned(
+      Seq((2L, v(0.9, 0.1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, dir, gen = 1L)
+    def read() = SimilarityOps.ivfTopKPartitioned(spark, dir, "vec_id",
+        "embedding", v(1, 0), centroids, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toMap
+    val expect = read()
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash window 1: first rename done, second never ran — no store
+    // at `path`, full copy at `_prev`. Compaction must restore + fold.
+    assert(fs.rename(p(dir), p(dir + "_prev")))
+    SimilarityOps.compactIvfPartitioned(spark, dir, "vec_id", "embedding", centroids)
+    assert(read() == expect)
+    assert(!fs.exists(p(dir + "_prev")) && !fs.exists(p(dir + "_compacting")))
+    assert(spark.read.parquet(dir).count() == 2) // folded: one row per id
+
+    // crash window 2: swap completed but `_prev` cleanup didn't run —
+    // stale copy next to a live store. Compaction must drop it, not
+    // resurrect it.
+    SimilarityOps.appendIvfPartitioned(
+      Seq((1L, v(0.8, 0.2))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, dir, gen = 2L)
+    val expect2 = read()
+    fs.mkdirs(p(dir + "_prev")) // stale junk standing in for an old copy
+    SimilarityOps.compactIvfPartitioned(spark, dir, "vec_id", "embedding", centroids)
+    assert(read() == expect2)
+    assert(!fs.exists(p(dir + "_prev")))
+  }
+
   test("SRP store append keeps directory pruning and latest-wins reads") {
     val dir = java.nio.file.Files.createTempDirectory("srp_upsert").toString + "/store"
     val query = embeddings.where($"vec_id" === 7)
