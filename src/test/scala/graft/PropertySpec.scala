@@ -151,6 +151,57 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("ANN store: any append sequence answers as last-writer-wins over the union") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dims = 4
+    val centroids = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val genVec: Gen[Seq[Float]] =
+      Gen.listOfN(dims, Gen.chooseNum(-100, 100).map(_ / 100.0f)).map(_.toSeq)
+    val genRows: Gen[List[(Long, Seq[Float])]] =
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 6L), genVec))
+    val prop = Prop.forAllNoShrink(genRows, genRows, genRows) { (g0, g1, g2) =>
+      // a generation may not write the same id twice (appends are
+      // per-id upserts; within one write the winner would be untied)
+      val gens = Seq(g0, g1, g2).map(_.distinctBy(_._1)).filter(_.nonEmpty)
+      val dir = java.nio.file.Files.createTempDirectory("ann_prop").toString + "/s"
+      graft.ops.SimilarityOps.writeIvfPartitioned(
+        gens.head.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        centroids, dir)
+      gens.zipWithIndex.drop(1).foreach { case (g, i) =>
+        graft.ops.SimilarityOps.appendIvfPartitioned(
+          g.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          centroids, dir, gen = i.toLong)
+      }
+      // last writer wins per id across the whole sequence
+      val latest = gens.zipWithIndex
+        .flatMap { case (g, i) => g.map { case (id, v) => (id, i, v) } }
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)._3).toMap
+      val query = Seq(1f, 0f, 0f, 0f)
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        if (na * nb == 0) 0.0 else dot / (na * nb)
+      }
+      val expected = latest.toSeq
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(query, v)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(4)
+      val got = graft.ops.SimilarityOps.ivfTopKPartitioned(
+          spark, dir, "vec_id", "embedding", query, centroids,
+          k = 4, nprobe = centroids.size)
+        .as[(Long, Double)].collect().toSeq
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asOfJoin equals the brute-force per-row maximum (random keyed series)") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
