@@ -268,6 +268,94 @@ object TextOps {
         .orderBy(col("n").desc, col("pair")).limit(k), "rank")
   }
 
+  /** Greedy BPE merge training (the Sennrich et al. 2016 procedure)
+    * over the corpus word-frequency table. The CORPUS is touched
+    * exactly once — one token explode into word counts; every merge
+    * round after that runs on the VOCABULARY-sized symbol table
+    * (count adjacent symbol pairs weighted by word frequency, take
+    * the argmax, fold the winning pair into the symbol arrays), so
+    * at 100 TB the iteration cost is independent of corpus size.
+    * Rounds localCheckpoint to keep the plan flat and free the
+    * superseded round's blocks deterministically (the
+    * duplicateClusters loop's discipline). Deterministic argmax:
+    * count desc, then pair lexicographic. Stops early when the best
+    * pair's count drops below `minPairCount`.
+    *
+    * Returns the learned merge rules in application order; apply
+    * them with [[bpeSegment]] (driver-side greedy encoder, used by
+    * the spec to pin the algebra).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    val chars = transform(
+      sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = Parallelism.ensure(df.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(chars.as("syms"), col("freq"))
+      .localCheckpoint(false)
+    val learned = scala.collection.mutable.Buffer.empty[(String, String)]
+    var done = false
+    while (learned.size < merges && !done) {
+      val adj = zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))
+      val top = vocab.select(col("freq"), explode(adj).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        learned += ((a, b))
+        // fold the merge into each word greedily left-to-right: the
+        // running array's last element merges with the next symbol
+        // when they form the winning pair (so "aaa" under (a,a)
+        // becomes [aa, a], matching the reference encoder)
+        val fold = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        val next = vocab.select(fold.as("syms"), col("freq"))
+          .localCheckpoint(false)
+        next.rdd.count() // materialize before freeing the old round
+        freeLocalCheckpoint(vocab)
+        vocab = next
+      }
+    }
+    freeLocalCheckpoint(vocab)
+    learned.toSeq
+  }
+
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Driver-side greedy BPE encoder over learned merge rules —
+    * reference implementation for specs and small-scale encoding.
+    * Applies each merge left-to-right in learned order, the same
+    * fold [[bpeTrain]] runs distributed.
+    */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+      val out = scala.collection.mutable.Buffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.size - 1) = a + b
+        else out += s
+      }
+      out.toSeq
+    }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`k`
     * vocabulary — the coverage check run before committing to a
     * tokenizer vocab. The vocabulary is k rows (broadcast); the

@@ -502,6 +502,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(offs.toSeq == Seq(0L, 2000L, 4000L, 6000L)) // 2-byte mono frames
   }
 
+  test("bpeTrain learns the hand-computed merge sequence; encoder agrees") {
+    // low x5, lower x2, newest x6, widest x3 — the classic corpus:
+    // round-by-round argmax (count desc, pair asc) gives
+    // es, est, lo, low, ew, ewest
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    ).toDF("text")
+    val merges = TextOps.bpeTrain(corpus, "text", 6)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o",
+      "lo" -> "w", "e" -> "w", "ew" -> "est"), merges.toString)
+    assert(TextOps.bpeSegment("newest", merges) == Seq("n", "ewest"))
+    assert(TextOps.bpeSegment("lowest", merges) == Seq("low", "est"))
+    assert(TextOps.bpeSegment("low", merges) == Seq("low"))
+    // overlap folds greedily left-to-right: aaa under (a,a) -> [aa, a]
+    assert(TextOps.bpeSegment("aaa", Seq("a" -> "a")) == Seq("aa", "a"))
+    // early stop: singleton pairs never merge (minPairCount = 2)
+    val tiny = Seq("ab cd").toDF("text")
+    assert(TextOps.bpeTrain(tiny, "text", 5) == Seq.empty)
+  }
+
   test("jaccardNearDuplicates blocks on the min-shingle fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
