@@ -54,7 +54,17 @@ object Bench {
     // overhead that at 138 queries dominates the total.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    def hygiene(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      // localCheckpoint blocks are freed by their owners with
+      // blocking=false — the asynchronous removal otherwise lands in
+      // the NEXT query's timed window (q47's cleanup was billed to
+      // q48, 1.1s -> 4.6s in sweep context). Finish the removals
+      // synchronously between queries.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = try {
         time(run(fn(spark, sfDir))) // cold (codegen + plan)

@@ -63,6 +63,8 @@ object ScaleProbe {
     // pause doesn't masquerade as a scaling defect.
     def timeIt(fn: => Long): Double = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       fn // warm (JIT + shuffle-file cache)
       val runs = Seq.fill(2) {
