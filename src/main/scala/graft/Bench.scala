@@ -64,6 +64,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
+      // the gc enqueues ContextCleaner work (broadcast/shuffle/RDD
+      // removals) that the cleaner thread processes ASYNCHRONOUSLY —
+      // without a settle pause it competes with the next timed window
+      // (q48 billed 2-3s of q47's cleanup even with the blocking
+      // unpersist above). ~200ms drains it; untimed, so it costs
+      // sweep wall-clock only.
+      Thread.sleep(200)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = try {

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * bytea payloads ride the CDC envelope. The Spark-side plumbing —
   * schema, batched per-partition execution, feature/frame shapes —
   * is real, and so are the IMAGE codec ([[ImageIoDecoder]], pure-JDK
-  * javax.imageio: decode, channel statistics, bilinear resize) and
-  * the AUDIO codec ([[AudioWavDecoder]], pure-JDK javax.sound.sampled:
-  * WAV/AU/AIFF → PCM statistics + frame seek table). Video decode
-  * remains STUBBED behind [[MediaDecoder]] (no video codec ships with
+  * javax.imageio: decode, channel statistics, bilinear resize), the
+  * AUDIO codec ([[AudioWavDecoder]], pure-JDK javax.sound.sampled:
+  * WAV/AU/AIFF → PCM statistics + frame seek table), and the VIDEO
+  * container parser ([[Mp4Decoder]], the public ISO/IEC 14496-12 box
+  * structure: movie/track headers and the sample tables → duration,
+  * dimensions, fps, and the keyframe byte-offset seek table). Only
+  * video PIXEL decode stays out of scope (no video codec ships with
   * the JDK): plug a JNI/Java codec in without touching the plan.
   *
   * Scale design: decode runs inside `mapPartitions` so each task
@@ -243,6 +246,206 @@ object MultimodalOps {
               .map(_ * frameSize).toArray
           } finally in.close()
       }
+  }
+
+  /** REAL video container parser over the public ISO base-media file
+    * format (ISO/IEC 14496-12 — MP4/MOV box structure) — pure JVM, no
+    * codec, no libraries. The box grammar is `[u32 size][4cc type]
+    * [payload]` with containers nesting child boxes directly; the
+    * parser walks `moov` → `mvhd` (movie timescale/duration), per
+    * `trak`: `tkhd` (16.16 fixed-point width/height), `mdia/hdlr`
+    * (handler `vide` selects the video track), `mdia/mdhd` (track
+    * timescale/duration), and the `stbl` sample tables: `stss` (sync
+    * samples = keyframes), `stsz` (sample sizes), `stsc` (sample→chunk
+    * runs), `stco`/`co64` (chunk file offsets).
+    *
+    * `features` = [duration_s, width/4096, height/4096, track count,
+    * fps, sample count, keyframe count, mean sample bytes/1e6].
+    * `frameOffsets(n)` = the file byte offset of every Nth KEYFRAME
+    * (or every Nth sample when `stss` is absent — all samples are sync
+    * then, per the spec), resolved through stsc/stco/stsz exactly as a
+    * player's demuxer would: chunk base offset + preceding in-chunk
+    * sample sizes. That is the real seek table a frame-sampling
+    * pipeline hands to a downstream codec. Malformed payloads and
+    * non-video kinds degrade to [[StubDecoder]] byte statistics
+    * (degrade, don't fail the task), mirroring the other codecs.
+    * Pixel decode (`resizePayload`) stays identity — no JDK video
+    * codec exists; a real one slots in without touching the plan.
+    */
+  final class Mp4Decoder(featureDim: Int = 8) extends MediaDecoder {
+    import Mp4Decoder._
+
+    override def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      val parsed = if (kind == "video") parse(payload) else None
+      parsed match {
+        case None => new StubDecoder(featureDim).features(kind, payload)
+        case Some(p) =>
+          val durS = if (p.movieTimescale > 0)
+            p.movieDuration.toDouble / p.movieTimescale else 0.0
+          val (w, h) = p.video.map(t => (t.width, t.height)).getOrElse((0f, 0f))
+          val nSamples = p.video.map(_.sampleCount).getOrElse(0)
+          val trackDurS = p.video.collect {
+            case t if t.timescale > 0 => t.duration.toDouble / t.timescale
+          }.getOrElse(0.0)
+          val fps = if (trackDurS > 0) nSamples / trackDurS else 0.0
+          val nSync = p.video.map(t =>
+            if (t.syncSamples.nonEmpty) t.syncSamples.length else t.sampleCount)
+            .getOrElse(0)
+          val meanBytes = p.video.map { t =>
+            if (t.sampleCount == 0) 0.0
+            else if (t.fixedSampleSize != 0) t.fixedSampleSize.toDouble
+            else t.sampleSizes.sum.toDouble / t.sampleCount
+          }.getOrElse(0.0)
+          val out = Array(durS.toFloat, w / 4096.0f, h / 4096.0f,
+            p.trackCount.toFloat, fps.toFloat, nSamples.toFloat,
+            nSync.toFloat, (meanBytes / 1e6).toFloat)
+          if (out.length >= featureDim) out.take(featureDim)
+          else out ++ Array.fill(featureDim - out.length)(0.0f)
+      }
+    }
+
+    override def frameOffsets(payload: Array[Byte], everyNth: Int): Array[Long] =
+      parse(payload).flatMap(_.video) match {
+        case None =>
+          (0L until (if (payload == null) 0L else payload.length.toLong)
+            by math.max(1, everyNth).toLong).toArray
+        case Some(t) =>
+          val samples: Seq[Int] =
+            if (t.syncSamples.nonEmpty) t.syncSamples else 1 to t.sampleCount
+          samples.zipWithIndex.collect {
+            case (s, i) if i % math.max(1, everyNth) == 0 => sampleOffset(t, s)
+          }.toArray
+      }
+  }
+
+  object Mp4Decoder {
+    private final case class Box(typ: String, payloadStart: Int, end: Int)
+
+    final case class VideoTrack(
+        width: Float, height: Float, timescale: Long, duration: Long,
+        sampleCount: Int, fixedSampleSize: Long, sampleSizes: IndexedSeq[Long],
+        syncSamples: IndexedSeq[Int], chunkOffsets: IndexedSeq[Long],
+        samplesPerChunkRuns: IndexedSeq[(Int, Int)]) // (first_chunk, samples_per_chunk)
+
+    final case class Parsed(movieTimescale: Long, movieDuration: Long,
+        trackCount: Int, video: Option[VideoTrack])
+
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long = (u32(b, i) << 32) | u32(b, i + 4)
+
+    /** Child boxes of the byte range [from, to) — defensive: a
+      * malformed header (size < 8, overrun) terminates the walk. */
+    private def boxes(b: Array[Byte], from: Int, to: Int): List[Box] = {
+      val out = List.newBuilder[Box]
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= to) {
+        val size32 = u32(b, i)
+        val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val (payloadStart, size): (Int, Long) =
+          if (size32 == 1L && i + 16 <= to) (i + 16, u64(b, i + 8))
+          else if (size32 == 0L) (i + 8, (to - i).toLong) // runs to end
+          else (i + 8, size32)
+        val end = i.toLong + size
+        if (size < 8 || end > to) ok = false
+        else { out += Box(typ, payloadStart, end.toInt); i = end.toInt }
+      }
+      out.result()
+    }
+    private def child(b: Array[Byte], p: Box, typ: String): Option[Box] =
+      boxes(b, p.payloadStart, p.end).find(_.typ == typ)
+    private def version(b: Array[Byte], box: Box): Int = b(box.payloadStart) & 0xff
+
+    /** mvhd/mdhd share a layout: (timescale, duration) after the
+      * version-dependent creation/modification stamps. */
+    private def timescaleDuration(b: Array[Byte], box: Box): (Long, Long) = {
+      val p = box.payloadStart + 4 // skip version/flags
+      if (version(b, box) == 1) (u32(b, p + 16), u64(b, p + 20))
+      else (u32(b, p + 8), u32(b, p + 12))
+    }
+
+    private def parseTrack(b: Array[Byte], trak: Box): Option[VideoTrack] = for {
+      mdia <- child(b, trak, "mdia")
+      hdlr <- child(b, mdia, "hdlr")
+      handler = new String(b, hdlr.payloadStart + 8, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if handler == "vide"
+      tkhd <- child(b, trak, "tkhd")
+      mdhd <- child(b, mdia, "mdhd")
+      stbl <- child(b, mdia, "minf").flatMap(child(b, _, "stbl"))
+      stsz <- child(b, stbl, "stsz")
+      stco <- child(b, stbl, "stco").orElse(child(b, stbl, "co64"))
+      stsc <- child(b, stbl, "stsc")
+    } yield {
+      // tkhd: width/height are 16.16 fixed point after the version-
+      // dependent header + 52 bytes of layer/volume/matrix fields
+      val whBase = tkhd.payloadStart + 4 + (if (version(b, tkhd) == 1) 32 else 20) + 52
+      val (w, h) = (u32(b, whBase) / 65536.0f, u32(b, whBase + 4) / 65536.0f)
+      val (ts, dur) = timescaleDuration(b, mdhd)
+      val fixedSize = u32(b, stsz.payloadStart + 4)
+      val sampleCount = u32(b, stsz.payloadStart + 8).toInt
+      val sizes: IndexedSeq[Long] =
+        if (fixedSize != 0) IndexedSeq.empty
+        else (0 until sampleCount).map(i => u32(b, stsz.payloadStart + 12 + 4 * i))
+      val sync: IndexedSeq[Int] = child(b, stbl, "stss").map { st =>
+        val n = u32(b, st.payloadStart + 4).toInt
+        (0 until n).map(i => u32(b, st.payloadStart + 8 + 4 * i).toInt)
+      }.getOrElse(IndexedSeq.empty)
+      val wide = stco.typ == "co64"
+      val nChunks = u32(b, stco.payloadStart + 4).toInt
+      val chunkOffs = (0 until nChunks).map(i =>
+        if (wide) u64(b, stco.payloadStart + 8 + 8 * i)
+        else u32(b, stco.payloadStart + 8 + 4 * i))
+      val nRuns = u32(b, stsc.payloadStart + 4).toInt
+      val runs = (0 until nRuns).map { i =>
+        val e = stsc.payloadStart + 8 + 12 * i
+        (u32(b, e).toInt, u32(b, e + 4).toInt)
+      }
+      VideoTrack(w, h, ts, dur, sampleCount, fixedSize, sizes, sync,
+        chunkOffs, runs)
+    }
+
+    def parse(payload: Array[Byte]): Option[Parsed] =
+      if (payload == null || payload.length < 16) None
+      else try {
+        boxes(payload, 0, payload.length).find(_.typ == "moov").flatMap { moov =>
+          val (ts, dur) = child(payload, moov, "mvhd")
+            .map(timescaleDuration(payload, _)).getOrElse((0L, 0L))
+          val traks = boxes(payload, moov.payloadStart, moov.end)
+            .filter(_.typ == "trak")
+          if (ts == 0 && traks.isEmpty) None
+          else Some(Parsed(ts, dur, traks.size,
+            traks.view.flatMap(parseTrack(payload, _)).headOption))
+        }
+      } catch { case _: RuntimeException => None }
+
+    private def sizeOf(t: VideoTrack, sample: Int): Long =
+      if (t.fixedSampleSize != 0) t.fixedSampleSize else t.sampleSizes(sample - 1)
+
+    /** File byte offset of 1-based `sample`: resolve its chunk through
+      * the stsc runs, then add the sizes of the preceding samples in
+      * that chunk to the chunk's stco base offset. */
+    def sampleOffset(t: VideoTrack, sample: Int): Long = {
+      require(sample >= 1 && sample <= t.sampleCount, s"sample $sample of ${t.sampleCount}")
+      def samplesInChunk(c: Int): Int = {
+        var spc = t.samplesPerChunkRuns.headOption.map(_._2).getOrElse(1)
+        t.samplesPerChunkRuns.foreach { case (fc, n) => if (fc <= c) spc = n }
+        spc
+      }
+      var chunk = 1
+      var firstSampleOfChunk = 1
+      while (chunk < t.chunkOffsets.length &&
+          firstSampleOfChunk + samplesInChunk(chunk) <= sample) {
+        firstSampleOfChunk += samplesInChunk(chunk)
+        chunk += 1
+      }
+      var off = t.chunkOffsets(chunk - 1)
+      var s = firstSampleOfChunk
+      while (s < sample) { off += sizeOf(t, s); s += 1 }
+      off
+    }
   }
 
   /** Decode features for every media row: batched per-partition

@@ -502,6 +502,77 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(offs.toSeq == Seq(0L, 2000L, 4000L, 6000L)) // 2-byte mono frames
   }
 
+  test("multimodal: Mp4Decoder parses a real ISO-BMFF container through the distributed plan") {
+    import MultimodalOps._
+    // Hand-assemble a minimal spec-shaped MP4: ftyp + mdat (550 bytes,
+    // 10 samples sized 10..100) + moov(mvhd 5s@600, trak(tkhd 320x240,
+    // mdia(mdhd 5000@1000, hdlr 'vide', minf(stbl(stts, stss [1,4,7,10],
+    // stsc chunk runs (1,4),(2,3), stsz, stco [28,128,308]))))).
+    // mdat-before-moov keeps chunk offsets computable up front.
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def mbox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      u32(8L + body.length) ++ cc(typ) ++ body
+    }
+    val vf = Array[Byte](0, 0, 0, 0) // version 0 + flags
+    val sizes = (1 to 10).map(_ * 10L) // sample sizes 10..100, total 550
+    val ftyp = mbox("ftyp", cc("isom"), u32(0), cc("isom")) // 20 bytes
+    val mdatPayload = Array.tabulate[Byte](550)(i => (i % 251).toByte)
+    val mdat = mbox("mdat", mdatPayload) // payload starts at 20+8 = 28
+    val mvhd = mbox("mvhd", vf, u32(0), u32(0), u32(600), u32(3000),
+      Array.fill[Byte](80)(0)) // rate/volume/matrix/next-track: padding
+    val tkhd = mbox("tkhd", vf, u32(0), u32(0), u32(1), u32(0), u32(5000),
+      Array.fill[Byte](52)(0), // reserved + layer/alt/volume + matrix
+      u32(320L << 16), u32(240L << 16)) // 16.16 fixed dimensions
+    val mdhd = mbox("mdhd", vf, u32(0), u32(0), u32(1000), u32(5000),
+      u16(0x55c4), u16(0))
+    val hdlr = mbox("hdlr", vf, u32(0), cc("vide"), Array.fill[Byte](13)(0))
+    val stsd = mbox("stsd", vf, u32(0))
+    val stts = mbox("stts", vf, u32(1), u32(10), u32(500))
+    val stss = mbox("stss", vf, u32(4), u32(1), u32(4), u32(7), u32(10))
+    val stsc = mbox("stsc", vf, u32(2), u32(1), u32(4), u32(1), u32(2), u32(3), u32(1))
+    val stsz = mbox("stsz", vf, u32(0), u32(10), sizes.flatMap(u32).toArray)
+    // chunk1 @28 (samples 1-4 = 100B), chunk2 @128 (5-7 = 180B), chunk3 @308
+    val stco = mbox("stco", vf, u32(3), u32(28), u32(128), u32(308))
+    val stbl = mbox("stbl", stsd, stts, stss, stsc, stsz, stco)
+    val trak = mbox("trak", tkhd, mbox("mdia", mdhd, hdlr, mbox("minf", stbl)))
+    val mp4 = ftyp ++ mdat ++ mbox("moov", mvhd, trak)
+
+    val rows = Seq(
+      Row(1L, mp4, Row("video", 320, 240, null, 5000)),
+      Row(2L, Array[Byte](7, 7, 7, 7), Row("video", null, null, null, null)), // corrupt
+      Row(3L, Array.tabulate[Byte](50)(_.toByte), Row("image", 5, 5, null, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema())
+    val decoder = new Mp4Decoder()
+    val feats = extractFeatures(media, decoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // [dur_s, w/4096, h/4096, tracks, fps, samples, keyframes, meanBytes/1e6]
+    val f1 = feats(1L)
+    assert(math.abs(f1(0) - 5.0f) < 1e-5) // mvhd 3000/600
+    assert(math.abs(f1(1) - 320 / 4096.0f) < 1e-6 &&
+      math.abs(f1(2) - 240 / 4096.0f) < 1e-6)
+    assert(f1(3) == 1.0f) // one track
+    assert(math.abs(f1(4) - 2.0f) < 1e-5) // 10 samples / 5s (mdhd)
+    assert(f1(5) == 10.0f && f1(6) == 4.0f)
+    assert(math.abs(f1(7) - 5.5e-5f) < 1e-9) // mean sample 55 bytes
+    // corrupt container and non-video kinds degrade, not fail
+    assert(feats(2L).length == 8 && feats(3L).length == 8)
+
+    // keyframe seek table resolved through stsc/stco/stsz, demuxer-style:
+    // sync samples 1,4,7,10 -> chunk base + preceding in-chunk sizes
+    assert(decoder.frameOffsets(mp4, 1).toSeq == Seq(28L, 88L, 238L, 478L))
+    // every 2nd keyframe through the distributed frame-sampling plan
+    // (the corrupt video row degrades to the stub byte stride — only
+    // the real container yields demuxer offsets)
+    val frames = sampleFrames(media, decoder, everyNth = 2)
+      .where(col("media_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._2)
+    assert(frames.toSeq == Seq((1L, 0, 28L), (1L, 1, 238L)))
+  }
+
   test("bpeTrain learns the hand-computed merge sequence; encoder agrees") {
     // low x5, lower x2, newest x6, widest x3 — the classic corpus:
     // round-by-round argmax (count desc, pair asc) gives
