@@ -69,8 +69,47 @@ final class JdbcPublicationStore(url: String,
     */
   def reconcile(publication: String,
       watched: Seq[TableRef]): (Seq[TableRef], Seq[TableRef]) = withConn { conn =>
-    // advisory-lock analogue: ensure the lock row exists, then take it
-    // FOR UPDATE — second reconciler blocks here until commit
+    takeLock(conn, publication)
+    val current = membership(conn, publication)
+    val toAdd = TableRef.diff(watched, current)
+      .sortBy(t => (t.schema, t.name))
+    val toRemove = TableRef.diff(current, watched)
+      .sortBy(t => (t.schema, t.name))
+    insertAll(conn, publication, toAdd)
+    deleteAll(conn, publication, toRemove)
+    (toAdd, toRemove)
+  }
+
+  /** Add ONE table under the publication lock — the reference's
+    * AddTable session: get tables, no-op if already published, else
+    * set (api/subscriptions.go:51-80). The check and the insert share
+    * the transaction, so concurrent adders serialize instead of
+    * last-writer-wins clobbering each other. Returns the resulting
+    * membership. */
+  def addTable(publication: String, t: TableRef): Seq[TableRef] = withConn { conn =>
+    takeLock(conn, publication)
+    val current = membership(conn, publication)
+    if (!current.contains(t)) insertAll(conn, publication, Seq(t))
+    (current :+ t).distinct.sortBy(x => (x.schema, x.name))
+  }
+
+  /** Remove ONE table under the publication lock — the membership half
+    * of the reference's StopTable (api/subscriptions.go:82-126); the
+    * caller expires outstanding import jobs BEFORE invoking this,
+    * matching the reference's ordering ("better to block and fail here
+    * than remove from publication, which can't be rolled back").
+    * No-op when the table isn't published. Returns the resulting
+    * membership. */
+  def removeTable(publication: String, t: TableRef): Seq[TableRef] = withConn { conn =>
+    takeLock(conn, publication)
+    val current = membership(conn, publication)
+    if (current.contains(t)) deleteAll(conn, publication, Seq(t))
+    current.filterNot(_ == t).sortBy(x => (x.schema, x.name))
+  }
+
+  /** Advisory-lock analogue: ensure the lock row exists, then take it
+    * FOR UPDATE — a second session blocks here until commit. */
+  private def takeLock(conn: Connection, publication: String): Unit = {
     val ins = conn.prepareStatement(
       "INSERT INTO publication_locks VALUES (?)")
     ins.setString(1, publication)
@@ -82,37 +121,40 @@ final class JdbcPublicationStore(url: String,
       "SELECT publication FROM publication_locks WHERE publication = ? FOR UPDATE")
     lock.setString(1, publication)
     lock.executeQuery().next()
+  }
 
-    val current = {
-      val ps = conn.prepareStatement(
-        "SELECT schema_name, table_name FROM publications WHERE publication = ?")
-      ps.setString(1, publication)
-      val rs = ps.executeQuery()
-      val out = Seq.newBuilder[TableRef]
-      while (rs.next()) out += TableRef(rs.getString(1), rs.getString(2))
-      out.result()
-    }
-    val toAdd = TableRef.diff(watched, current)
-      .sortBy(t => (t.schema, t.name))
-    val toRemove = TableRef.diff(current, watched)
-      .sortBy(t => (t.schema, t.name))
+  private def membership(conn: Connection, publication: String): Seq[TableRef] = {
+    val ps = conn.prepareStatement(
+      "SELECT schema_name, table_name FROM publications WHERE publication = ?")
+    ps.setString(1, publication)
+    val rs = ps.executeQuery()
+    val out = Seq.newBuilder[TableRef]
+    while (rs.next()) out += TableRef(rs.getString(1), rs.getString(2))
+    out.result()
+  }
 
-    val add = conn.prepareStatement(
-      "INSERT INTO publications VALUES (?, ?, ?)")
-    toAdd.foreach { t =>
+  private def insertAll(conn: Connection, publication: String,
+      ts: Seq[TableRef]): Unit = {
+    val add = conn.prepareStatement("INSERT INTO publications VALUES (?, ?, ?)")
+    ts.foreach { t =>
       add.setString(1, publication); add.setString(2, t.schema)
       add.setString(3, t.name); add.addBatch()
     }
     add.executeBatch()
+    ()
+  }
+
+  private def deleteAll(conn: Connection, publication: String,
+      ts: Seq[TableRef]): Unit = {
     val del = conn.prepareStatement(
       "DELETE FROM publications WHERE publication = ? AND schema_name = ? " +
         "AND table_name = ?")
-    toRemove.foreach { t =>
+    ts.foreach { t =>
       del.setString(1, publication); del.setString(2, t.schema)
       del.setString(3, t.name); del.addBatch()
     }
     del.executeBatch()
-    (toAdd, toRemove)
+    ()
   }
 
   private def withConn[T](body: Connection => T): T = {

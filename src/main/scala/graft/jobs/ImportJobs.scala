@@ -95,10 +95,13 @@ final class ImportJobStore {
   }
 
   /** Expire: the job no longer runs; a later reconcile may recreate
-    * it (reference: api/subscriptions.go StopTable semantics). */
+    * it. Matches the reference's UPDATE — every non-expired job for
+    * the table, including completed ones, so a stopped table's
+    * history reads `expired` (reference: api/subscriptions.go:128-150
+    * `WHERE … expired_at IS NULL`). */
   def expire(table: TableRef, now: Timestamp): Unit = synchronized {
     jobs = jobs.map(j =>
-      if (j.tableRef == table && j.expiredAt.isEmpty && j.completedAt.isEmpty)
+      if (j.tableRef == table && j.expiredAt.isEmpty)
         j.copy(expiredAt = Some(now))
       else j)
   }

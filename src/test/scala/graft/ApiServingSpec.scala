@@ -90,6 +90,85 @@ class ApiServingSpec extends AnyFunSuite {
     assert(store.published("pub-other").isEmpty)
   }
 
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("subscription actions drive the registry and expire imports (reference add/stop-table)") {
+    import java.sql.Timestamp
+    import graft.api.SubscriptionManager
+    import graft.jobs.ImportJobStore
+    val store = new JdbcPublicationStore("jdbc:derby:memory:graftsub;create=true")
+    store.ensureSchema()
+    val jobs = new ImportJobStore
+    val t0 = new Timestamp(1000000L)
+    val mgr = new SubscriptionManager(store, "sub-1", jobs, now = () => t0)
+    val api = new RestApi(
+      tables = () => Nil,
+      reconcile = () => (Nil, Nil),
+      subscription = Some(mgr),
+      imports = () => jobs.all)
+    val port = api.start()
+    try {
+      // empty subscription document
+      assert(get(port, "/api/subscriptions") ==
+        ((200, """{"id":"sub-1","published_tables":[]}""")))
+      // add two tables; idempotent re-add
+      val (c1, b1) = post(port, "/api/subscriptions/actions/add-table",
+        """{"schema":"public","name":"orders"}""")
+      assert(c1 == 200 && b1.contains(""""name":"orders""""))
+      post(port, "/api/subscriptions/actions/add-table",
+        """{"schema":"public","name":"lineitem"}""")
+      val (_, again) = post(port, "/api/subscriptions/actions/add-table",
+        """{"schema":"public","name":"orders"}""")
+      assert(org.json4s.jackson.JsonMethods.parse(again)
+        .\("published_tables").children.size == 2)
+      assert(store.published("sub-1") ==
+        Seq(TableRef("public", "lineitem"), TableRef("public", "orders")))
+
+      // an import job materializes for a published table
+      jobs.reconcile("sub-1", store.published("sub-1"), t0)
+      val (ic, ib) = get(port, "/api/imports")
+      assert(ic == 200)
+      val parsedJobs = org.json4s.jackson.JsonMethods.parse(ib).children
+      assert(parsedJobs.size == 2 && ib.contains(""""expired_at":null"""))
+
+      // stop-table: outstanding import expired FIRST, then membership
+      // removed (the reference's crash-safe ordering)
+      val (sc, sb) = post(port, "/api/subscriptions/actions/stop-table",
+        """{"schema":"public","name":"orders"}""")
+      assert(sc == 200 && !sb.contains(""""name":"orders""""))
+      assert(store.published("sub-1") == Seq(TableRef("public", "lineitem")))
+      val expired = jobs.all.filter(_.tableRef == TableRef("public", "orders"))
+      assert(expired.nonEmpty && expired.forall(_.expiredAt.contains(t0)))
+      // the listing reflects it over HTTP
+      assert(get(port, "/api/imports")._2.contains(""""expired_at":"1970-01-01T00:16:40Z""""))
+
+      // protocol edges: GET on an action is 405, bad JSON is 400
+      assert(get(port, "/api/subscriptions/actions/add-table")._1 == 405)
+      assert(post(port, "/api/subscriptions/actions/add-table", "{nope")._1 == 400)
+      assert(post(port, "/api/subscriptions/actions/add-table",
+        """{"schema":7}""")._1 == 400)
+    } finally api.stop()
+  }
+
+  test("subscription routes 404 when no service is wired") {
+    val api = new RestApi(tables = () => Nil, reconcile = () => (Nil, Nil))
+    val port = api.start()
+    try {
+      assert(get(port, "/api/subscriptions")._1 == 404)
+      assert(post(port, "/api/subscriptions/actions/add-table",
+        """{"schema":"s","name":"t"}""")._1 == 404)
+      // imports default supplier: empty array, not an error
+      assert(get(port, "/api/imports") == ((200, "[]")))
+    } finally api.stop()
+  }
+
   test("concurrent reconciles serialize on the lock row (no interleaved state)") {
     val store = new JdbcPublicationStore(jdbcUrl)
     store.ensureSchema()
