@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrent tasks whose shuffle/sort buffers GC-thrash 10-30x when
   // squeezed into a small heap (measured: q55 0.6s->20s at 8g).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // The 143-query sweep generates thousands of janino/whole-stage
+  // classes; at the JVM's 240m default the code cache fills mid-sweep
+  // and the JIT silently stops compiling, inflating CPU-bound
+  // operators 2-4x late in the run (the scheduling-bound floor query
+  // stays flat — the fingerprint that separates this from GC noise).
+  "-XX:ReservedCodeCacheSize=1g",
 )

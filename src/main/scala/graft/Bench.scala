@@ -92,7 +92,17 @@ object Bench {
         else {
           hygiene()
           val w2 = time(run(fn(spark, sfDir)))
-          name -> math.min(w1, w2)
+          val m2 = math.min(w1, w2)
+          // heavy queries' generated code takes ~3 invocations to
+          // reach C2 steady state (q61 isolated: 1.75 → 0.95 → 0.48);
+          // one more run separates engine cost from JIT warm-up for
+          // the queries where that gap is material
+          if (m2 < 0.8) name -> m2
+          else {
+            hygiene()
+            val w3 = time(run(fn(spark, sfDir)))
+            name -> math.min(m2, w3)
+          }
         }
       } catch { case _: Throwable => name -> -1.0 }
       // Same hygiene between queries: without it the 100+-query sweep
@@ -122,7 +132,7 @@ object Bench {
     // let the optimizer prune aggregate values and final sorts) to
     // full-plan noop-sink execution — totals are NOT comparable to
     // r1-r3 numbers; this field makes the change machine-visible.
-    val protocol = "noop-full-plan,min2warm"
+    val protocol = "noop-full-plan,min3warm"
     // full detail to a file (driver tail capture would truncate it)
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle on a scale-factor directory.
+
+Usage: python3 tools/time_oracle.py <sfDir> [oracle_sql.json]
+
+Runs every oracle query once (DuckDB has no JIT warm-up: cold ~= warm)
+against parquet views over <sfDir> and prints per-query seconds plus
+the total — the honest single-node baseline the bench total is
+compared against. Materializes each result via fetchall() so the full
+query executes. Dev/measurement tool only — not part of the library.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(sf_dir, oracle_path):
+    oracle = json.loads(Path(oracle_path).read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    timings = {}
+    for name in sorted(oracle):
+        t0 = time.time()
+        try:
+            con.sql(oracle[name]).fetchall()
+            timings[name] = time.time() - t0
+        except Exception as e:  # count failures, keep timing the rest
+            timings[name] = -1.0
+            print(f"{name}: ERROR {e}", file=sys.stderr)
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{v:7.3f}  {k}")
+    print(json.dumps({
+        "metric": "duckdb_oracle_total", "value": round(sum(ok.values()), 3),
+        "unit": "sec", "n_queries": len(ok), "sf": sf_dir,
+        "failed": sorted(k for k, v in timings.items() if v < 0)}))
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+    main(sf, oracle)
