@@ -504,41 +504,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("multimodal: Mp4Decoder parses a real ISO-BMFF container through the distributed plan") {
     import MultimodalOps._
-    // Hand-assemble a minimal spec-shaped MP4: ftyp + mdat (550 bytes,
-    // 10 samples sized 10..100) + moov(mvhd 5s@600, trak(tkhd 320x240,
-    // mdia(mdhd 5000@1000, hdlr 'vide', minf(stbl(stts, stss [1,4,7,10],
-    // stsc chunk runs (1,4),(2,3), stsz, stco [28,128,308]))))).
-    // mdat-before-moov keeps chunk offsets computable up front.
-    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
-    def u16(v: Int) = Array((v >> 8).toByte, v.toByte)
-    def cc(s: String) = s.getBytes("US-ASCII")
-    def mbox(typ: String, parts: Array[Byte]*): Array[Byte] = {
-      val body = parts.flatten.toArray
-      u32(8L + body.length) ++ cc(typ) ++ body
-    }
-    val vf = Array[Byte](0, 0, 0, 0) // version 0 + flags
-    val sizes = (1 to 10).map(_ * 10L) // sample sizes 10..100, total 550
-    val ftyp = mbox("ftyp", cc("isom"), u32(0), cc("isom")) // 20 bytes
-    val mdatPayload = Array.tabulate[Byte](550)(i => (i % 251).toByte)
-    val mdat = mbox("mdat", mdatPayload) // payload starts at 20+8 = 28
-    val mvhd = mbox("mvhd", vf, u32(0), u32(0), u32(600), u32(3000),
-      Array.fill[Byte](80)(0)) // rate/volume/matrix/next-track: padding
-    val tkhd = mbox("tkhd", vf, u32(0), u32(0), u32(1), u32(0), u32(5000),
-      Array.fill[Byte](52)(0), // reserved + layer/alt/volume + matrix
-      u32(320L << 16), u32(240L << 16)) // 16.16 fixed dimensions
-    val mdhd = mbox("mdhd", vf, u32(0), u32(0), u32(1000), u32(5000),
-      u16(0x55c4), u16(0))
-    val hdlr = mbox("hdlr", vf, u32(0), cc("vide"), Array.fill[Byte](13)(0))
-    val stsd = mbox("stsd", vf, u32(0))
-    val stts = mbox("stts", vf, u32(1), u32(10), u32(500))
-    val stss = mbox("stss", vf, u32(4), u32(1), u32(4), u32(7), u32(10))
-    val stsc = mbox("stsc", vf, u32(2), u32(1), u32(4), u32(1), u32(2), u32(3), u32(1))
-    val stsz = mbox("stsz", vf, u32(0), u32(10), sizes.flatMap(u32).toArray)
-    // chunk1 @28 (samples 1-4 = 100B), chunk2 @128 (5-7 = 180B), chunk3 @308
-    val stco = mbox("stco", vf, u32(3), u32(28), u32(128), u32(308))
-    val stbl = mbox("stbl", stsd, stts, stss, stsc, stsz, stco)
-    val trak = mbox("trak", tkhd, mbox("mdia", mdhd, hdlr, mbox("minf", stbl)))
-    val mp4 = ftyp ++ mdat ++ mbox("moov", mvhd, trak)
+    val mp4 = LlmOpsSpec.sampleMp4
 
     val rows = Seq(
       Row(1L, mp4, Row("video", 320, 240, null, 5000)),
@@ -775,5 +741,45 @@ class LlmOpsSpec extends AnyFunSuite {
       (2L, 1.5, 3.0, 2L), // row frame: rows 1-2; range: both within 1h
       (3L, 3.0, 6.0, 2L), // row frame: rows 2-3; range: rows 2-3
       (4L, 6.0, 8.0, 1L))) // row frame: rows 3-4; range: alone
+  }
+}
+
+/** Shared fixture: a minimal spec-shaped MP4 — ftyp + mdat (550 bytes,
+  * 10 samples sized 10..100) + moov(mvhd 5s@600, trak(tkhd 320x240,
+  * mdia(mdhd 5000@1000, hdlr 'vide', minf(stbl(stts, stss [1,4,7,10],
+  * stsc chunk runs (1,4),(2,3), stsz, stco [28,128,308]))))).
+  * mdat-before-moov keeps chunk offsets computable up front:
+  * chunk1 @28 (samples 1-4 = 100B), chunk2 @128 (5-7), chunk3 @308.
+  */
+object LlmOpsSpec {
+  def sampleMp4: Array[Byte] = {
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def mbox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      u32(8L + body.length) ++ cc(typ) ++ body
+    }
+    val vf = Array[Byte](0, 0, 0, 0) // version 0 + flags
+    val sizes = (1 to 10).map(_ * 10L) // sample sizes 10..100, total 550
+    val ftyp = mbox("ftyp", cc("isom"), u32(0), cc("isom")) // 20 bytes
+    val mdat = mbox("mdat", Array.tabulate[Byte](550)(i => (i % 251).toByte))
+    val mvhd = mbox("mvhd", vf, u32(0), u32(0), u32(600), u32(3000),
+      Array.fill[Byte](80)(0)) // rate/volume/matrix/next-track: padding
+    val tkhd = mbox("tkhd", vf, u32(0), u32(0), u32(1), u32(0), u32(5000),
+      Array.fill[Byte](52)(0), // reserved + layer/alt/volume + matrix
+      u32(320L << 16), u32(240L << 16)) // 16.16 fixed dimensions
+    val mdhd = mbox("mdhd", vf, u32(0), u32(0), u32(1000), u32(5000),
+      u16(0x55c4), u16(0))
+    val hdlr = mbox("hdlr", vf, u32(0), cc("vide"), Array.fill[Byte](13)(0))
+    val stsd = mbox("stsd", vf, u32(0))
+    val stts = mbox("stts", vf, u32(1), u32(10), u32(500))
+    val stss = mbox("stss", vf, u32(4), u32(1), u32(4), u32(7), u32(10))
+    val stsc = mbox("stsc", vf, u32(2), u32(1), u32(4), u32(1), u32(2), u32(3), u32(1))
+    val stsz = mbox("stsz", vf, u32(0), u32(10), sizes.flatMap(u32).toArray)
+    val stco = mbox("stco", vf, u32(3), u32(28), u32(128), u32(308))
+    val stbl = mbox("stbl", stsd, stts, stss, stsc, stsz, stco)
+    val trak = mbox("trak", tkhd, mbox("mdia", mdhd, hdlr, mbox("minf", stbl)))
+    ftyp ++ mdat ++ mbox("moov", mvhd, trak)
   }
 }

@@ -277,4 +277,30 @@ class PropertySpec extends AnyFunSuite {
         TableSchema(1, "public", "t", mutated).fingerprint != s1.fingerprint
     })
   }
+
+  test("Mp4 parser is total on untrusted bytes (degrade, never throw)") {
+    import graft.ops.MultimodalOps.Mp4Decoder
+    val dec = new Mp4Decoder()
+    // arbitrary garbage: random bytes, including 'moov'-prefixed ones
+    // that look like box headers with absurd sizes
+    val genBytes = Gen.oneOf(
+      Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte)),
+      Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte))
+          .map(tail => "....moov".getBytes("US-ASCII") ++ tail)))
+    check("mp4-total", Prop.forAll(genBytes) { bytes =>
+      val f = dec.features("video", bytes)
+      val offs = dec.frameOffsets(bytes, 3)
+      f.length == 8 && offs.forall(_ >= 0)
+    })
+    // truncations of a VALID container must also degrade cleanly: every
+    // prefix either parses (long enough) or returns None — no throw
+    val full = LlmOpsSpec.sampleMp4
+    (0 until full.length by 7).foreach { n =>
+      val cut = full.take(n)
+      assert(dec.features("video", cut).length == 8)
+      dec.frameOffsets(cut, 2)
+    }
+    assert(Mp4Decoder.parse(full).exists(_.video.nonEmpty)) // sanity: fixture parses whole
+  }
 }
