@@ -72,8 +72,8 @@ object SparkEntry {
       // agree on (decimal columns downcast inconsistently driver-side).
       // round(...,2) first keeps the scaled integer < 2^53 so the
       // decimal->double conversion is exact in both engines.
-      t(s, dir, "lineitem")
-        .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      graft.ops.Parallelism.ensure(t(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType)))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
@@ -622,7 +622,7 @@ object SparkEntry {
     }),
     // ----- §2.4 breadth: hierarchical totals via ROLLUP -----
     "q55_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      graft.ops.Parallelism.ensure(t(s, dir, "lineitem"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
@@ -687,9 +687,18 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("zscore"), 6).as("zscore"))
         .orderBy(col("event_id"))
     }),
-    // ----- feature engineering: engine-exact per-group correlation -----
+    // ----- feature engineering: per-group correlation (native stable
+    // one-pass moments — the 100 TB estimator plan) -----
     "q61_corr" -> ((s, dir) => {
       graft.ops.StatsOps.pearson(t(s, dir, "lineitem"), "l_returnflag",
+          col("l_quantity"), col("l_extendedprice"))
+        .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // ----- the decimal-exact twin: order-independent sums, bit-
+    // reproducible under any partitioning -----
+    "q144_corr_exact" -> ((s, dir) => {
+      graft.ops.StatsOps.pearsonExact(t(s, dir, "lineitem"), "l_returnflag",
           col("l_quantity"), col("l_extendedprice"))
         .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))
         .orderBy(col("l_returnflag"))
@@ -1595,15 +1604,21 @@ object SparkEntry {
     // ----- §2.2 breadth: UNPIVOT/melt (wide -> long reshaping, the
     // inverse of q56's pivot) + per-measure aggregate -----
     "q135_unpivot" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+      graft.ops.Parallelism.ensure(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax")))
         .unpivot(Array(col("l_orderkey")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "measure", "val")
         .groupBy(col("measure"))
         .agg(count(lit(1)).as("n"),
           sum(col("val").cast(DecimalType(18, 4))).cast(DoubleType).as("total"),
-          round(avg(col("val")), 6).as("mean"))
+          // mean from the EXACT decimal sum with one double divide:
+          // both engines divide the same two exact numbers in IEEE
+          // arithmetic, so the 6-dp rounding can never land on
+          // different sides of a boundary (avg's double running sum is
+          // partition-order-sensitive at the last bit)
+          round(sum(col("val").cast(DecimalType(18, 4))).cast(DoubleType) /
+            count(lit(1)), 6).as("mean"))
         .orderBy(col("measure"))
     }),
     // ----- CDC: snapshot diff — reconstruct a changelog by comparing
@@ -2195,7 +2210,15 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    // Both engines use their native one-pass corr estimator (stable
+    // central-moment update); round(…,6) absorbs the ~1e-15 relative
+    // difference between merge orders.
     "q61_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The decimal-exact estimator twin: bit-reproducible under any
+    // partitioning (accounting-grade), vs q61's native stable moments.
+    "q144_corr_exact" ->
       """WITH s AS (SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
@@ -3231,7 +3254,7 @@ object SparkEntry {
         |  UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax)))
         |SELECT measure, count(*) AS n,
         |  CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
-        |  round(avg(val), 6) AS mean
+        |  round(CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS mean
         |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "q133_l2_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)

@@ -26,14 +26,21 @@ object TimeQuery {
       val fn = SparkEntry.queries(name)
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
-      (1 to 3).foreach { i =>
+      (1 to 5).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        // the bench's protocol: execute the FULL plan through the noop
+        // sink (count() lets the optimizer prune aggregate values and
+        // the final sort — readings here must be comparable to
+        // BENCH_DETAIL)
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
         // same hygiene as Bench: drop cached plans / checkpoint
         // blocks so runs don't contaminate each other
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
+        Thread.sleep(200)
       }
     }
     spark.stop()

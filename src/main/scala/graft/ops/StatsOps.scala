@@ -14,10 +14,35 @@ object StatsOps {
     * sequence of IEEE operations, reproducible in any engine (unlike
     * built-in `corr`, whose double accumulation is partitioning-
     * dependent). */
-  def pearson(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
-    val d = DecimalType(28, 8)
-    // pairwise deletion: a row contributes only when both are present
+  /** Per-group Pearson correlation via Spark's native `corr` — a
+    * codegen one-pass central-moment aggregator (numerically stable
+    * co-moment update, mergeable partials, no decimal boxing). For a
+    * statistical ESTIMATOR this is the 100 TB plan: the decimal-exact
+    * sum-of-products variant below ([[pearsonExact]]) pays ~4x in
+    * BigDecimal arithmetic to make a quantity that is itself an
+    * estimate bit-reproducible — warranted for accounting sums, not
+    * for correlations consumed at fixed precision.
+    */
+  def pearson(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame =
     df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      // covar/stddev·stddev rather than corr(): under ANSI mode (the
+      // Spark 4 default) corr's internal divide THROWS on a
+      // zero-variance group; try_divide surfaces the undefined
+      // correlation as NULL — same stable moment aggregators either way
+      .agg(try_divide(covar_samp(x, y), stddev_samp(x) * stddev_samp(y)).as("corr"))
+
+  /** Decimal-exact Pearson: five order-independent DECIMAL(28,8) sums
+    * then one double-precision combine — bit-reproducible under any
+    * partitioning, at the cost of byte-array decimal accumulators. */
+  def pearsonExact(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val d = DecimalType(28, 8)
+    // pairwise deletion: a row contributes only when both are present.
+    // The parallelism guard matters here: five decimal sums per row is
+    // CPU-dense, and a single-row-group parquet file would otherwise
+    // run the whole partial aggregation on one core (no-op at
+    // production scale where the scan has thousands of splits).
+    Parallelism.ensure(df.where(x.isNotNull && y.isNotNull))
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).cast(DoubleType).as("_n"),
@@ -27,9 +52,11 @@ object StatsOps {
         sum((y * y).cast(d)).cast(DoubleType).as("_syy"),
         sum((x * y).cast(d)).cast(DoubleType).as("_sxy"))
       .select(col(groupCol),
-        ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
-          (sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
-            sqrt(col("_n") * col("_syy") - col("_sy") * col("_sy"))))
+        // try_divide: a zero-variance group has an undefined
+        // correlation — NULL, not an ANSI divide-by-zero error
+        try_divide(col("_n") * col("_sxy") - col("_sx") * col("_sy"),
+          sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+            sqrt(col("_n") * col("_syy") - col("_sy") * col("_sy")))
           .as("corr"))
   }
 

@@ -98,6 +98,30 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("pearson: native estimator agrees with the decimal-exact twin; degenerate groups are null") {
+    import graft.ops.StatsOps
+    // y = 2x + noise-free within group a (corr 1); anti-correlated in
+    // b (corr -1); constant in c (zero variance -> null/NaN)
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 6.0), ("b", 3.0, 3.0),
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0)).toDF("g", "x", "y")
+    def collectBy(out: org.apache.spark.sql.DataFrame) =
+      out.select($"g", round($"corr", 9).as("c")).as[(String, java.lang.Double)]
+        .collect().toMap
+    val native = collectBy(StatsOps.pearson(df, "g", $"x", $"y"))
+    val exact = collectBy(StatsOps.pearsonExact(df, "g", $"x", $"y"))
+    assert(native("a") == 1.0 && native("b") == -1.0)
+    assert(exact("a") == 1.0 && exact("b") == -1.0)
+    // zero variance: both surface "undefined", not a fabricated number
+    assert(native("c") == null || native("c").isNaN)
+    assert(exact("c") == null || exact("c").isNaN)
+    // the exact twin is partitioning-invariant bit-for-bit
+    val p1 = StatsOps.pearsonExact(df.coalesce(1), "g", $"x", $"y").collect().toSeq
+    val p7 = StatsOps.pearsonExact(df.repartition(7), "g", $"x", $"y").collect().toSeq
+    assert(p1.toSet == p7.toSet)
+  }
+
   test("heavyHitters: exact freq > n/k set under skew, any partitioning") {
     // 1000 values: a×400, b×300, c×60, plus 240 distinct singletons;
     // k=10 -> threshold 100 -> exactly {a, b} (c and the long tail
