@@ -703,6 +703,27 @@ object SparkEntry {
         .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))
         .orderBy(col("l_returnflag"))
     }),
+    // ----- LLM ops: train a Naive Bayes classifier in one pass and
+    // score the corpus (the learned quality/language filter shape) -----
+    "q145_nb_classify" -> ((s, dir) => {
+      graft.ops.ClassifierOps.nbClassify(
+          t(s, dir, "documents"), "doc_id", "lang", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // ----- sampling: exactly k docs per stratum, deterministic
+    // (the "fixed-size eval set per language" shape) -----
+    "q146_group_sample" -> ((s, dir) => {
+      SampleOps.exactKPerGroup(t(s, dir, "documents"), "doc_id", "lang", 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- warehouse surface: ANALYZE-style column profiling report
+    // (one aggregation pass -> per-column stats rows) -----
+    "q147_profile" -> ((s, dir) => {
+      graft.ops.StatsOps.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))
+    }),
     // ----- LLM ops: corpus vocabulary (top-k tokens) -----
     "q62_vocab" -> ((s, dir) => {
       TextOps.vocabulary(t(s, dir, "documents"), "text", 20)
@@ -2231,6 +2252,71 @@ object SparkEntry {
         |  round((n * sxy - sx * sy) /
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // Multinomial NB, Laplace-smoothed; the per-(doc,label) matched
+    // mass sums as DECIMAL(28,12) (order-independent) and the argmax
+    // ranks the 6-dp-rounded score with the label as tie-break —
+    // the same cross-engine reproducibility contract as q71/q89.
+    "q145_nb_classify" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |ct AS (SELECT d.lang, f.token, CAST(sum(f.tf) AS BIGINT) AS c
+        |  FROM tf f JOIN documents d USING (doc_id) GROUP BY d.lang, f.token),
+        |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS T FROM ct GROUP BY lang),
+        |v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS V FROM ct),
+        |nl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+        |ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |tm AS (SELECT ct.lang, ct.token,
+        |    ln(CAST(ct.c + 1 AS DOUBLE) / (tl.T + v.V)) AS loglik
+        |  FROM ct JOIN tl USING (lang) CROSS JOIN v),
+        |lm AS (SELECT nl.lang,
+        |    ln(CAST(nl.nl AS DOUBLE) / ntot.n) AS prior,
+        |    ln(1.0 / (COALESCE(tl.T, 0) + v.V)) AS unk
+        |  FROM nl LEFT JOIN tl USING (lang) CROSS JOIN ntot CROSS JOIN v),
+        |matched AS (SELECT f.doc_id, m.lang,
+        |    CAST(sum(CAST(f.tf * m.loglik AS DECIMAL(28,12))) AS DOUBLE) AS msum,
+        |    CAST(sum(f.tf) AS BIGINT) AS mtf
+        |  FROM tf f JOIN tm m USING (token) GROUP BY f.doc_id, m.lang),
+        |dl AS (SELECT d.doc_id, CAST(COALESCE(sum(f.tf), 0) AS BIGINT) AS len
+        |  FROM documents d LEFT JOIN tf f USING (doc_id) GROUP BY d.doc_id),
+        |scores AS (SELECT dl.doc_id, lm.lang,
+        |    round(lm.prior + COALESCE(matched.msum, 0.0)
+        |      + (dl.len - COALESCE(matched.mtf, 0)) * lm.unk, 6) AS score
+        |  FROM dl CROSS JOIN lm
+        |  LEFT JOIN matched ON dl.doc_id = matched.doc_id
+        |    AND lm.lang = matched.lang),
+        |ranked AS (SELECT doc_id, lang, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM scores)
+        |SELECT doc_id, lang AS pred, score FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q146_group_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "q147_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", count(doc_id) AS n,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+        |  UNION ALL SELECT 'lang', count(lang),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |  UNION ALL SELECT 'source', count(source),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source), min(source), max(source) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(n_chars),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY "column"""".stripMargin,
     "q62_vocab" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents),

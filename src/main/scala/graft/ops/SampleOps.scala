@@ -84,4 +84,27 @@ object SampleOps {
     }
     df.where(hashUnit(col(idCol)) < rate)
   }
+
+  /** Exactly k rows per stratum, deterministically: rank rows within
+    * each stratum by the id's hash (id itself as total-order
+    * tie-break — md5 collisions must not make membership ambiguous)
+    * and keep rank ≤ k. The fraction-based samplers above can't hit
+    * an exact count; this is the "100 eval docs per language" shape.
+    *
+    * Scale: one shuffle on the stratum key, rank within partition.
+    * A stratum's rows land on one partition — for the giant-stratum
+    * case pre-thin with [[deterministicSample]] at a rate that
+    * overshoots k (hash order is preserved under thinning: the k
+    * smallest hashes survive any prefix-threshold cut with
+    * overwhelming probability, and the composition stays exact-k and
+    * deterministic), then rank the survivors. */
+  def exactKPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

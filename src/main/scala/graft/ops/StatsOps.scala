@@ -255,4 +255,39 @@ object StatsOps {
       .otherwise(lit(r) + floor((rank - 1 - r * (q + 1)) / lit(q.toDouble)) + 1)
       .cast("int")
   }
+
+  /** Column profiling report — the ANALYZE-style statistics a
+    * warehouse keeps per column (row count, null count, distinct
+    * count, min, max), one output row per profiled column.
+    *
+    * ONE aggregation over the table computes every statistic
+    * (count/sum-of-null-indicators/min/max are all map-side
+    * combinable; the distinct counts ride Spark's multi-distinct
+    * Expand — a single shuffle whose width is the number of profiled
+    * columns, not the row count), then the 1×(5k) row explodes to k
+    * rows in the same plan — no driver round-trip. min/max surface
+    * as strings so one schema covers heterogeneous columns; callers
+    * profile columns whose string form is canonical (integers,
+    * strings — not doubles, whose formatting is engine-specific).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        coalesce(col(s"${c}__nulls"), lit(0L)).as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.*"))
+  }
 }

@@ -98,4 +98,33 @@ class SampleOpsSpec extends AnyFunSuite {
       Map("en" -> 0.1), default = 0.5).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hash"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("exactKPerGroup: exact count per stratum, membership invariant to partitioning") {
+    val k = 7
+    val a = SampleOps.exactKPerGroup(ids, "id", "stratum", k)
+    val counts = a.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> k.toLong, "other" -> k.toLong))
+    // same rows no matter how the input is partitioned
+    val b = SampleOps.exactKPerGroup(ids.repartition(13), "id", "stratum", k)
+    assert(a.select("id").as[Long].collect().toSet ==
+      b.select("id").as[Long].collect().toSet)
+    // k larger than a stratum keeps the whole stratum (no padding)
+    val tiny = ids.where($"id" <= 5) // 1 en (id=4), 4 other
+    val c = SampleOps.exactKPerGroup(tiny, "id", "stratum", 3)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(c == Map("en" -> 1L, "other" -> 3L))
+  }
+
+  test("profile: one row per column with exact null/distinct/min/max") {
+    import graft.ops.StatsOps
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
+    ).toDF("id", "s")
+    val got = StatsOps.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == ("id", 4L, 0L, 4L, "1", "4"))
+    // count(col) skips nulls; distinct over non-null values
+    assert(got("s") == ("s", 3L, 1L, 2L, "a", "b"))
+  }
 }
