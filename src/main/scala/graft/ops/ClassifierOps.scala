@@ -76,7 +76,7 @@ object ClassifierOps {
       val n = df.agg(count(lit(1)).cast("double").as("n"))
       // left join + coalesce: a label whose documents are all empty
       // has no ct rows but still needs a prior and an unseen weight
-      nl.join(tl, Seq(labelCol), "left")
+      nl.join(broadcast(tl), Seq(labelCol), "left")
         .crossJoin(broadcast(n))
         .crossJoin(broadcast(vocab))
         .select(col(labelCol).as("_l"),

@@ -44,6 +44,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(docs0.select(TextOps.scrubPii(col("text")),
       TextOps.urlHost(col("text")),
       TextOps.registeredDomain(col("text"))).count() == 0)
+    assert(ClassifierOps.nbClassify(docs0, "doc_id", "lang", "text").count() == 0)
+    assert(SampleOps.exactKPerGroup(docs0, "doc_id", "lang", 5).count() == 0)
+    // profile on an empty table still reports one row per column
+    // (n=0, null min/max) — the well-defined, not-empty, answer
+    assert(StatsOps.profile(docs0, Seq("doc_id", "lang")).count() == 2)
     val emb0 = graft.sources.ImportSource.table(spark, sf, "embeddings")
       .where(lit(false))
     assert(graft.ops.SimilarityOps.semDedup(emb0, "vec_id", "embedding",

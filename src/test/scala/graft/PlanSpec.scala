@@ -234,4 +234,23 @@ class PlanSpec extends AnyFunSuite {
     assert(joinAt >= 0 && filterAt > joinAt,
       s"bloom probe must be below the join, on the scan side:\n$s")
   }
+
+  test("NB classifier: model joins broadcast; no corpus-sized model exchange") {
+    val docs = ImportSource.table(spark, sf, "documents")
+    val df = ClassifierOps.nbClassify(docs, "doc_id", "lang", "text")
+    val s = planString(df)
+    // the token-model side must reach the scoring join as a
+    // broadcast — the model is (vocab × labels) rows, corpus-size-
+    // independent; a shuffled model join would tie model distribution
+    // cost to corpus size
+    assert(s.contains("BroadcastHashJoin"),
+      s"model joins must broadcast:\n$s")
+    // the scale-critical property: no TOKEN-keyed sort-merge join.
+    // Doc-sized SMJs (score ⟕ matched on (id, label)) are fine — they
+    // ride id-hash exchanges of |docs|×|labels| rows — but a
+    // sort-merge on the exploded token stream would shuffle the
+    // corpus's token multiset
+    assert(!"SortMergeJoin \\[token".r.findFirstIn(s).isDefined,
+      s"token join must broadcast, not sort-merge:\n$s")
+  }
 }
