@@ -724,6 +724,20 @@ object SparkEntry {
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("column"))
     }),
+    // ----- LLM ops: distributed BPE encoding under a fixed merge
+    // table (map-side, memoized; the train->encode->pack chain's
+    // middle stage). The greedy merge loop is not SQL-expressible,
+    // so no oracle entry — the driver records a rows-only check; the
+    // algebra is pinned by ClassifierOpsSpec/LlmOpsSpec parity with
+    // the reference encoder -----
+    "q148_bpe_encode" -> ((s, dir) => {
+      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n",
+        "o" -> "n", "e" -> "r", "r" -> "e", "an" -> "d")
+      TextOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+          concat_ws(" ", slice(col("subwords"), 1, 5)).as("head"))
+        .orderBy(col("doc_id"))
+    }),
     // ----- LLM ops: corpus vocabulary (top-k tokens) -----
     "q62_vocab" -> ((s, dir) => {
       TextOps.vocabulary(t(s, dir, "documents"), "text", 20)

@@ -356,6 +356,49 @@ object TextOps {
       out.toSeq
     }
 
+  /** Distributed BPE encoding: apply learned merge rules to every
+    * document, map-side. Returns (idCol, subwords array).
+    *
+    * Encoding is genuinely imperative per word (a data-dependent
+    * merge loop), so this is the §2.11 ladder's last rung —
+    * `mapPartitions` — used where it is the honest fit: the merge
+    * table broadcasts once per executor, a per-partition memo cache
+    * collapses the Zipf-heavy word stream to one segmentation per
+    * DISTINCT word (capped to bound executor memory), and the
+    * operator stays embarrassingly parallel: zero shuffles, linear
+    * scan, output partitioning = input partitioning. Word splitting
+    * matches [[tokens]] (trim → lower → split on whitespace) so
+    * subword counts compose with the token-count gates.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], cacheCap: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value.toSeq
+        val cache = new java.util.HashMap[String, Array[String]]()
+        def segment(w: String): Array[String] = {
+          val hit = cache.get(w)
+          if (hit != null) hit
+          else {
+            val seg = bpeSegment(w, m).toArray
+            if (cache.size < cacheCap) cache.put(w, seg)
+            seg
+          }
+        }
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.trim.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty)
+          (id, words.flatMap(segment).toSeq)
+        }
+      }.toDF(idCol, "subwords")
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`k`
     * vocabulary — the coverage check run before committing to a
     * tokenizer vocab. The vocabulary is k rows (broadcast); the

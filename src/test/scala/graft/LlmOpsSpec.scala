@@ -560,6 +560,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(TextOps.bpeTrain(tiny, "text", 5) == Seq.empty)
   }
 
+  test("bpeEncode: distributed encoding == reference encoder per word, zero shuffles") {
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o",
+      "lo" -> "w", "e" -> "w", "ew" -> "est")
+    val docs = Seq(
+      (1L, "low lower NEWEST"),
+      (2L, "  lowest  widest "),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    def ref(text: String) = text.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).flatMap(w => TextOps.bpeSegment(w, merges)).toSeq
+    assert(got(1L) == ref("low lower NEWEST"))
+    assert(got(2L) == ref("  lowest  widest "))
+    assert(got(3L) == Seq.empty && got(4L) == Seq.empty)
+    // embarrassingly parallel: no exchange anywhere in the plan
+    val plan = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpeEncode must not shuffle:\n$plan")
+    // partitioning-invariant output
+    val got7 = TextOps.bpeEncode(docs.repartition(7), "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got7 == got)
+  }
+
   test("jaccardNearDuplicates blocks on the min-shingle fingerprint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
