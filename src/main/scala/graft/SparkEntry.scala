@@ -1784,6 +1784,16 @@ object SparkEntry {
     }),
   )
 
+  /** Queries with no [[oracleSql]] entry — the driver records a
+    * weaker rows-only check for these. Membership here is a claim
+    * that the semantics are NOT ANSI-SQL-expressible (data-dependent
+    * loops); every addition needs a ScalaTest spec pinning the
+    * algebra instead.
+    */
+  val rowsOnly: Set[String] = Set(
+    "q148_bpe_encode" // greedy merge loop; parity pinned in LlmOpsSpec
+  )
+
   /** DuckDB-dialect oracle for each query (driver compares hashes at
     * sf0.01; see Verify). Column names/aliases match the Spark side
     * exactly.

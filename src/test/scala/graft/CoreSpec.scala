@@ -150,11 +150,16 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("all declared queries run and oracle keys align") {
-    // the driver contract is 1:1 — a query without an oracle would
-    // silently skip the correctness gate
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+    // the driver contract is 1:1 — a query without an oracle silently
+    // skips the correctness gate, so every exception must be declared
+    // in SparkEntry.rowsOnly (and carry a spec pinning its algebra)
+    assert(SparkEntry.oracleSql.keySet ==
+      SparkEntry.queries.keySet -- SparkEntry.rowsOnly,
       s"asymmetric: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) ++
-        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)}")
+        (SparkEntry.queries.keySet -- SparkEntry.rowsOnly -- SparkEntry.oracleSql.keySet)}")
+    assert(SparkEntry.rowsOnly.subsetOf(SparkEntry.queries.keySet))
+    assert((SparkEntry.rowsOnly & SparkEntry.oracleSql.keySet).isEmpty,
+      "rowsOnly entries must not also declare an oracle")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
