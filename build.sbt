@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // operators 2-4x late in the run (the scheduling-bound floor query
   // stays flat — the fingerprint that separates this from GC noise).
   "-XX:ReservedCodeCacheSize=1g",
-)
+  // Parallel (throughput) collector: G1's concurrent cycles +
+  // region management charge 0.7-1.0s of attributed pause time to
+  // every 32-task stage that churns Tungsten pages (measured on the
+  // q01 final agg: gc 1.0s -> 0, stage wall 0.34s -> 0.06s). The
+  // bench workload is short-lived allocation bursts on a large heap —
+  // exactly the profile the parallel collector is built for.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -23,6 +23,7 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.buffer.pageSize", "4m") // see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

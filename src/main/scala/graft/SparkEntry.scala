@@ -1782,6 +1782,53 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
+    // ----- graph: PageRank centrality over the customer<->supplier
+    // trade graph (crawl-quality prior shape). Supplier ids offset
+    // into their own key space; both directions so rank propagates.
+    // The edge subplan appears once per iteration but its distinct's
+    // exchange is identical every time — ReuseExchange computes it
+    // once and replays the shuffle files -----
+    "q149_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.GraphOps.pageRank(edges, iterations = 3)
+        .orderBy(col("id"))
+    }),
+    // ----- LLM ops: embedding-space decontamination — drop corpus
+    // vectors with >= threshold cosine to any eval vector, blocked by
+    // the same literal IVF cells as q141 -----
+    "q150_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.semanticDecontaminate(
+          emb.where(col("vec_id") % 17 =!= 0),
+          emb.where(col("vec_id") % 17 === 0),
+          "vec_id", "embedding", semCentroids, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("cell"),
+          col("kept").cast("int").as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+    // ----- robust stats: MAD-based outlier flags per event type (the
+    // contamination-proof twin of q60's z-score) -----
+    "q151_mad_outliers" -> ((s, dir) => {
+      graft.ops.StatsOps.madOutliers(t(s, dir, "events"), "event_type",
+          col("value"), k = 3.5)
+        .select(col("event_id"), col("event_type"), col("score"),
+          col("is_outlier").cast("int").as("is_outlier"))
+        .orderBy(col("event_id"))
+    }),
+    // ----- sampling: temperature-flattened language mixture (share ∝
+    // sqrt(n) — the multilingual tail-upweighting rule) -----
+    "q152_alpha_sample" -> ((s, dir) => {
+      SampleOps.alphaSample(t(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3420,5 +3467,91 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events WHERE user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Fixed-iteration damped power method, mirrored step for step in
+    // 64-bit integer fixed-point (1e-12 "picorank" units, damping =
+    // 85/100): round-half-up(a/b) = (2a+b)//(2b), integer sums
+    // (CAST back from DuckDB's HUGEINT), teleport constant likewise —
+    // bit-exact in both engines; see GraphOps.pageRank's scaladoc for
+    // why floating-point formulations tie-break differently per
+    // engine.
+    "q149_pagerank" ->
+      """WITH cs AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs)),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY src),
+        |base AS (SELECT nodes.id, coalesce(out_deg, 0) AS out_deg
+        |  FROM nodes LEFT JOIN deg USING (id)),
+        |nn AS (SELECT count(*) AS n,
+        |    (2 * 1000000000000 + count(*)) // (2 * count(*)) AS r_init,
+        |    (2 * 15 * 1000000000000 + 100 * count(*)) // (200 * count(*)) AS tele
+        |  FROM base),
+        |r0 AS (SELECT id, out_deg, r_init AS rank FROM base CROSS JOIN nn),
+        |c1 AS (SELECT dst, CAST(sum(
+        |    (2 * 85 * rank + 100 * out_deg) // (200 * out_deg)) AS BIGINT) AS cin
+        |  FROM e JOIN r0 ON e.src = r0.id GROUP BY dst),
+        |r1 AS (SELECT b.id, b.out_deg, tele + coalesce(cin, 0) AS rank
+        |  FROM base b LEFT JOIN c1 ON b.id = c1.dst CROSS JOIN nn),
+        |c2 AS (SELECT dst, CAST(sum(
+        |    (2 * 85 * rank + 100 * out_deg) // (200 * out_deg)) AS BIGINT) AS cin
+        |  FROM e JOIN r1 ON e.src = r1.id GROUP BY dst),
+        |r2 AS (SELECT b.id, b.out_deg, tele + coalesce(cin, 0) AS rank
+        |  FROM base b LEFT JOIN c2 ON b.id = c2.dst CROSS JOIN nn),
+        |c3 AS (SELECT dst, CAST(sum(
+        |    (2 * 85 * rank + 100 * out_deg) // (200 * out_deg)) AS BIGINT) AS cin
+        |  FROM e JOIN r2 ON e.src = r2.id GROUP BY dst),
+        |r3 AS (SELECT b.id, b.out_deg, tele + coalesce(cin, 0) AS rank
+        |  FROM base b LEFT JOIN c3 ON b.id = c3.dst CROSS JOIN nn)
+        |SELECT id, CAST(rank AS DOUBLE) / 1000000000000.0 AS rank
+        |FROM r3 ORDER BY id""".stripMargin,
+    "q150_semantic_decon" -> {
+      val scores = semCentroids
+        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
+      s"""WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v, $scores AS scores FROM em),
+         |a AS (SELECT vec_id, v,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
+         |  FROM sc),
+         |corp AS (SELECT * FROM a WHERE vec_id % 17 <> 0),
+         |ev AS (SELECT * FROM a WHERE vec_id % 17 = 0),
+         |hit AS (SELECT DISTINCT corp.vec_id FROM corp
+         |  JOIN ev ON corp.cell = ev.cell
+         |  WHERE round(${duckCosine("corp.v", "ev.v")}, 6) >= 0.4)
+         |SELECT c.vec_id, c.cell, CAST(h.vec_id IS NULL AS INTEGER) AS kept
+         |FROM corp c LEFT JOIN hit h ON c.vec_id = h.vec_id
+         |ORDER BY c.vec_id""".stripMargin
+    },
+    // quantile_cont = Spark's exact interpolated percentile (q39
+    // parity); NULLIF mirrors try_divide's NULL on a zero MAD
+    "q151_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |m2 AS (SELECT e.event_type,
+        |    quantile_cont(abs(e.value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(abs(e.value - med) / (1.4826 * NULLIF(mad, 0)), 6) AS score,
+        |  CAST(coalesce(
+        |    round(abs(e.value - med) / (1.4826 * NULLIF(mad, 0)), 6) > 3.5,
+        |    FALSE) AS INTEGER) AS is_outlier
+        |FROM events e JOIN med USING (event_type) JOIN m2 USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    // share ∝ sqrt(n) rounded to 9 dp (pow is the one libm call
+    // engines can disagree on; Math.pow(x, 0.5) and sqrt are both
+    // correctly rounded, and the normalizer folds in sorted order on
+    // both sides), then the same binding-stratum rule as q49
+    "q152_alpha_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |p AS (SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS pw FROM c),
+        |z AS (SELECT list_aggregate(list(pw ORDER BY pw), 'sum') AS z FROM p),
+        |sh AS (SELECT lang, cnt, round(pw / z, 9) AS share FROM p CROSS JOIN z),
+        |n AS (SELECT min(cnt / share) AS ntot FROM sh),
+        |r AS (SELECT lang, (share * ntot) / cnt AS rate FROM sh CROSS JOIN n)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |       / 4294967296.0) < rate
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -11,16 +11,42 @@ object TimeQuery {
     val sfDir = args.find(a => !a.startsWith("q"))
       .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.buffer.pageSize", "4m") // see Bench.scala
+    // SPARK_GRAFT_CONF="k=v,k=v" — ad-hoc config experiments
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // production posture: graft SQL functions + optimizer rules active
     graft.functions.GraftSparkExtensions.register(spark)
+    // SPARK_GRAFT_STAGES=1: per-stage wall/task-time breakdown after
+    // each run — pinpoints whether a query's cost sits in the (serial,
+    // single-row-group) scan stage or in post-shuffle stages
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = for {
+              s <- i.submissionTime; c <- i.completionTime
+            } yield (c - s) / 1e3
+            val m = i.taskMetrics
+            println(f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d " +
+              f"wall=${wall.getOrElse(-1.0)}%6.3fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%6.3fs " +
+              f"run=${m.executorRunTime / 1e3}%6.3fs " +
+              f"deser=${m.executorDeserializeTime / 1e3}%6.3fs " +
+              f"gc=${m.jvmGCTime / 1e3}%5.3fs")
+          }
+        })
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warmup
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -71,6 +71,38 @@ object SampleOps {
     stratifiedSample(df, idCol, stratumCol, rates, default = 0.0)
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual
+    * rebalancing rule (sampling share ∝ n_g^α, α < 1 upsamples the
+    * tail relative to the head): compute the power-law target shares
+    * from the observed stratum counts, then take the largest
+    * achievable corpus at those shares via [[mixtureSample]]'s
+    * binding-stratum rule. α = 1 keeps the natural distribution
+    * (every rate 1); α → 0 approaches equal shares per stratum.
+    *
+    * Shares are rounded to 9 dp before the rate arithmetic: `pow` is
+    * the one libm call engines may disagree on in the last ulp, and
+    * the rounding makes the realized rates — and therefore sample
+    * membership — engine-reproducible.
+    */
+  def alphaSample(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1)
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.where(lit(false))
+    val powed = counts.view.mapValues(n => math.pow(n.toDouble, alpha)).toMap
+    // sorted-order fold: double addition is not associative, and the
+    // normalizer must come out bit-identical in any engine that mirrors
+    // this computation (the oracle sums an ORDER BY'd list)
+    val z = powed.values.toSeq.sorted.sum
+    val shares = powed.map { case (s, p) =>
+      s -> BigDecimal(p / z).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    mixtureSample(df, idCol, stratumCol, shares)
+  }
+
   /** Per-stratum deterministic sampling rates (e.g. downsample the
     * dominant language, keep the tail): rows keep membership iff
     * hashUnit(id) < fractions(stratum), `default` for strata not

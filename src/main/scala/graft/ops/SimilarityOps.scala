@@ -392,6 +392,38 @@ object SimilarityOps {
       .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
   }
 
+  /** Embedding-space test-set decontamination — the semantic twin of
+    * [[graft.ops.DedupOps.decontaminate]]'s n-gram rule: a corpus
+    * vector is contaminated when its cosine to ANY eval vector
+    * reaches `threshold`. Blocking is the same nearest-literal-
+    * centroid cell assignment [[semDedup]] uses, so only same-cell
+    * pairs are ever compared; near-duplicates straddling a cell
+    * boundary are the rule's accepted recall loss (probe-widening
+    * raises recall at linear cost, same curve as IVF nprobe).
+    *
+    * Scale shape: the eval set is tiny next to the corpus, so its
+    * (cell, vec) table broadcasts and the corpus side is one map-side
+    * join probe — no corpus shuffle, no all-pairs. Returns every
+    * corpus row with its cell and a kept flag (kept = 0 is the
+    * contaminated set, the audit artifact decontamination runs keep).
+    */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
+      threshold: Double): DataFrame = {
+    def assigned(df: DataFrame) = Parallelism.ensure(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"), ivfAssign(col("vec"), centroids).as("cell"))
+    val evalCells = broadcast(
+      assigned(eval).select(col("cell"), col("vec").as("_ev")))
+    val contaminated = assigned(corpus)
+      .join(evalCells, "cell")
+      .where(round(cosine(col("vec"), col("_ev")), 6) >= threshold)
+      .select(col("id")).distinct()
+    assigned(corpus)
+      .join(contaminated.withColumn("_hit", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("_hit").isNull.as("kept"))
+  }
+
   /** All-pairs top neighbors within LSH buckets — the corpus-scale
     * "find my duplicates" shape: bucket first (shuffle on bucket id),
     * pair only within buckets, never a cross join.

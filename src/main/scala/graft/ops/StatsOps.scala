@@ -88,6 +88,36 @@ object StatsOps {
           count(valueCol), 6).as("winsorized_mean"))
   }
 
+  /** Robust per-group outlier detection by median absolute deviation:
+    * score = |x − median| / (1.4826·MAD), outlier ⟺ score > k. The
+    * MAD-based rule survives the contamination that wrecks μ/σ-based
+    * z-scores — the standard robust filter before training statistics.
+    *
+    * Two exact-percentile aggregations (median, then MAD over the
+    * residuals) with the group-level results broadcast back — groups
+    * are few, rows are many, so both joins are map-side. Exact
+    * `percentile` keeps the oracle comparable (quantile_cont parity);
+    * at 100 TB swap for `approx_percentile` with an error bound.
+    * A degenerate group (MAD = 0, half the values at the median)
+    * yields NULL scores via try_divide — flagged not-outlier.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(valueCol, lit(0.5)).as("_med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(valueCol.cast(DoubleType) - col("_med")), lit(0.5))
+        .as("_mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("score",
+        round(try_divide(abs(valueCol.cast(DoubleType) - col("_med")),
+          lit(1.4826) * col("_mad")), 6))
+      .withColumn("is_outlier",
+        coalesce(col("score") > k, lit(false)))
+      .drop("_med", "_mad")
+  }
+
   /** Per-group central moments -> variance, skewness, excess kurtosis,
     * from exact DECIMAL power sums (Σx … Σx⁴). Decimal accumulation is
     * order-independent, so the statistics are partitioning-invariant

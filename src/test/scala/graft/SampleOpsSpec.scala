@@ -115,6 +115,27 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(c == Map("en" -> 1L, "other" -> 3L))
   }
 
+  test("alphaSample: sqrt-temperature flattening keeps the tail whole") {
+    // en:500, other:1500 -> pw 22.36/38.73, shares ~0.366/0.634; the
+    // MINORITY stratum binds (500/0.366 < 1500/0.634): en is kept
+    // whole and the majority downsamples toward the flattened mix
+    val out = SampleOps.alphaSample(ids, "id", "stratum", alpha = 0.5)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(out("en") == 500L, "binding (minority) stratum must be kept whole")
+    val expectOther = math.sqrt(1500.0) / math.sqrt(500.0) * 500.0 // ≈866
+    assert(math.abs(out("other") - expectOther) / expectOther < 0.15,
+      s"other kept ${out("other")}, expected ~$expectOther")
+    // alpha = 1 is the natural distribution: every rate 1, nothing dropped
+    assert(SampleOps.alphaSample(ids, "id", "stratum", alpha = 1.0)
+      .count() == 2000L)
+    // deterministic: same membership on every run
+    val a = SampleOps.alphaSample(ids, "id", "stratum", 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = SampleOps.alphaSample(ids.repartition(13), "id", "stratum", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("profile: one row per column with exact null/distinct/min/max") {
     import graft.ops.StatsOps
     val df = Seq(

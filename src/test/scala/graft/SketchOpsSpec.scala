@@ -81,6 +81,29 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(math.abs(out._5 - 10.5) < 1e-6)
   }
 
+  test("madOutliers: hand-computed MAD scores; zero-MAD group never flags") {
+    import graft.ops.StatsOps
+    // group a: 1,2,3,4,100 -> median 3, residuals 2,1,0,1,97 -> MAD 1
+    // group b: 5,5,5,9 -> median 5, residuals 0,0,0,4 -> MAD 0 (degenerate)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0))
+      .toDF("g", "v")
+    val got = StatsOps.madOutliers(df, "g", $"v", k = 3.5)
+      .select($"g", $"v", $"score", $"is_outlier")
+      .as[(String, Double, Option[Double], Boolean)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a100 = got.find(r => r._1 == "a" && r._2 == 100.0).get
+    assert(a100._3.contains(r6(97.0 / 1.4826)) && a100._4,
+      s"the far point must flag: $a100")
+    val a1 = got.find(r => r._1 == "a" && r._2 == 1.0).get
+    assert(a1._3.contains(r6(2.0 / 1.4826)) && !a1._4)
+    val a3 = got.find(r => r._1 == "a" && r._2 == 3.0).get
+    assert(a3._3.contains(0.0) && !a3._4, "the median itself scores 0")
+    // zero MAD -> NULL scores, never flagged (try_divide semantics)
+    assert(got.filter(_._1 == "b").forall(r => r._3.isEmpty && !r._4),
+      "degenerate group must not flag anything")
+  }
+
   test("moments: hand-computed skewness/kurtosis; partitioning-invariant") {
     import graft.ops.StatsOps
     val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 10L))
