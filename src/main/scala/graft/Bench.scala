@@ -124,6 +124,12 @@ object Bench {
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Failed queries hold a -1.0 sentinel and are excluded from the
+    // total; report the split so a reader can't mistake a partial
+    // sweep for a full one (the r4 verdict compared a 149-query Spark
+    // total against a 151-query oracle without noticing).
+    val nFailed = results.count(_._2 < 0)
+    val nRan = results.size - nFailed
     // Per-query scheduling floor: a no-op query (tiny range + one
     // shuffle) through the same cold/warm protocol. Multiplied by
     // n_queries this bounds the pure harness overhead in the total —
@@ -143,7 +149,8 @@ object Bench {
     val protocol = "noop-full-plan,min3warm"
     // full detail to a file (driver tail capture would truncate it)
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +
+      s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
+      s""""overhead_floor":${fmt(floor)},""" +
       s""""protocol":"$protocol",""" +
       s""""queries":${jsonOf(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
@@ -151,7 +158,8 @@ object Bench {
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"overhead_floor":${fmt(floor)},""" +
+      s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
+      s""""overhead_floor":${fmt(floor)},""" +
       s""""protocol":"$protocol","detail":"BENCH_DETAIL.json",""" +
       s""""queries":${jsonOf(head)},"sf":"$sfDir"}""")
     spark.stop()

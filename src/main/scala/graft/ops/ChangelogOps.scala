@@ -281,7 +281,9 @@ object ChangelogOps {
   def sessionize(df: DataFrame, keyCol: Column, tsCol: Column,
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
-    val gap = tsCol.cast("double") - lag(tsCol, 1).over(w).cast("double")
+    // via TIMESTAMP: a direct NTZ→DOUBLE cast is illegal in Spark 4
+    val ep = tsCol.cast("timestamp").cast("double")
+    val gap = ep - lag(ep, 1).over(w)
     df.withColumn("_new_session",
         when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
       .withColumn("session_id",

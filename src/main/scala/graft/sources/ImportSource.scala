@@ -61,10 +61,32 @@ object ImportSource {
       val (s, path) = key
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = s.read.parquet(path)
-      nanoTimestampCols(s, path).foldLeft(df) { (d, c) =>
+      val converted = nanoTimestampCols(s, path).foldLeft(df) { (d, c) =>
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       }
+      normalizeTimestamps(converted)
     })
+  }
+
+  /** Canonicalize every TIMESTAMP_NTZ column to TIMESTAMP at the read
+    * boundary. The engine owns its ingestion types: Spark's parquet
+    * timestamp inference flipped between releases (3.5 reads
+    * unadjusted MICROS as TIMESTAMP, 4.1 as TIMESTAMP_NTZ), and every
+    * event-time surface downstream — `withWatermark`, epoch casts,
+    * `unix_micros` — is defined on TIMESTAMP. The session time zone is
+    * pinned to UTC, so the cast preserves the wall clock exactly.
+    * Applied by [[table]] and intended for any external ingestion
+    * point; see TimestampDriftSpec for the NTZ/LTZ dual-run guard.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    if (ntz.isEmpty) df
+    else df.select(df.schema.fieldNames.map { c =>
+      if (ntz.contains(c)) col(c).cast(TimestampType).as(c) else col(c)
+    }.toIndexedSeq: _*)
   }
 
   private val tableCache =
