@@ -72,14 +72,28 @@ object SparkEntry {
       // agree on (decimal columns downcast inconsistently driver-side).
       // round(...,2) first keeps the scaled integer < 2^53 so the
       // decimal->double conversion is exact in both engines.
-      graft.ops.Parallelism.ensure(t(s, dir, "lineitem")
-          .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType)))
+      // No repartition guard here: partial aggregation reduces each
+      // scan split to 6 rows before the only exchange, so map-side
+      // parallelism is governed by file splits (plentiful at scale)
+      // and a pre-agg full-row shuffle would only defeat the combine.
+      // Exact sums via the native int128 aggregate (Int128Sum): the
+      // built-in decimal sum's >18-digit accumulator leaves the
+      // compact long representation and BigDecimal-allocates per row
+      // (~2-3× the whole scan's cost, measured); the int128 limbs
+      // stay in whole-stage codegen. Values are identical to the
+      // decimal formulation digit for digit, so the oracle is
+      // unchanged.
+      t(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 6))), 2).cast(DoubleType).as("sum_disc_price"),
+          graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
+            .cast(DoubleType).as("sum_qty"),
+          graft.functions.Int128Sum.exactScaledSum(col("l_extendedprice"), 2)
+            .cast(DoubleType).as("sum_base_price"),
+          round(graft.functions.Int128Sum.exactScaledSum(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+            .cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -622,7 +636,8 @@ object SparkEntry {
     }),
     // ----- §2.4 breadth: hierarchical totals via ROLLUP -----
     "q55_rollup" -> ((s, dir) => {
-      graft.ops.Parallelism.ensure(t(s, dir, "lineitem"))
+      // scan→rollup-agg: partial combine beats a pre-agg shuffle (q01)
+      t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
@@ -698,8 +713,11 @@ object SparkEntry {
     // ----- the decimal-exact twin: order-independent sums, bit-
     // reproducible under any partitioning -----
     "q144_corr_exact" -> ((s, dir) => {
-      graft.ops.StatsOps.pearsonExact(t(s, dir, "lineitem"), "l_returnflag",
-          col("l_quantity"), col("l_extendedprice"))
+      // fixed-point columns (quantity: whole units, price: cents) →
+      // the int128 scaled formulation: exact, order-independent, and
+      // ~5× the generic decimal path's speed (see pearsonExactScaled)
+      graft.ops.StatsOps.pearsonExactScaled(t(s, dir, "lineitem"),
+          "l_returnflag", col("l_quantity"), 0, col("l_extendedprice"), 2)
         .select(col("l_returnflag"), round(col("corr"), 6).as("corr"))
         .orderBy(col("l_returnflag"))
     }),
@@ -1639,8 +1657,9 @@ object SparkEntry {
     // ----- §2.2 breadth: UNPIVOT/melt (wide -> long reshaping, the
     // inverse of q56's pivot) + per-measure aggregate -----
     "q135_unpivot" -> ((s, dir) => {
-      graft.ops.Parallelism.ensure(t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax")))
+      // scan→unpivot→agg: partial combine beats a pre-agg shuffle (q01)
+      t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
         .unpivot(Array(col("l_orderkey")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "measure", "val")
@@ -2311,14 +2330,19 @@ object SparkEntry {
     // The decimal-exact estimator twin: bit-reproducible under any
     // partitioning (accounting-grade), vs q61's native stable moments.
     "q144_corr_exact" ->
-      """WITH s AS (SELECT l_returnflag,
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS xs,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ys
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    CAST(sum(xs) AS DOUBLE) AS sx,
+        |    CAST(sum(ys) AS DOUBLE) AS sy,
+        |    CAST(sum(xs * xs) AS DOUBLE) AS sxx,
+        |    CAST(sum(ys * ys) AS DOUBLE) AS syy,
+        |    CAST(sum(xs * ys) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  round((n * sxy - sx * sy) /
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr

@@ -45,22 +45,38 @@ object ClassifierOps {
       df: DataFrame, idCol: String, labelCol: String, textCol: String)
       : DataFrame = {
     val d = DecimalType(28, 12)
-    // one keyed exchange serves the (id, token) count and the
-    // matched-mass re-aggregation (HashPartitioning(id) satisfies
-    // every downstream clustering containing the id)
-    val tf = Parallelism.ensureKeyed(
-        df.select(col(idCol), col(textCol)), col(idCol))
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(col(idCol), col("token"))
+    // ONE tokenize, ZERO raw-token shuffles: the doc-keyed exchange
+    // moves compact (id, label, text) rows, after which the
+    // (id, label, len, token) count aggregation is exchange-free
+    // (HashPartitioning(id) satisfies any clustering containing id).
+    // Carrying label and len through the count rows costs three small
+    // columns but eliminates BOTH extra corpus passes the previous
+    // shape paid (a tf⋈labels shuffle join for the class counts and a
+    // second tokenize for doc lengths). The checkpoint materializes
+    // the compact count table once for its four consumers (tf, class
+    // counts, doc table, lengths); it is bounded by distinct
+    // (doc, token), far below the raw token stream. explode_outer
+    // keeps zero-token documents as a single null-token row so they
+    // still reach the prior-only argmax.
+    val dt = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(labelCol), col(textCol)), col(idCol))
+      .select(col(idCol), col(labelCol),
+        filter(TextOps.tokens(col(textCol)), _ =!= "").as("_arr"))
+      .select(col(idCol), col(labelCol),
+        size(col("_arr")).cast("long").as("_len"),
+        explode_outer(col("_arr")).as("token"))
+      .groupBy(col(idCol), col(labelCol), col("_len"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // class-conditional counts need the doc's label: token-count rows
-    // join the (id → label) map, then reduce to (label, token). The
-    // shuffle is vocab×labels after map-side partial aggregation.
-    val labels = df.select(col(idCol), col(labelCol))
-    val ct = tf.join(labels, Seq(idCol))
-      .groupBy(col(labelCol), col("token"))
+      .localCheckpoint()
+    val tok = dt.where(col("token").isNotNull)
+    val tf = tok.select(col(idCol), col("token"), col("tf"))
+    // class-conditional counts: label is already on the count rows —
+    // the shuffle is vocab×labels after map-side partial aggregation
+    val ct = tok.groupBy(col(labelCol), col("token"))
       .agg(sum(col("tf")).as("c"))
+    // one row per document (id is unique): label + length without
+    // touching the corpus again
+    val docs = dt.select(col(idCol), col(labelCol), col("_len")).distinct()
     // model-sized aggregates: class token totals (|labels| rows),
     // vocabulary size (1 row), doc counts (|labels| rows)
     val tl = ct.groupBy(col(labelCol)).agg(sum(col("c")).as("T"))
@@ -72,8 +88,8 @@ object ClassifierOps {
         log((col("c") + 1).cast("double") / (col("T") + col("V")))
           .as("loglik"))
     val labelModel = {
-      val nl = df.groupBy(col(labelCol)).agg(count(lit(1)).as("nl"))
-      val n = df.agg(count(lit(1)).cast("double").as("n"))
+      val nl = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("nl"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
       // left join + coalesce: a label whose documents are all empty
       // has no ct rows but still needs a prior and an unseen weight
       nl.join(broadcast(tl), Seq(labelCol), "left")
@@ -86,16 +102,15 @@ object ClassifierOps {
     // per-(doc, label) matched mass: the doc's tokens that exist in
     // the class vocabulary. Model side broadcasts at any corpus
     // scale; the aggregation stays on the id-hash partitioning.
+    // (the 12-dp matched mass stays on the decimal accumulator: an
+    // int128 rescale would round c·10¹² in double, which is lossy
+    // past 2^53 — the decimal cast is what keeps the oracle bit-equal)
     val matched = tf
       .join(broadcast(tokenModel), Seq("token"))
       .groupBy(col(idCol), col("_l"))
       .agg(sum((col("tf") * col("loglik")).cast(d)).as("msum"),
         sum(col("tf")).as("mtf"))
-    // doc length map-side from the token array — every doc appears,
-    // including zero-token ones, with len ≡ Σ tf by construction
-    val docLen = df.select(col(idCol),
-      size(filter(TextOps.tokens(col(textCol)), _ =!= "")).cast("long")
-        .as("len"))
+    val docLen = docs.select(col(idCol), col("_len").as("len"))
     val scores = docLen
       .crossJoin(broadcast(labelModel))
       .join(matched, Seq(idCol, "_l"), "left")
@@ -104,10 +119,15 @@ object ClassifierOps {
           coalesce(col("msum").cast("double"), lit(0.0)) +
           (col("len") - coalesce(col("mtf"), lit(0L))) * col("unk"),
           6).as("score"))
-    val rank = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("_l"))
-    scores.withColumn("rn", row_number().over(rank))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("_l").as("pred"), col("score"))
+    // argmax as an aggregation, not a rank window: min_by on the
+    // (-score, label) struct is exactly "max score, ties to the
+    // smallest label", runs map-side-combinable on the existing id
+    // partitioning, and skips the window's per-partition sort
+    scores
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("_l").as("pred"), col("score")),
+        struct((-col("score")).as("s"), col("_l").as("l"))).as("_best"))
+      .select(col(idCol), col("_best.pred").as("pred"),
+        col("_best.score").as("score"))
   }
 }

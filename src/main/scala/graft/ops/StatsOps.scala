@@ -60,6 +60,45 @@ object StatsOps {
           .as("corr"))
   }
 
+  /** Decimal-exact Pearson for FIXED-POINT columns (money, counts):
+    * each input is an integer number of 10^-dp units, so the five
+    * moment sums become exact integer sums — per-row products stay in
+    * long range and accumulate through the native int128 aggregate
+    * ([[graft.functions.Int128Sum]]) at codegen speed, no per-row
+    * BigDecimal. Correlation is invariant under the per-column linear
+    * scaling, so the formula runs directly on the scaled sums; both
+    * engines convert the same exact integers to double and evaluate
+    * the same IEEE expression, making the result bit-reproducible
+    * under any partitioning AND bit-equal to a DuckDB
+    * `sum(BIGINT)→HUGEINT` oracle. Requires |x·10^xDp| and the row
+    * products < 2^63 (money columns: comfortably).
+    */
+  def pearsonExactScaled(df: DataFrame, groupCol: String,
+      x: Column, xDp: Int, y: Column, yDp: Int): DataFrame = {
+    import graft.functions.Int128Sum.exactLongSum
+    val xs = round(x * math.pow(10, xDp).toLong).cast("long")
+    val ys = round(y * math.pow(10, yDp).toLong).cast("long")
+    // no repartition guard: the int128 partial aggregation reduces
+    // each scan split to one row per group before the only exchange —
+    // map-side parallelism rides the file splits (plentiful at scale),
+    // and a pre-agg shuffle would cost more than the combine saves
+    df.where(x.isNotNull && y.isNotNull)
+      .select(col(groupCol), xs.as("_xs"), ys.as("_ys"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("_n"),
+        exactLongSum(col("_xs")).cast(DoubleType).as("_sx"),
+        exactLongSum(col("_ys")).cast(DoubleType).as("_sy"),
+        exactLongSum(col("_xs") * col("_xs")).cast(DoubleType).as("_sxx"),
+        exactLongSum(col("_ys") * col("_ys")).cast(DoubleType).as("_syy"),
+        exactLongSum(col("_xs") * col("_ys")).cast(DoubleType).as("_sxy"))
+      .select(col(groupCol),
+        try_divide(col("_n") * col("_sxy") - col("_sx") * col("_sy"),
+          sqrt(col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+            sqrt(col("_n") * col("_syy") - col("_sy") * col("_sy")))
+          .as("corr"))
+  }
+
   /** Per-group winsorization: exact interpolated percentiles (lo, hi)
     * clamp the value column — the standard outlier-clipping step before
     * training-statistics are computed. Returns one row per group with

@@ -407,15 +407,31 @@ object TextOps {
     * document. Documents whose text tokenizes to nothing drop out
     * (no tokens to rate). */
   def oovRate(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val vocab = vocabulary(df, textCol, k)
-      .select(col("token"), lit(1).as("_in_vocab"))
-    Parallelism.ensure(df.select(col(idCol), col(textCol)))
+    // Tokenize ONCE, shuffle raw tokens NEVER: the doc-keyed exchange
+    // happens before tokenization (compact texts, not exploded
+    // tokens), after which HashPartitioning(doc) already satisfies the
+    // (doc, token) clustering — the count aggregation is exchange-free
+    // and reduces each doc to its distinct tokens in place. The
+    // checkpoint materializes that compact count table so BOTH
+    // consumers (corpus vocabulary, per-doc rating) read it without
+    // re-running the regex tokenize; it is bounded by distinct
+    // (doc, token) — far below the raw token stream a shared shuffle
+    // would carry. The vocab branch then shuffles vocabulary-sized
+    // data and broadcasts k rows back at the rating join.
+    val dt = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
-      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val vocab = dt.groupBy(col("token")).agg(sum(col("_c")).as("_n"))
+      .orderBy(col("_n").desc, col("token")).limit(k)
+      .select(col("token"), lit(1).as("_in_vocab"))
+    dt.join(broadcast(vocab), Seq("token"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, col("_c")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
