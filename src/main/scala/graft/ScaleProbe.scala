@@ -80,6 +80,25 @@ object ScaleProbe {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(col("l_quantity")), count(lit(1))))
       },
+      // int128 vs decimal accumulators: the per-row BigDecimal cost of
+      // >18-digit decimal sums scales with rows, the int128 limbs stay
+      // in codegen — the gap should WIDEN at 10x
+      "exact sum int128 (q01)" -> { dir =>
+        run(ImportSource.table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2),
+            graft.functions.Int128Sum.exactScaledSum(col("l_extendedprice"), 2),
+            count(lit(1))))
+      },
+      "exact sum decimal (q01)" -> { dir =>
+        run(ImportSource.table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2))),
+            sum(col("l_extendedprice").cast(
+              org.apache.spark.sql.types.DecimalType(18, 2))),
+            count(lit(1))))
+      },
       "latest-row window" -> { dir =>
         val cl = events(dir).select(
           col("ts").as(graft.model.Envelope.TimestampCol),

@@ -205,6 +205,12 @@ object VectorExpressions {
     (FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - dot product of two float/double arrays"),
       (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    (FunctionIdentifier("int128_sum"),
+      info("int128_sum",
+        "int128_sum(x) - exact 128-bit integer sum of a BIGINT column as DECIMAL(38,0)"),
+      // the analyzer wraps a bare AggregateFunction from the registry
+      // into an AggregateExpression itself
+      (es: Seq[Expression]) => Int128Sum(es(0))),
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => VectorCosine(es(0), es(1))),

@@ -84,6 +84,9 @@ object Operation {
   val Insert = "INSERT"
   val Update = "UPDATE"
   val Delete = "DELETE"
+  /** Whole-table truncation marker (pgoutput 'T'): both images null;
+    * latest-state readers drop rows at or before its position. */
+  val Truncate = "TRUNCATE"
 }
 
 /** Postgres OID → Spark DataType mapping. The reference supports

@@ -36,6 +36,20 @@ final class FileSink(root: String) extends Sink {
     result
   }
 
+  /** Truncate events append to `root/truncates.jsonl` — a consumer
+    * replaying the modification files applies each marker to its
+    * table's state at the recorded position. */
+  override def truncate(table: TableSchema, at: java.sql.Timestamp,
+      lsn: Option[Long], sequence: Option[Long]): Unit = {
+    new java.io.File(root).mkdirs()
+    val w = new java.io.FileWriter(new java.io.File(root, "truncates.jsonl"), true)
+    try w.write(
+      s"""{"namespace":"${table.namespace}","name":"${table.name}",""" +
+        s""""timestamp":"$at","lsn":${lsn.getOrElse("null")},""" +
+        s""""sequence":${sequence.getOrElse("null")}}""" + "\n")
+    finally w.close()
+  }
+
   /** Schema-entry JSON: {timestamp-free descriptor, columns with key
     * flags} — mirrors the reference's schema file lines
     * (README.md:134-155 shape). */

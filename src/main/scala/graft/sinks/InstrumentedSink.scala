@@ -19,6 +19,7 @@ final class InstrumentedSink(inner: Sink) extends Sink {
   val schemaNoops = new LongAdder
   val schemaFailures = new LongAdder
   val maxBatchSize = new AtomicLong(0)
+  val truncateCount = new LongAdder
 
   override def handleSchema(schema: TableSchema): SchemaOutcome = {
     val outcome = inner.handleSchema(schema)
@@ -38,6 +39,12 @@ final class InstrumentedSink(inner: Sink) extends Sink {
     rowCount.add(result.count)
     maxBatchSize.getAndUpdate(m => math.max(m, result.count))
     result
+  }
+
+  override def truncate(table: TableSchema, at: java.sql.Timestamp,
+      lsn: Option[Long], sequence: Option[Long]): Unit = {
+    truncateCount.increment()
+    inner.truncate(table, at, lsn, sequence)
   }
 
   def meanInsertSeconds: Double =

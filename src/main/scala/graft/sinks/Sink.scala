@@ -50,4 +50,11 @@ trait Sink {
 
   /** Insert one envelope batch for one table; returns (count, max LSN). */
   def insert(table: TableSchema, batch: DataFrame): InsertResult
+
+  /** Record a TRUNCATE at a changelog position: latest-state readers
+    * must drop rows at or before (timestamp, lsn, sequence); history
+    * stays append-only. Positions use the changelog ordering
+    * (timestamp, then lsn, then in-transaction sequence). */
+  def truncate(table: TableSchema, at: java.sql.Timestamp,
+      lsn: Option[Long], sequence: Option[Long]): Unit
 }

@@ -56,12 +56,80 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
   def raw(table: TableSchema): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(rawPath(table))
 
+  // ---- truncate markers: latest-state filters, history untouched ----
+
+  private def truncatePath(table: TableSchema) =
+    s"$root/truncates/${table.ref.qualified}"
+
+  /** Record a TRUNCATE position. The raw table is untouched — the
+    * marker is a tiny append-only parquet table of changelog
+    * positions; every latest-state reader filters rows at or before
+    * the newest applicable marker. (The pgoutput 'T' message the
+    * reference leaves undecoded — pkg/logical/decoder.go errors on
+    * it; see PgOutput.Truncate.) */
+  override def truncate(table: TableSchema, at: java.sql.Timestamp,
+      lsn: Option[Long], sequence: Option[Long]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("lsn", LongType, nullable = true),
+      StructField("sequence", LongType, nullable = true)))
+    spark.createDataFrame(
+        java.util.List.of(Row(at, lsn.map(Long.box).orNull,
+          sequence.map(Long.box).orNull)), schema)
+      .write.mode("append").parquet(truncatePath(table))
+  }
+
+  /** Newest truncate position, optionally bounded above by `upTo`
+    * (time travel) and below by `past` (compaction watermark: markers
+    * already folded into the baseline must not re-apply). Positions
+    * order by (timestamp, lsn, sequence) like the dedup window; the
+    * collect is marker-count-sized. */
+  private def truncateMarker(table: TableSchema,
+      upTo: Option[java.sql.Timestamp] = None,
+      past: Option[(Long, java.sql.Timestamp)] = None)
+      : Option[(java.sql.Timestamp, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(truncatePath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    var df = spark.read.parquet(truncatePath(table))
+    upTo.foreach(ts => df = df.where(col("timestamp") <= lit(ts)))
+    past.foreach { case (wmLsn, wmTs) =>
+      df = df.where(col("timestamp") > lit(wmTs) ||
+        coalesce(col("lsn"), lit(-1L)) > wmLsn)
+    }
+    df.orderBy(col("timestamp").desc, col("lsn").desc_nulls_last,
+        col("sequence").desc_nulls_last)
+      .limit(1).collect().headOption.map { r =>
+        (r.getTimestamp(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))
+      }
+  }
+
+  /** Envelope rows strictly after the truncate position. Null lsn /
+    * sequence (imports) rank as +infinity within their timestamp —
+    * an import at the truncate's own timestamp is a fresh snapshot,
+    * not truncated content. */
+  private def afterTruncate(df: DataFrame,
+      marker: Option[(java.sql.Timestamp, Long, Long)]): DataFrame =
+    marker match {
+      case None => df
+      case Some((mTs, mLsn, mSeq)) =>
+        val rowPos = struct(col(Envelope.TimestampCol),
+          coalesce(col(Envelope.LsnCol), lit(Long.MaxValue)),
+          coalesce(col(Envelope.SequenceCol), lit(Long.MaxValue)))
+        df.where(rowPos > struct(lit(mTs), lit(mLsn), lit(mSeq)))
+    }
+
   /** The latest-row view over the raw table
     * (reference: pkg/sinks/bigquery/schema_builders.go:146-161).
     * Unchanged-TOAST cells merge from the previous image when the
     * marker column is present (ChangelogOps.latestRowsMerged). */
   def latestView(table: TableSchema): DataFrame =
-    ChangelogOps.latestRowsMerged(raw(table), table.primaryKeys)
+    ChangelogOps.latestRowsMerged(
+      afterTruncate(raw(table), truncateMarker(table)), table.primaryKeys)
 
   /** Register both as SQL-queryable views, like the reference's
     * `CREATE VIEW <name>` DDL. */
@@ -77,9 +145,11 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     */
   def asOf(table: TableSchema, ts: java.sql.Timestamp): DataFrame =
     ChangelogOps.latestRowsMerged(
-      raw(table)
-        .where(col("_date") <= to_date(lit(ts)) &&
-          col(Envelope.TimestampCol) <= lit(ts)),
+      afterTruncate(
+        raw(table)
+          .where(col("_date") <= to_date(lit(ts)) &&
+            col(Envelope.TimestampCol) <= lit(ts)),
+        truncateMarker(table, upTo = Some(ts))),
       table.primaryKeys)
 
   // ---- compaction: bound the window's read amplification ----
@@ -130,9 +200,13 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     }
   }
 
-  /** Latest rows from the full raw history (ignores compaction). */
+  /** Latest rows from the full raw history (ignores compaction).
+    * Truncate markers apply here too, so a compacted baseline folds
+    * them in — markers at or before the compaction watermark then
+    * never need re-applying. */
   private def latestViewFull(table: TableSchema): DataFrame =
-    ChangelogOps.latestRowsMerged(raw(table), table.primaryKeys)
+    ChangelogOps.latestRowsMerged(
+      afterTruncate(raw(table), truncateMarker(table)), table.primaryKeys)
 
   /** Latest rows, compaction-aware: baseline rows (as IMPORT-like
     * images at epoch timestamp, watermark LSN) unioned with the raw
@@ -175,8 +249,17 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
           .where(col(Envelope.LsnCol) > wmLsn ||
             (col(Envelope.LsnCol).isNull && col(Envelope.TimestampCol) > lit(wmTs)))
           .select(envCols.map(col): _*)
+        // markers past the watermark have not been folded into the
+        // baseline: apply them to the union (a post-compaction
+        // truncate drops the baseline rows too — its epoch timestamp
+        // sorts before any marker). Markers at or before the
+        // watermark are already reflected by compact()'s filtered
+        // state and must NOT re-apply, or they would wrongly erase
+        // the baseline's synthetic envelopes.
         ChangelogOps.latestRowsMerged(
-          baseEnv.unionByName(tail, allowMissingColumns = true),
+          afterTruncate(
+            baseEnv.unionByName(tail, allowMissingColumns = true),
+            truncateMarker(table, past = Some((wmLsn, wmTs)))),
           table.primaryKeys)
     }
 }

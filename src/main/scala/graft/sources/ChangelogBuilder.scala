@@ -43,6 +43,16 @@ object ChangelogBuilder {
       after: Option[Map[String, Any]],
       unchangedToast: Seq[String] = Nil) extends Entry
 
+  /** Table truncation at a changelog position: everything at or
+    * before (timestamp, lsn, sequence) is logically gone from the
+    * table's latest state. The raw history stays (audit/time-travel);
+    * sinks record the marker and latest views filter on it. */
+  final case class TruncateEntry(
+      timestamp: Timestamp,
+      lsn: Option[Long],
+      sequence: Option[Long],
+      schema: TableSchema) extends Entry
+
   final case class UnknownRelationException(id: Long)
       extends RuntimeException(
         s"received row for unknown relation $id: relation message must precede rows")
@@ -123,6 +133,16 @@ final class ChangelogBuilder {
         sequence += 1
         Seq(ModificationEntry(txnTime, rel.namespace, rel.name, txnLsn,
           Some(sequence), Some(marshal(rel, oldTuple)), None))
+      case PgOutput.Truncate(_, relationIds) =>
+        // one entry per truncated relation, each taking the next
+        // sequence slot — a truncate orders against row changes in
+        // the same transaction exactly like a modification would
+        relationIds.map { relId =>
+          val rel = relations.getOrElse(relId,
+            throw UnknownRelationException(relId))
+          sequence += 1
+          TruncateEntry(txnTime, txnLsn, Some(sequence), rel)
+        }
       case _: PgOutput.Origin | _: PgOutput.PgType => Nil
     }
   }

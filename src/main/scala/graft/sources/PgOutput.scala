@@ -31,6 +31,13 @@ object PgOutput {
   final case class RelationColumn(key: Boolean, name: String, typeOid: Long,
       modifier: Int)
   final case class PgType(id: Long, namespace: String, name: String) extends Message
+  /** Table truncation (wire type 'T'). The reference LISTS this
+    * message type (pkg/logical/message.go:21) but leaves it
+    * undecoded — its decoder errors on 'T' frames; we decode and
+    * apply it (latest views drop rows at or before the truncate
+    * point; the raw changelog keeps full history). `options` is the
+    * CASCADE (bit 1) / RESTART IDENTITY (bit 2) flag byte. */
+  final case class Truncate(options: Int, relationIds: Seq[Long]) extends Message
   final case class Insert(relationId: Long, newTuple: TupleData) extends Message
   final case class Update(relationId: Long, oldTupleKind: Option[Byte],
       oldTuple: Option[TupleData], newTuple: TupleData) extends Message
@@ -82,6 +89,10 @@ object PgOutput {
         }
         Relation(id, ns, name, ident, cols)
       case 'Y' => PgType(uint32(buf), cstring(buf), cstring(buf))
+      case 'T' =>
+        val n = buf.getInt()
+        val options = buf.get().toInt
+        Truncate(options, (0 until n).map(_ => uint32(buf)))
       case 'I' =>
         val rel = uint32(buf)
         val tag = buf.get()
@@ -162,6 +173,13 @@ object PgOutput {
       writeCString(out, c.name); writeInt(out, c.typeOid.toInt)
       writeInt(out, c.modifier)
     }
+    out.toByteArray
+  }
+
+  def encodeTruncate(m: Truncate): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('T'); writeInt(out, m.relationIds.size); out.write(m.options)
+    m.relationIds.foreach(id => writeInt(out, id.toInt))
     out.toByteArray
   }
 

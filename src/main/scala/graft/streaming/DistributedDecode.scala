@@ -112,7 +112,7 @@ final class DistributedDecode {
         val beginKeys: IndexedSeq[Long] = txnTableLocal.map(_._1)
         val relKeys: Map[Long, (Array[Long], Array[(Long, TableSchema)])] =
           bRels.value.view.mapValues(vs => (vs.map(_._1), vs)).toMap
-        it.map { case (pos, bytes) =>
+        it.flatMap { case (pos, bytes) =>
           val txnIdx = floorIndex(beginKeys, pos)
           require(txnIdx >= 0, s"row frame at $pos before any Begin")
           val (beginPos, lsn, ts, _) = txnTableLocal(txnIdx)
@@ -125,16 +125,24 @@ final class DistributedDecode {
           PgOutput.decode(bytes) match {
             case PgOutput.Insert(relId, tuple) =>
               val rel = relOf(relId)
-              DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
-                null, textify(rel, tuple))
+              Seq(DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                null, textify(rel, tuple)))
             case PgOutput.Update(relId, _, oldT, newT) =>
               val rel = relOf(relId)
-              DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
-                oldT.map(textify(rel, _)).orNull, textify(rel, newT))
+              Seq(DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                oldT.map(textify(rel, _)).orNull, textify(rel, newT)))
             case PgOutput.Delete(relId, _, oldT) =>
               val rel = relOf(relId)
-              DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
-                textify(rel, oldT), null)
+              Seq(DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                textify(rel, oldT), null))
+            case PgOutput.Truncate(_, relIds) =>
+              // one marker row per truncated relation, both images
+              // null — the generic plane's in-band TRUNCATE envelope
+              relIds.map { relId =>
+                val rel = relOf(relId)
+                DecodedRow(rel.namespace, rel.name, ts, lsn, beginPos, pos,
+                  null, null)
+              }
             case other =>
               throw new IllegalStateException(s"unexpected row frame: $other")
           }
@@ -143,13 +151,18 @@ final class DistributedDecode {
 
     val offsetDf = txnTable.map(t => (t.beginPos, t.seqOffset))
       .toDF("_begin", "_off")
-    val seqW = Window.partitionBy(col("beginPos")).orderBy(col("pos"))
+    // (namespace, name) tiebreak: a multi-relation truncate expands
+    // one frame position into several rows — deterministic sequence
+    // assignment needs a total order
+    val seqW = Window.partitionBy(col("beginPos"))
+      .orderBy(col("pos"), col("namespace"), col("name"))
     val out = rows.toDF()
       .join(broadcast(offsetDf), col("beginPos") === col("_begin"))
       .withColumn(Envelope.SequenceCol,
         row_number().over(seqW).cast("long") + col("_off"))
       .withColumn(Envelope.OperationCol,
-        when(col("before").isNull, Operation.Insert)
+        when(col("before").isNull && col("after").isNull, Operation.Truncate)
+          .when(col("before").isNull, Operation.Insert)
           .when(col("after").isNull, Operation.Delete)
           .otherwise(Operation.Update))
       .select(col("namespace"), col("name"),
@@ -162,13 +175,25 @@ final class DistributedDecode {
 
     // carry the open transaction's row count into the next batch —
     // counted from frame lead bytes (all row frames past the last
-    // Begin belong to it), so the decode path is not re-executed
+    // Begin belong to it), so the decode path is not re-executed.
+    // Truncate frames take one sequence slot PER relation, so the
+    // rare 'T' frames are decoded driver-side for their exact count.
     openTxn.foreach { t =>
-      val n = batch.where(
+      val tail = batch.where(
         substring(col("frame"), 1, 1)
           .isin(RowBytes.map(b => Array(b): Array[Byte]): _*) &&
-          col("position") > t.beginPos).count()
-      openTxn = Some(t.copy(seqOffset = t.seqOffset + n))
+          col("position") > t.beginPos)
+      val plainRows = tail.where(
+        substring(col("frame"), 1, 1) =!= lit(Array('T'.toByte))).count()
+      val truncSlots = tail
+        .where(substring(col("frame"), 1, 1) === lit(Array('T'.toByte)))
+        .collect().iterator.map { r =>
+          PgOutput.decode(r.getAs[Array[Byte]]("frame")) match {
+            case PgOutput.Truncate(_, ids) => ids.size.toLong
+            case _ => 0L
+          }
+        }.sum
+      openTxn = Some(t.copy(seqOffset = t.seqOffset + plainRows + truncSlots))
     }
     (schemas.result(), out)
   }
@@ -216,7 +241,12 @@ object DistributedDecode {
 
   private val ControlBytes: Seq[Byte] =
     Seq('B', 'C', 'R', 'O', 'Y').map(_.toByte)
-  private val RowBytes: Seq[Byte] = Seq('I', 'U', 'D').map(_.toByte)
+  /** 'T' (truncate) rides the ROW pass: it needs the versioned
+    * relation cache to resolve its table list and a sequence slot to
+    * order against row changes in the same transaction — both live
+    * executor-side. It decodes to one both-images-null row per
+    * truncated relation (operation TRUNCATE). */
+  private val RowBytes: Seq[Byte] = Seq('I', 'U', 'D', 'T').map(_.toByte)
 
   private final case class TxnState(
       beginPos: Long, lsn: Long, ts: Timestamp, seqOffset: Long)

@@ -92,6 +92,16 @@ object FrameStreamPipeline {
       val result = sink.insert(schema, df)
       maxLsn = (maxLsn ++ result.lsn).reduceOption(_ max _)
     }
+    // truncates are position-stamped markers: ordering against the
+    // inserts above is carried by (timestamp, lsn, sequence), not by
+    // sink-call order, so recording them after the appends is safe —
+    // and a truncate-only transaction still advances the ack watermark
+    entries.foreach {
+      case t: ChangelogBuilder.TruncateEntry =>
+        sink.truncate(t.schema, t.timestamp, t.lsn, t.sequence)
+        maxLsn = (maxLsn ++ t.lsn).reduceOption(_ max _)
+      case _ =>
+    }
     maxLsn.foreach(watermark.confirm)
   }
 

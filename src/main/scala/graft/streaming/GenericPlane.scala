@@ -68,8 +68,24 @@ object GenericPlane {
       typedCols: Map[String, DataType] = Map.empty): DataFrame = {
     val one = raw(spark, root)
       .where(col("namespace") === namespace && col("name") === name)
+    // truncates travel IN-BAND as both-images-null TRUNCATE envelopes
+    // (see DistributedDecode): drop every row at or before the newest
+    // marker's (timestamp, lsn, sequence). The marker aggregate is a
+    // single row — a broadcast cross join, not a window, so the plan
+    // stays partition-parallel.
+    def pos(df: DataFrame) = struct(col(Envelope.TimestampCol),
+      coalesce(col(Envelope.LsnCol), lit(Long.MaxValue)),
+      coalesce(col(Envelope.SequenceCol), lit(Long.MaxValue)))
+    val marker = one
+      .where(col(Envelope.OperationCol) === graft.model.Operation.Truncate)
+      .agg(max(pos(one)).as("_tpos"))
+    val live = one
+      .where(col(Envelope.OperationCol) =!= graft.model.Operation.Truncate)
+      .crossJoin(broadcast(marker))
+      .where(col("_tpos").isNull || pos(one) > col("_tpos"))
+      .drop("_tpos")
     val image = coalesce(col(Envelope.AfterCol), col(Envelope.BeforeCol))
-    val keyed = one.withColumn("_img", image)
+    val keyed = live.withColumn("_img", image)
     val latest = ChangelogOps.latestRowView(keyed,
       primaryKeys.map(k => col("_img").getItem(k)))
     typedCols.foldLeft(

@@ -73,6 +73,13 @@ class Int128SumSpec extends AnyFunSuite {
     assert(r2.isNullAt(0))
   }
 
+  test("registered SQL form: int128_sum over a view") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    Seq(Long.MaxValue, Long.MaxValue, 5L).toDF("v").createOrReplaceTempView("i128_in")
+    val got = spark.sql("SELECT int128_sum(v) AS s FROM i128_in").head().getDecimal(0)
+    assert(BigDecimal(got) == BigDecimal(Long.MaxValue) * 2 + 5)
+  }
+
   test("q01-shaped aggregate equals the built-in decimal formulation") {
     val li = graft.sources.ImportSource.table(spark, "/root/testdata/sf0.001", "lineitem")
     val a = li.groupBy($"l_returnflag")

@@ -44,7 +44,11 @@ class PgOutputSpec extends AnyFunSuite {
   }
 
   test("unknown message type errors, like the reference decoder") {
-    assertThrows[UnknownMessageTypeException](decode(Array('T'.toByte, 0, 0)))
+    // 'T' (truncate) now DECODES — going beyond the reference, whose
+    // decoder errors on it (see TruncateSpec); genuinely unknown
+    // types still hard-reject
+    assertThrows[UnknownMessageTypeException](decode(Array('Z'.toByte, 0, 0)))
+    assertThrows[UnknownMessageTypeException](decode(Array('M'.toByte)))
   }
 
   test("postgres epoch conversion") {
