@@ -119,14 +119,24 @@ object Int128Sum {
     * units, accumulates in int128, finalizes to DECIMAL(38, dp).
     * Exact as long as each ROW's scaled value fits in a long
     * (|v| < 9.2e18 / 10^dp) — the sum itself cannot overflow.
+    *
+    * `dp` is capped at 6: Spark's decimal-division precision rule
+    * caps the DECIMAL(38,0)/10^dp quotient at precision 38 and, once
+    * capped, reduces its scale to min(scale, 6) — so any dp > 6
+    * would be SILENTLY rounded at 6 places before the final cast
+    * padded zeros back. (Per-row scaling in double also degrades
+    * past 2^53/10^dp; at dp ≤ 6 money-sized values stay exact.)
+    * Wider-scale exact sums belong on the decimal accumulator
+    * (see ClassifierOps's 12-dp matched mass).
     */
   def exactScaledSum(c: Column, dp: Int): Column = {
+    require(dp >= 0 && dp <= 6,
+      s"exactScaledSum supports 0..6 decimal places, got $dp: Spark's " +
+        "precision-loss rule rounds a precision-capped quotient at scale 6, " +
+        "so higher dp would silently lose digits — use a decimal-typed sum")
     val scaled = round(c * math.pow(10, dp).toLong).cast(LongType)
     val unscaled = Bridge.column(
       Int128Sum(Bridge.expression(scaled)).toAggregateExpression())
-    // rescale the integer unit count into DECIMAL(38, dp); dividing a
-    // scale-0 decimal by 10^dp is exact whenever the result scale
-    // covers dp — Spark's divide result scale is max(6, dp+?) ≥ dp
     if (dp == 0) unscaled
     else (unscaled / math.pow(10, dp).toLong).cast(DecimalType(38, dp))
   }

@@ -224,7 +224,11 @@ object PgOutputFrameLog {
   private def segments(dir: String): Seq[File] = {
     val d = new File(dir)
     if (!d.exists()) Nil
-    else d.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+    // underscore prefix = metadata, not frames (the Hadoop/Spark
+    // convention, e.g. _SUCCESS) — a metadata file globbed as a
+    // segment would be counted, torn-tail-truncated, or both
+    else d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+      .sortBy(_.getName).toSeq
   }
 
   def frameCount(dir: String): Long =

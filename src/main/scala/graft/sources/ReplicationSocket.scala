@@ -24,12 +24,12 @@ import java.nio.charset.StandardCharsets
   *  - the frame LOG is the replayable boundary Spark checkpoints
   *    against (frame positions), exactly as in offline mode — the
   *    streaming query is byte-identical across transports;
-  *  - resumption state is the `_wal_position` sidecar: on reconnect
-  *    the tailer restarts the slot from the last durable WAL end and
-  *    skips any frames the server replays below it, so the log never
-  *    double-appends (the slot's replay is the reference's
-  *    at-least-once; the sidecar filter restores exactly-once into
-  *    the log).
+  *  - resumption state travels in the segment NAMES (see
+  *    [[ReplicationTailer]]): the append that lands frames is the
+  *    same atomic step that records how far the log reaches, and on
+  *    reconnect the tailer skips the slot's replayed prefix by
+  *    (position, frame-count-at-position) — the slot's at-least-once
+  *    replay becomes an exactly-once log.
   *
   * Wire messages used (PostgreSQL protocol 3.0): StartupMessage with
   * `replication=database`, AuthenticationOk / cleartext password,
@@ -113,6 +113,10 @@ final class PgReplicationClient(
   /** WAL end of the last frame or keepalive seen (server progress). */
   @volatile var serverWalEnd: Long = 0L
 
+  /** Set when the server closed the stream (EOF mid-poll): the
+    * connection is dead and a supervisor should reconnect. */
+  @volatile var streamClosed: Boolean = false
+
   def connect(): Unit = {
     socket = new Socket(host, port)
     socket.setTcpNoDelay(true)
@@ -164,9 +168,22 @@ final class PgReplicationClient(
     }
   }
 
+  /** Generous bound for the REMAINDER of a message whose type byte
+    * already arrived: those bytes are committed and in flight, so a
+    * timeout here is a broken stream, not an idle one. */
+  private val MessageBodyTimeoutMs = 30000
+
   /** Drain frames until `maxFrames` are buffered or `timeoutMs`
     * passes without data. Primary keepalives requesting a reply are
-    * answered inline with the caller's last flushed position. */
+    * answered inline with the caller's last flushed position.
+    *
+    * The idle timeout applies ONLY to the first byte of a message —
+    * a clean boundary (zero bytes consumed when it fires). Timing out
+    * mid-message would desynchronize the wire stream: the partial
+    * bytes are gone and the next read would parse garbage as a
+    * type/length header, so mid-message stalls get a long bound and
+    * then fail loudly instead of being swallowed.
+    */
   def poll(maxFrames: Int, timeoutMs: Int, flushedLsn: Long): Seq[WalFrame] = {
     val frames = Seq.newBuilder[WalFrame]
     var n = 0
@@ -174,13 +191,26 @@ final class PgReplicationClient(
     while (n < maxFrames && System.nanoTime() < deadline) {
       val waitMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
       socket.setSoTimeout(math.min(waitMs, Int.MaxValue.toLong).toInt)
-      val msg = try Some(PgWire.readMessage(in)) catch {
-        case _: java.net.SocketTimeoutException => None
-        case _: EOFException => return frames.result()
+      val first = try Some(in.readByte().toChar) catch {
+        case _: java.net.SocketTimeoutException => None // idle: 0 bytes consumed
+        case _: EOFException => streamClosed = true; return frames.result()
+      }
+      val msg: (Char, Array[Byte]) = first match {
+        case None => return frames.result()
+        case Some(tpe) =>
+          // mid-message from here on: a timeout PROPAGATES (broken
+          // stream) rather than masquerading as idle
+          socket.setSoTimeout(MessageBodyTimeoutMs)
+          val len = in.readInt()
+          if (len < 4) throw new EOFException(s"bad message length $len for '$tpe'")
+          val body = new Array[Byte](len - 4)
+          try in.readFully(body) catch {
+            case _: EOFException => streamClosed = true; return frames.result()
+          }
+          (tpe, body)
       }
       msg match {
-        case None => return frames.result()
-        case Some(('d', body)) =>
+        case ('d', body) =>
           val buf = java.nio.ByteBuffer.wrap(body)
           buf.get().toChar match {
             case 'w' =>
@@ -201,9 +231,9 @@ final class PgReplicationClient(
             case other => throw new IllegalStateException(
               s"unexpected CopyData payload '$other'")
           }
-        case Some(('E', body)) =>
+        case ('E', body) =>
           throw new IllegalStateException(PgWire.errorMessage(body))
-        case Some((_, _)) => // CommandComplete etc. on graceful end
+        case (_, _) => // CommandComplete etc. on graceful end
       }
     }
     frames.result()
@@ -236,57 +266,143 @@ final class PgReplicationClient(
 /** Tails a replication socket into a [[PgOutputFrameLog]] directory.
   *
   * Each drain appends one log segment and only then acknowledges the
-  * segment's last WAL end — the ack-after-durable ordering that makes
-  * a crash replay (never lose) rather than skip. The `_wal_position`
-  * sidecar records the durable WAL high-water mark: reconnects
-  * restart the slot there and drop any replayed frames at or below
-  * it, so the at-least-once socket becomes an exactly-once log.
+  * segment's last WAL position — the ack-after-durable ordering that
+  * makes a crash replay (never lose) rather than skip.
+  *
+  * Durable resumption state lives IN THE SEGMENT NAMES
+  * (`wal-<pos hex>-<n>-<seq>.seg`): the append that lands the frames
+  * is the same atomic step that records how far the log reaches, so
+  * no crash window can separate data from position (a sidecar file
+  * updated after the append had exactly that window — and lived
+  * inside the directory the frame-log reader globs as segments).
+  *
+  * Real walsenders stamp every frame of a transaction with its own
+  * LSN and several frames can SHARE one (Relation + the change that
+  * triggered it), so an LSN alone cannot say which frames at the
+  * boundary are already durable. The position is therefore the pair
+  * (walPos, framesAtPos): the highest WAL position appended plus how
+  * many frames carrying exactly that position the log holds. On
+  * reconnect the slot replays a prefix of the same frame sequence;
+  * the tailer drops frames below the position, drops the first
+  * `framesAtPos` frames AT it, and disengages the filter at the
+  * first genuinely new frame — turning the slot's at-least-once
+  * replay into an exactly-once log.
   */
-final class ReplicationTailer(client: PgReplicationClient, logDir: String) {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+final class ReplicationTailer(initial: PgReplicationClient, logDir: String) {
 
-  private val walFile = Paths.get(logDir, "_wal_position")
+  // the active connection; the supervised run loop replaces it on
+  // reconnect (single-threaded access, like the reference's loop)
+  private var client: PgReplicationClient = initial
   private var segmentSeq = 0L
+  // in-session replay-skip state, seeded from the durable position
+  private var walPos = 0L
+  private var framesAtPos = 0L
+  private var replayRemaining = 0L
+  private var inReplay = false
 
-  def durableWalPosition: Long =
-    if (Files.exists(walFile))
-      new String(Files.readAllBytes(walFile), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+  private val SegmentName = "wal-([0-9a-f]{16})-([0-9]{8})-[0-9]{6}\\.seg".r
 
-  private def recordWalPosition(lsn: Long): Unit = {
-    Files.createDirectories(Paths.get(logDir))
-    val tmp = Paths.get(logDir, "_wal_position.tmp")
-    Files.write(tmp, lsn.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, walFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Durable (walPos, framesAtPos), read from segment names — exact
+    * even after a crash at any point, because the segment append IS
+    * the position record. */
+  def durablePosition: (Long, Long) = {
+    val d = new java.io.File(logDir)
+    val positions = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case SegmentName(hex, n) =>
+          Some((java.lang.Long.parseLong(hex, 16), n.toLong))
+        case _ => None
+      })
+    if (positions.isEmpty) (0L, 0L) else positions.max
   }
+
+  def durableWalPosition: Long = durablePosition._1
 
   /** Connect and enter the replication stream from the durable
     * position. */
   def start(slot: String, publication: String): Unit = {
+    val (p, n) = durablePosition
+    walPos = p
+    framesAtPos = n
+    replayRemaining = n
+    inReplay = p > 0 || n > 0
     client.connect()
-    client.startReplication(slot, publication, durableWalPosition)
+    client.startReplication(slot, publication, p)
   }
 
-  /** One drain cycle: poll → filter replays → durable append → ack.
-    * Returns the number of NEW frames landed. */
+  /** One drain cycle: poll → skip replayed prefix → durable append →
+    * ack. Returns the number of NEW frames landed. */
   def tailOnce(maxFrames: Int = 5000, timeoutMs: Int = 250): Int = {
-    val flushed = durableWalPosition
-    val got = client.poll(maxFrames, timeoutMs, flushed)
-    // the slot replays from confirmed_flush on reconnect: drop frames
-    // the log already holds durably
-    val fresh = got.filter(_.walEnd > flushed)
+    val got = client.poll(maxFrames, timeoutMs, walPos)
+    val fresh = got.filter { f =>
+      if (!inReplay) true
+      else if (f.walEnd < walPos) false
+      else if (f.walEnd == walPos && replayRemaining > 0) {
+        replayRemaining -= 1; false
+      } else {
+        inReplay = false; true
+      }
+    }
     if (fresh.nonEmpty) {
+      val newPos = fresh.map(_.walEnd).max
+      val atNew = fresh.count(_.walEnd == newPos)
+      framesAtPos = if (newPos == walPos) framesAtPos + atNew else atNew
+      walPos = newPos
       segmentSeq += 1
-      val name = f"wal-${System.currentTimeMillis()}%013d-$segmentSeq%06d.seg"
+      val name = f"wal-$walPos%016x-$framesAtPos%08d-$segmentSeq%06d.seg"
       PgOutputFrameLog.append(logDir, name, fresh.map(_.frame))
-      val newFlushed = fresh.map(_.walEnd).max
-      recordWalPosition(newFlushed)
-      client.sendStatusUpdate(newFlushed)
+      client.sendStatusUpdate(walPos)
     } else if (got.isEmpty) {
       // idle: keep the slot's view of our progress fresh
-      client.sendStatusUpdate(flushed)
+      client.sendStatusUpdate(walPos)
     }
     fresh.size
+  }
+
+  /** Supervised drain loop: tail until `stop()` goes true,
+    * reconnecting with exponential backoff when the server drops the
+    * stream (the reference's manager restarts its receive loop the
+    * same way). Resumption is always from the durable position —
+    * [[start]] re-derives it from the log, so a mid-loop crash and a
+    * supervised reconnect recover identically.
+    *
+    * @param connect builds a FRESH client per (re)connection; the
+    *   current one is closed first.
+    * @return total new frames landed.
+    */
+  def run(slot: String, publication: String, stop: () => Boolean,
+      connect: () => PgReplicationClient,
+      maxFrames: Int = 5000, timeoutMs: Int = 250,
+      backoffBaseSeconds: Double = 0.1, backoffMaxSeconds: Double = 30.0)
+      : Long = {
+    var attached = false // first iteration (re)starts via the same path
+    var landed = 0L
+    var errors = 0
+    var firstAttach = true
+    while (!stop()) {
+      try {
+        if (!attached) {
+          if (firstAttach) firstAttach = false
+          else { client.close(); client = connect() }
+          // start() re-derives the durable position from the log, so
+          // mid-loop crash recovery and a supervised reconnect are
+          // the same code path
+          start(slot, publication)
+          attached = true
+        }
+        landed += tailOnce(maxFrames, timeoutMs)
+        errors = 0
+        if (client.streamClosed) attached = false
+      } catch {
+        case _: java.io.IOException | _: IllegalStateException =>
+          attached = false
+          errors += 1
+          val sleepMs = (math.min(backoffMaxSeconds,
+            backoffBaseSeconds * math.pow(2.0, (errors - 1).toDouble)) * 1000).toLong
+          Thread.sleep(sleepMs)
+      }
+    }
+    client.close()
+    landed
   }
 }

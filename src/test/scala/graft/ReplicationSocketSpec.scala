@@ -39,6 +39,7 @@ class ReplicationSocketSpec extends AnyFunSuite {
       *   any data (exercises the keepalive answer path)
       */
     def expectConnection(keepaliveFirst: Boolean = false,
+        dropAfterServing: Boolean = false,
         ready: CountDownLatch = new CountDownLatch(0)): Unit = {
       thread = new Thread(() => {
         val sock = server.accept()
@@ -71,25 +72,29 @@ class ReplicationSocketSpec extends AnyFunSuite {
         out.writeByte('W'); out.writeInt(7); out.writeByte(0); out.writeShort(0)
         out.flush()
         if (keepaliveFirst) sendKeepalive(out, 5L, replyRequested = true)
-        // replay frames strictly after the requested start position
-        frames.filter(_._1 > startedFrom).foreach { case (walStart, bytes) =>
-          sendXLogData(out, walStart, bytes)
+        // replay from the requested position INCLUSIVE — a real
+        // walsender resends the boundary LSN's frames (confirmed_flush
+        // only guarantees no redelivery of earlier commits)
+        frames.filter(_._1 >= math.max(startedFrom, 1L)).foreach {
+          case (walStart, bytes) => sendXLogData(out, walStart, bytes)
         }
         out.flush()
         ready.countDown()
-        // read acks until the client closes
-        try {
-          var open = true
-          while (open) {
-            val (t, b) = readMsg(in)
-            t match {
-              case 'd' if b.nonEmpty && b(0) == 'r'.toByte =>
-                ackedFlush.add(ByteBuffer.wrap(b, 9, 8).getLong) // flushed
-              case 'X' | 'c' => open = false
-              case _ =>
+        if (!dropAfterServing) {
+          // read acks until the client closes
+          try {
+            var open = true
+            while (open) {
+              val (t, b) = readMsg(in)
+              t match {
+                case 'd' if b.nonEmpty && b(0) == 'r'.toByte =>
+                  ackedFlush.add(ByteBuffer.wrap(b, 9, 8).getLong) // flushed
+                case 'X' | 'c' => open = false
+                case _ =>
+              }
             }
-          }
-        } catch { case _: java.io.IOException => }
+          } catch { case _: java.io.IOException => }
+        }
         sock.close()
       })
       thread.setDaemon(true)
@@ -108,7 +113,9 @@ class ReplicationSocketSpec extends AnyFunSuite {
         payload: Array[Byte]): Unit = {
       out.writeByte('d'); out.writeInt(4 + 1 + 24 + payload.length)
       out.writeByte('w')
-      out.writeLong(walStart); out.writeLong(walStart + 1); out.writeLong(0L)
+      // real logical walsenders stamp walEnd == walStart (the output
+      // record's own LSN) — several frames can share one position
+      out.writeLong(walStart); out.writeLong(walStart); out.writeLong(0L)
       out.write(payload)
     }
 
@@ -176,8 +183,8 @@ class ReplicationSocketSpec extends AnyFunSuite {
       while (mock.ackedFlush.isEmpty && System.currentTimeMillis() < deadline2)
         Thread.sleep(20)
       val acked = mock.ackedFlush.toArray(Array.empty[java.lang.Long])
-      assert(acked.nonEmpty && acked.last == frames.map(_._1 + 1).max)
-      assert(tailer.durableWalPosition == frames.map(_._1 + 1).max)
+      assert(acked.nonEmpty && acked.last == frames.map(_._1).max)
+      assert(tailer.durableWalPosition == frames.map(_._1).max)
     } finally { client.close(); mock.close() }
   }
 
@@ -233,6 +240,84 @@ class ReplicationSocketSpec extends AnyFunSuite {
       .select("id", "msg").as[(Long, String)].collect().toMap
     assert(latest == Map(1L -> "wire-a", 2L -> "wire-b"))
     assert(wm.position.contains(200L))
+  }
+
+  test("frames sharing one LSN survive drain splits and boundary replay exactly once") {
+    // realistic wire shape: a transaction's frames all carry the same
+    // LSN (Begin/Relation/Insert/.../Commit at pos 50), so an LSN
+    // alone cannot tell which boundary frames are already durable.
+    // Force a drain boundary INSIDE the same-LSN run (maxFrames=3),
+    // then crash/reconnect with the server replaying from the
+    // boundary LSN inclusive — the (walPos, framesAtPos) position
+    // must drop exactly the already-appended prefix.
+    val txnFrames = Seq(encodeRelation(rel)) ++ txn(50L, 1L, "a") // 4 frames
+    val sameLsn = txnFrames.map(f => (50L, f)) ++
+      txn(60L, 2L, "b").map(f => (60L, f)) // 3 more at pos 60
+    val dir = Files.createTempDirectory("graft-repl-samelsn").toString
+
+    val mock1 = new MockWalSender(sameLsn)
+    mock1.expectConnection()
+    val c1 = new PgReplicationClient("127.0.0.1", mock1.port, "db", "repl")
+    val t1 = new ReplicationTailer(c1, dir)
+    try {
+      t1.start("s", "p")
+      var landed = 0
+      val deadline = System.currentTimeMillis() + 5000
+      while (landed < sameLsn.size && System.currentTimeMillis() < deadline)
+        landed += t1.tailOnce(maxFrames = 3, timeoutMs = 200) // split the LSN run
+      assert(landed == sameLsn.size)
+      assert(t1.durablePosition == (60L, 3L))
+    } finally { c1.close(); mock1.close() }
+    assert(PgOutputFrameLog.frameCount(dir) == 7)
+
+    // restart: server replays everything from pos 60 inclusive (the
+    // 3 frames at 60) plus two new frames ALSO at pos 60 — the tailer
+    // must skip exactly the 3 durable ones and land the 2 new ones
+    val more = txn(60L, 3L, "c").take(2).map(f => (60L, f))
+    val mock2 = new MockWalSender(sameLsn ++ more)
+    mock2.expectConnection()
+    val c2 = new PgReplicationClient("127.0.0.1", mock2.port, "db", "repl")
+    val t2 = new ReplicationTailer(c2, dir)
+    try {
+      t2.start("s", "p")
+      assert(mock2.startedFrom == 60L)
+      var landed = 0
+      val deadline = System.currentTimeMillis() + 5000
+      while (landed < 2 && System.currentTimeMillis() < deadline)
+        landed += t2.tailOnce(maxFrames = 100, timeoutMs = 200)
+      assert(landed == 2)
+      assert(PgOutputFrameLog.frameCount(dir) == 9) // no duplicates
+      assert(t2.durablePosition == (60L, 5L))
+    } finally { c2.close(); mock2.close() }
+  }
+
+  test("supervised run loop survives a server drop: reconnect, resume, no duplicates") {
+    val first = walFrames(Seq(Seq(encodeRelation(rel)), txn(100L, 1L, "a")), 10L)
+    val second = first ++ walFrames(Seq(txn(200L, 2L, "b")), 50L)
+    val dir = Files.createTempDirectory("graft-repl-run").toString
+    // connection 1 serves the first batch then DROPS the socket;
+    // connection 2 (fresh port) replays everything plus new frames
+    val mock1 = new MockWalSender(first)
+    mock1.expectConnection(dropAfterServing = true)
+    val mock2 = new MockWalSender(second)
+    mock2.expectConnection()
+    val target = second.size.toLong
+    val deadline = System.currentTimeMillis() + 15000
+    val tailer = new ReplicationTailer(
+      new PgReplicationClient("127.0.0.1", mock1.port, "db", "repl"), dir)
+    try {
+      tailer.run("s", "p",
+        stop = () => System.currentTimeMillis() > deadline ||
+          PgOutputFrameLog.frameCount(dir) >= target,
+        connect = () =>
+          new PgReplicationClient("127.0.0.1", mock2.port, "db", "repl"),
+        maxFrames = 100, timeoutMs = 100, backoffBaseSeconds = 0.01)
+      assert(PgOutputFrameLog.frameCount(dir) == target, "no loss, no dupes")
+      val logged = PgOutputFrameLog.readRange(dir, 0, target).map(PgOutput.decode)
+      assert(logged.count(_.isInstanceOf[Insert]) == 2)
+      assert(mock2.startedFrom == first.map(_._1).max,
+        "second connection must resume from the durable position")
+    } finally { mock1.close(); mock2.close() }
   }
 
   test("reconnect resumes from the durable WAL position; slot replay does not double-append") {
