@@ -291,6 +291,40 @@ class ReplicationSocketSpec extends AnyFunSuite {
     } finally { c2.close(); mock2.close() }
   }
 
+  test("SocketCdcPipeline: live socket -> log -> streaming query -> warehouse, one call") {
+    val spark = SparkTestSession.spark
+    val frames = walFrames(Seq(
+      Seq(encodeRelation(rel)), txn(100L, 1L, "live-a"), txn(200L, 2L, "live-b")), 10L)
+    val mock = new MockWalSender(frames)
+    mock.expectConnection()
+    val dir = Files.createTempDirectory("graft-live").toString
+    val wh = Files.createTempDirectory("graft-live-wh").toString
+    val sink = new graft.sinks.WarehouseSink(spark, wh)
+    val wm = new graft.streaming.CdcPipeline.AckWatermark
+    val handle = graft.streaming.SocketCdcPipeline.start(
+      spark,
+      connect = () => new PgReplicationClient("127.0.0.1", mock.port, "db", "repl"),
+      slot = "s", publication = "p", logDir = dir, sink = sink,
+      watermark = wm,
+      checkpoint = Files.createTempDirectory("graft-live-ckpt").toString,
+      flushInterval = "1 seconds")
+    try {
+      // tailer and query run CONCURRENTLY; wait for the ack watermark
+      // to reach the last commit
+      val deadline = System.currentTimeMillis() + 20000
+      while (!wm.position.contains(200L) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally handle.stop()
+    assert(wm.position.contains(200L))
+    val table = graft.model.TableSchema(77L, "public", "example", Seq(
+      graft.model.ColumnSpec("id", graft.model.PgTypes.Int8, key = true),
+      graft.model.ColumnSpec("msg", graft.model.PgTypes.Text)))
+    import spark.implicits._
+    val latest = sink.latestView(table)
+      .select("id", "msg").as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "live-a", 2L -> "live-b"))
+  }
+
   test("supervised run loop survives a server drop: reconnect, resume, no duplicates") {
     val first = walFrames(Seq(Seq(encodeRelation(rel)), txn(100L, 1L, "a")), 10L)
     val second = first ++ walFrames(Seq(txn(200L, 2L, "b")), 50L)
