@@ -1848,6 +1848,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    // ----- §2.11 extension surface through PLAIN SQL: the registered
+    // int128_sum aggregate (graft extension) summing exact cents —
+    // what a pure-SQL warehouse user runs; DuckDB mirrors it with its
+    // native BIGINT→HUGEINT sum -----
+    "q153_sql_int128" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_linestatus,
+              |  CAST(int128_sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              |    AS DOUBLE) / 100 AS revenue_exact,
+              |  count(*) AS n
+              |FROM lineitem
+              |GROUP BY l_linestatus
+              |ORDER BY l_linestatus""".stripMargin)
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3577,5 +3591,15 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
         |       / 4294967296.0) < rate
         |ORDER BY doc_id""".stripMargin,
+    // DuckDB's native sum(BIGINT) is a HUGEINT (int128) — the same
+    // arithmetic int128_sum performs limb-wise in Catalyst
+    "q153_sql_int128" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100 AS revenue_exact,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
   )
 }

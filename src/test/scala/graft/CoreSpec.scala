@@ -10,13 +10,19 @@ import graft.ops.ChangelogOps
 import graft.sources.ImportSource
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // production posture, same as Bench/Verify: graft SQL functions +
+    // optimizer rules active (q153 reaches int128_sum via plain SQL)
+    graft.functions.GraftSparkExtensions.register(s)
+    s
+  }
 }
 
 class CoreSpec extends AnyFunSuite {
