@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ChangelogOps
+import graft.sources.ImportSource
+import graft.streaming.StatefulSessions
+
+/** The custom-state streaming surface (SURVEY §2.9):
+  * `flatMapGroupsWithState` sessionization and its declarative
+  * `session_window` twin, both replayed over the events table in three
+  * event-time-ordered micro-batches and compared session-for-session
+  * against the batch `ChangelogOps.sessionize` oracle. The split
+  * forces sessions to span micro-batch boundaries (state must carry),
+  * and the far-future sentinel advances the watermark so event-time
+  * timeouts / window closes flush the final open sessions.
+  */
+class StatefulSessionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+  val gap = 1800L
+  val sentinelTs = new java.sql.Timestamp(4102444800000L) // 2100-01-01
+
+  private def events: DataFrame =
+    ImportSource.table(spark, sf, "events")
+      .select($"user_id", $"ts", $"value")
+
+  /** Batch oracle: per closed session (user, startUs, endUs, n, sum). */
+  private lazy val expected: Map[(Long, Long, Long, Long), Double] =
+    ChangelogOps.sessionize(events, $"user_id", $"ts", gap)
+      .groupBy($"user_id", $"session_id")
+      .agg(min(unix_micros($"ts")).as("s"), max(unix_micros($"ts")).as("e"),
+        count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"user_id", $"s", $"e", $"n", $"v")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (u, s, e, n, v) => (u, s, e, n) -> v }.toMap
+
+  private def assertMatches(got: Seq[(Long, Long, Long, Long, Double)]): Unit = {
+    assert(got.length == got.toSet.size, "duplicate session emitted")
+    val gotKeys = got.map { case (u, s, e, n, _) => (u, s, e, n) }.toSet
+    assert(gotKeys == expected.keySet,
+      s"session boundaries diverge: got ${gotKeys.size}, want ${expected.size}")
+    for ((u, s, e, n, v) <- got)
+      // double sums differ only by fold order between batch and stream
+      assert(math.abs(v - expected((u, s, e, n))) < 1e-6, s"sum for ($u,$s)")
+    assert(expected.size > 100) // non-trivial corpus
+  }
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def drop(src: String, i: Int, rows: Seq[Row]): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(s"$src/b$i")
+
+  /** ts-ordered slices of the events table, for batch-boundary replay. */
+  private def slicesOf(k: Int): Seq[Seq[Row]] = {
+    val rows = events.orderBy($"ts").collect().toSeq
+    rows.grouped(rows.length / k + 1).toSeq
+  }
+
+  /** Replay the event slices plus a watermark-advancing sentinel
+    * through `mkStream`, one micro-batch wave per slice; return every
+    * emitted row for real users (the sentinel user is -1).
+    */
+  private def replay(queryName: String)(mkStream: DataFrame => DataFrame): Seq[Row] = {
+    val src = Files.createTempDirectory(s"graft-$queryName").toString
+    val slices = slicesOf(3)
+    drop(src, 0, slices(0))
+    val stream = mkStream(spark.readStream.schema(schema).parquet(s"$src/*"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      for (i <- 1 until slices.length) {
+        drop(src, i, slices(i)); q.processAllAvailable()
+      }
+      drop(src, slices.length, Seq(Row(-1L, sentinelTs, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = spark.table(queryName)
+    t.where(col(t.columns.head) >= 0).collect().toSeq
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch sessionize across micro-batches") {
+    val got = replay("fmgws_sessions") { s =>
+      StatefulSessions.sessions(s, gap, "60 seconds").toDF()
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assertMatches(got)
+  }
+
+  test("session_window streaming aggregation matches batch sessionize across micro-batches") {
+    val got = replay("sw_sessions") { s =>
+      StatefulSessions.sessionWindowStats(s, gap, "60 seconds")
+        .select($"user_id", unix_micros($"session_start").as("s"),
+          $"n_events", $"sum_value")
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == got.toSet.size)
+    val gotKeys = got.map { case (u, s, n, _) => (u, s, n) }.toSet
+    val wantKeys = expected.keySet.map { case (u, s, _, n) => (u, s, n) }
+    assert(gotKeys == wantKeys)
+  }
+
+  test("stateful sessions survive a query restart from the checkpoint") {
+    // stop the query between drops and restart it against the same
+    // checkpoint: open sessions must resume, no session emits twice
+    val src = Files.createTempDirectory("graft-restart").toString
+    val ck = Files.createTempDirectory("graft-restart-ck").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    val slices = slicesOf(2)
+    // a durable (file) sink: the memory sink cannot recover from a
+    // checkpoint, and durability across restart is the point here
+    def start() = StatefulSessions.sessions(
+        spark.readStream.schema(schema).parquet(s"$src/*"), gap, "60 seconds")
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", out).start()
+
+    drop(src, 0, slices(0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterRun1 = spark.read.parquet(out).count()
+
+    drop(src, 1, slices(1))
+    drop(src, 2, Seq(Row(-1L, sentinelTs, 0.0)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).collect().toSeq
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assertMatches(got)
+    assert(afterRun1 > 0, "run 1 closed no sessions — restart not exercised")
+    assert(afterRun1 < got.length, "run 2 emitted nothing — state did not resume")
+  }
+}
