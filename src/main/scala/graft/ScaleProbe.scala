@@ -169,6 +169,34 @@ object ScaleProbe {
         val cents = (0 until k).map(c => Seq.tabulate(64)(d =>
           ((((c * 131L + d) * 2654435761L) % 1000L) / 500.0 - 1.0).toFloat))
         run(graft.ops.SimilarityOps.semDedup(e, "vec_id", "embedding", cents, 0.3))
+      },
+      // round-4/5 additions: the iterative / model-building operators
+      // whose scale posture the notes claim — measure, don't assert
+      "dedup clusters (conn comp)" -> { dir =>
+        val pairs = DedupOps.fingerprintCandidatePairs(
+          ImportSource.table(spark, dir, "documents"), "doc_id", "text")
+        run(DedupOps.duplicateClusters(pairs))
+      },
+      "nb classifier (train+score)" -> { dir =>
+        run(graft.ops.ClassifierOps.nbClassify(
+          ImportSource.table(spark, dir, "documents"), "doc_id", "lang", "text"))
+      },
+      "pagerank (3 iterations)" -> { dir =>
+        val o = ImportSource.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = ImportSource.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        val edges = cs.unionByName(
+          cs.select(col("dst").as("src"), col("src").as("dst")))
+        run(graft.ops.GraphOps.pageRank(edges, iterations = 3))
+      },
+      "sessionize + session stats" -> { dir =>
+        run(ChangelogOps.sessionize(events(dir), col("user_id"), col("ts"), 1800L)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("v")))
       })
 
     println(f"${"operator"}%-26s ${"1x"}%8s ${"10x"}%8s ratio")

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.PgTypes
+import graft.sinks.WarehouseSink
+import graft.sources.{ChangelogBuilder, PgOutput, PgOutputFrameLog}
+import graft.streaming.{CdcPipeline, DistributedDecode, FrameStreamPipeline, GenericPlane}
+
+/** CDC throughput bench: the reference claims "high-throughput and
+  * low-latency capture" with no published numbers (BASELINE.md); this
+  * puts single-node numbers on OUR capture path so the claim is
+  * checkable round over round. Three measurements over the same
+  * synthetic pgoutput workload (T transactions × R inserts, realistic
+  * frame mix of Begin/Insert…/Commit plus one leading Relation):
+  *
+  *  1. decode — the pure wire-decode + changelog-build loop
+  *     (`ChangelogBuilder` over decoded frames), no Spark plan. This
+  *     is the reference's receive-loop shape and the upper bound for
+  *     any single-slot consumer.
+  *  2. pipeline — end-to-end Structured Streaming: frame log → DSv2
+  *     source (admission-controlled) → ordered decode → warehouse
+  *     sink append → ack. Includes micro-batch scheduling and parquet
+  *     write cost, i.e. what a deployment actually sustains.
+  *  3. distributed — the executor-side decode twin into the generic
+  *     plane (driver handles control frames only).
+  *
+  * Prints ONE JSON line; run with
+  * `sbt "runMain graft.StreamBench [nTxn] [rowsPerTxn]"`.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nTxn = args.headOption.map(_.toInt).getOrElse(2000)
+    val rowsPerTxn = args.lift(1).map(_.toInt).getOrElse(100)
+    val out = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-streambench")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import PgOutput._
+    val relId = 1L
+    val rel = Relation(relId, "public", "accounts", 'd'.toByte, Seq(
+      RelationColumn(key = true, "id", PgTypes.Int8, -1),
+      RelationColumn(key = false, "balance", PgTypes.Int8, -1),
+      RelationColumn(key = false, "name", PgTypes.Text, -1)))
+    def cell(v: String) = Element('t'.toByte, Some(v.getBytes("UTF-8")))
+
+    // one segment per ~20k frames: segment rollover is part of the
+    // real log's read path, so the bench should cross it
+    val frameDir = s"$out/frames"
+    val segSize = 20000
+    var segBuf = Vector.newBuilder[Array[Byte]]
+    var segCount = 0
+    var segIdx = 0
+    var nFrames = 0L
+    def emit(f: Array[Byte]): Unit = {
+      segBuf += f; segCount += 1; nFrames += 1
+      if (segCount == segSize) {
+        PgOutputFrameLog.append(frameDir, f"seg-$segIdx%05d", segBuf.result())
+        segBuf = Vector.newBuilder[Array[Byte]]; segCount = 0; segIdx += 1
+      }
+    }
+    emit(encodeRelation(rel))
+    var lsn = 1000L
+    var id = 0L
+    (0 until nTxn).foreach { x =>
+      emit(encodeBegin(Begin(lsn + rowsPerTxn + 1, 775180800000000L + x, x.toLong)))
+      (0 until rowsPerTxn).foreach { _ =>
+        id += 1
+        emit(encodeInsert(Insert(relId, TupleData(Seq(
+          cell(id.toString), cell((id * 37 % 100000).toString),
+          cell(s"account-$id"))))))
+      }
+      lsn += rowsPerTxn + 1
+      emit(encodeCommit(Commit(0, lsn - 1, lsn, 775180800000000L + x)))
+    }
+    if (segCount > 0)
+      PgOutputFrameLog.append(frameDir, f"seg-$segIdx%05d", segBuf.result())
+    val totalRows = nTxn.toLong * rowsPerTxn
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+
+    // Warm-up on a 20k-row log: the session's FIRST streaming query
+    // pays stream init + whole-stage codegen, and the decode / row
+    // conversion / parquet hot loops need ~10k iterations before C2
+    // kicks in (measured: first timed 100k batch 7.6s vs 1.5s steady
+    // with a 1-row warm-up) — a throughput number must not bill
+    // one-time JVM warm-up to whichever path ran first.
+    locally {
+      val wDir = s"$out/warm"
+      val warmFrames = Vector.newBuilder[Array[Byte]]
+      warmFrames += encodeRelation(rel)
+      (0 until 200).foreach { x =>
+        warmFrames += encodeBegin(Begin(10L + x, 775180800000000L, x.toLong))
+        (0 until 100).foreach { i =>
+          warmFrames += encodeInsert(Insert(relId, TupleData(Seq(
+            cell(s"${x * 100 + i}"), cell("0"), cell("warm")))))
+        }
+        warmFrames += encodeCommit(Commit(0, 9L + x, 10L + x, 775180800000000L))
+      }
+      PgOutputFrameLog.append(s"$wDir/frames", "seg-0", warmFrames.result())
+      val ws = new WarehouseSink(spark, s"$wDir/wh")
+      val wq = FrameStreamPipeline.start(spark, s"$wDir/frames", ws,
+        new CdcPipeline.AckWatermark, s"$wDir/ckpt", "1 seconds")
+      try wq.processAllAvailable() finally wq.stop()
+      val dq = DistributedDecode.start(spark, s"$wDir/frames",
+        s"$wDir/plane", new CdcPipeline.AckWatermark, s"$wDir/dckpt",
+        "1 seconds")
+      try dq.processAllAvailable() finally dq.stop()
+    }
+
+    // 1. pure decode loop (driver-thread upper bound). Reads the raw
+    // frames back from the log so file I/O is included, like the
+    // socket read would be.
+    val rawFrames = PgOutputFrameLog.readRange(frameDir, 0L, nFrames)
+    var decoded = 0L
+    val tDecode = time {
+      val builder = new ChangelogBuilder
+      builder.push(rawFrames.iterator.map(PgOutput.decode)).foreach {
+        case _: ChangelogBuilder.ModificationEntry => decoded += 1
+        case _ => ()
+      }
+    }
+    require(decoded == totalRows, s"decode saw $decoded of $totalRows rows")
+
+    // 2. end-to-end micro-batch pipeline into the warehouse sink.
+    // maxFramesPerTrigger is raised to the reference's flush shape at
+    // this volume (the 5000 default means 40+ epochs for 200k rows —
+    // honest for latency, unfair for a throughput number).
+    // per-batch progress (enable with SPARK_GRAFT_STREAM_DEBUG=1)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          println(s"[batch] ${e.progress.name} rows=${e.progress.numInputRows} " +
+            s"durations=${e.progress.durationMs}")
+      })
+
+    val sink = new WarehouseSink(spark, s"$out/wh")
+    val watermark = new CdcPipeline.AckWatermark
+    val tPipeline = time {
+      val q = FrameStreamPipeline.start(spark, frameDir, sink, watermark,
+        s"$out/ckpt", "1 seconds", maxFramesPerTrigger = Some(100000L))
+      try q.processAllAvailable() finally q.stop()
+    }
+    require(watermark.position.exists(_ > 0), "pipeline acked nothing")
+
+    // 3. distributed decode into the generic plane
+    val ddWatermark = new CdcPipeline.AckWatermark
+    val tDistributed = time {
+      val q = DistributedDecode.start(spark, frameDir, s"$out/ddplane",
+        ddWatermark, s"$out/ddckpt", "1 seconds",
+        maxFramesPerTrigger = Some(100000L))
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ddRows = GenericPlane.raw(spark, s"$out/ddplane").count()
+    require(ddRows == totalRows, s"distributed decode wrote $ddRows of $totalRows")
+
+    def rps(t: Double) = math.round(totalRows / t)
+    println(s"""{"metric":"cdc_rows_per_sec","rows":$totalRows,""" +
+      s""""frames":$nFrames,"txns":$nTxn,""" +
+      s""""decode_rps":${rps(tDecode)},"pipeline_rps":${rps(tPipeline)},""" +
+      s""""distributed_rps":${rps(tDistributed)},""" +
+      f""""decode_sec":$tDecode%.2f,"pipeline_sec":$tPipeline%.2f,""" +
+      f""""distributed_sec":$tDistributed%.2f}""")
+    spark.stop()
+  }
+}

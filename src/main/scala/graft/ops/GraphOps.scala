@@ -53,14 +53,23 @@ object GraphOps {
     val p = math.round(damping * 100) // damping = p/q exactly
     val q = 100L
     val scale = 1000000000000L // picorank units per unit of rank
+    // Loop invariants are materialized once: without the checkpoint the
+    // final k-join plan re-derives the edge build (upstream joins +
+    // distinct) under every iteration's join, agg, AND the degree/node
+    // subplans — ReuseExchange dedups only identical exchanges inside
+    // one stage graph, not the work above them (measured on the
+    // orders⋈lineitem edge graph at sf0.1: 6.6s -> 2.1s for 3
+    // iterations). localCheckpoint also truncates lineage, which is
+    // exactly the caller note below about deep iteration chains.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
+      .distinct().localCheckpoint()
     // node universe = sources ∪ sinks; out_deg 0 for pure sinks
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val base = nodes.join(outDegrees(e).withColumnRenamed("src", "id"),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .localCheckpoint()
     val n = base.count()
     def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
     val teleport = halfUp((q - p) * scale, q * n)

@@ -41,6 +41,17 @@ final class InstrumentedSink(inner: Sink) extends Sink {
     result
   }
 
+  override def insertCounted(table: TableSchema, batch: DataFrame,
+      known: InsertResult): InsertResult = {
+    val t0 = System.nanoTime()
+    val result = inner.insertCounted(table, batch, known)
+    insertNanos.add(System.nanoTime() - t0)
+    insertCount.increment()
+    rowCount.add(result.count)
+    maxBatchSize.getAndUpdate(m => math.max(m, result.count))
+    result
+  }
+
   override def truncate(table: TableSchema, at: java.sql.Timestamp,
       lsn: Option[Long], sequence: Option[Long]): Unit = {
     truncateCount.increment()

@@ -51,6 +51,19 @@ trait Sink {
   /** Insert one envelope batch for one table; returns (count, max LSN). */
   def insert(table: TableSchema, batch: DataFrame): InsertResult
 
+  /** Insert a batch whose fold result the caller already knows.
+    * The ordered driver decode path holds every row of the flush
+    * epoch in memory to build `batch` — re-deriving (count, max LSN)
+    * with a distributed aggregate there costs one extra job plus a
+    * cache materialization per epoch (measured ~2x the epoch's write
+    * cost at 100k-frame epochs). Sinks that only need the fold for
+    * their return value can override to trust the caller's; the
+    * default ignores the hint and keeps the single-source-of-truth
+    * aggregate. */
+  def insertCounted(table: TableSchema, batch: DataFrame,
+      known: InsertResult): InsertResult =
+    insert(table, batch)
+
   /** Record a TRUNCATE at a changelog position: latest-state readers
     * must drop rows at or before (timestamp, lsn, sequence); history
     * stays append-only. Positions use the changelog ordering

@@ -34,20 +34,32 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
 
   override def insert(table: TableSchema, batch: DataFrame): InsertResult = {
     val result = InsertResult.of(batch.cache())
+    write(table, batch)
+    batch.unpersist()
+    result
+  }
+
+  /** One job per flush epoch: the caller's fold is trusted, so the
+    * batch streams straight into the append with no cache and no
+    * count/max pre-pass. */
+  override def insertCounted(table: TableSchema, batch: DataFrame,
+      known: InsertResult): InsertResult = {
+    write(table, batch)
+    known
+  }
+
+  private def write(table: TableSchema, batch: DataFrame): Unit = {
     val pks = table.primaryKeys
     val image = coalesce(col(Envelope.AfterCol), col(Envelope.BeforeCol))
     val sortCols = pks.map(k => col(s"_pk_$k"))
-    val withPart = batch
+    batch
       .withColumn("_date", to_date(col(Envelope.TimestampCol)))
       // materialised pk columns give parquet row-group min/max stats
       .withColumns(pks.map(k => s"_pk_$k" -> image.getField(k)).toMap)
-    withPart
       .sortWithinPartitions(col("_date") +: sortCols: _*)
       .write.mode("append")
       .partitionBy("_date")
       .parquet(rawPath(table))
-    batch.unpersist()
-    result
   }
 
   /** Read the raw changelog back (schema evolution via mergeSchema —

@@ -58,11 +58,13 @@ final class DistributedDecode {
   def processBatch(spark: SparkSession, batch: DataFrame)
       : (Seq[ChangelogBuilder.SchemaEntry], DataFrame) = {
     // ---- driver pass: control frames only (B/C/R/O/Y lead bytes)
+    // position sort on the driver: a distributed orderBy before a
+    // full collect adds a range-sampling job + sort exchange per epoch
     val ctl = batch
       .where(substring(col("frame"), 1, 1)
         .isin(ControlBytes.map(b => Array(b): Array[Byte]): _*))
-      .orderBy("position")
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("frame")))
+      .sortBy(_._1)
 
     val carried = openTxn // txn left open by the previous batch
     val schemas = Vector.newBuilder[ChangelogBuilder.SchemaEntry]
@@ -215,13 +217,16 @@ object DistributedDecode {
       planeRoot: String,
       watermark: CdcPipeline.AckWatermark,
       checkpoint: String,
-      flushInterval: String = "5 seconds")
+      flushInterval: String = "5 seconds",
+      maxFramesPerTrigger: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val decoder = new DistributedDecode
-    spark.readStream
+    val reader = spark.readStream
       .format("graft.sources.PgOutputFrameSource")
       .option("path", frameDir)
-      .load()
+    maxFramesPerTrigger.foreach(n =>
+      reader.option("maxFramesPerTrigger", n.toString))
+    reader.load()
       .writeStream
       .queryName(s"cdc-frames-distributed($frameDir)")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(flushInterval))

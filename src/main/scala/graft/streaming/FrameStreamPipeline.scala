@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.model.{Envelope, TableSchema}
-import graft.sinks.Sink
+import graft.sinks.{InsertResult, Sink}
 import graft.sources.{ChangelogBuilder, PgOutput}
 
 /** The complete streaming CDC lifecycle (SURVEY §3.1) on Spark:
@@ -28,13 +28,18 @@ object FrameStreamPipeline {
       sink: Sink,
       watermark: CdcPipeline.AckWatermark,
       checkpoint: String,
-      flushInterval: String = "5 seconds"): StreamingQuery = {
+      flushInterval: String = "5 seconds",
+      maxFramesPerTrigger: Option[Long] = None): StreamingQuery = {
     val builder = new ChangelogBuilder // driver-side, lives across batches
 
-    spark.readStream
+    val reader = spark.readStream
       .format("graft.sources.PgOutputFrameSource")
       .option("path", frameDir)
-      .load()
+    // flush-epoch sizing knob, the reference's --import-worker.buffer
+    // shape: None keeps the source's default admission bound (5000)
+    maxFramesPerTrigger.foreach(n =>
+      reader.option("maxFramesPerTrigger", n.toString))
+    reader.load()
       .writeStream
       .queryName(s"cdc-frames($frameDir)")
       .trigger(Trigger.ProcessingTime(flushInterval))
@@ -58,8 +63,12 @@ object FrameStreamPipeline {
     // the driver-side collect here is bounded by the source's
     // admission control (maxFramesPerTrigger, default 5000 — see
     // PgOutputFrameSource), not by backlog size: a restart against a
-    // large frame log drains in bounded micro-batches
-    val frames = batch.orderBy("position").collect()
+    // large frame log drains in bounded micro-batches. The position
+    // sort happens on the driver — a distributed orderBy before a
+    // full collect pays a range-sampling job plus a sort exchange per
+    // flush epoch for an array the driver re-materializes anyway.
+    val frames = batch.select("position", "frame").collect()
+      .sortBy(_.getLong(0))
       .map(_.getAs[Array[Byte]]("frame"))
     if (frames.isEmpty) return
     val entries = builder.push(frames.iterator.map(PgOutput.decode)).toVector
@@ -89,7 +98,11 @@ object FrameStreamPipeline {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows),
         Envelope.schemaFor(payloadType, withToastMarker = true))
-      val result = sink.insert(schema, df)
+      // the fold is already known on the driver (we hold the rows):
+      // pass it down so the sink can skip the count/max job
+      val known = InsertResult(ms.size.toLong,
+        ms.flatMap(_.lsn).reduceOption(_ max _))
+      val result = sink.insertCounted(schema, df, known)
       maxLsn = (maxLsn ++ result.lsn).reduceOption(_ max _)
     }
     // truncates are position-stamped markers: ordering against the
