@@ -58,13 +58,28 @@ final class DistributedDecode {
   def processBatch(spark: SparkSession, batch: DataFrame)
       : (Seq[ChangelogBuilder.SchemaEntry], DataFrame) = {
     // ---- driver pass: control frames only (B/C/R/O/Y lead bytes)
-    // position sort on the driver: a distributed orderBy before a
-    // full collect adds a range-sampling job + sort exchange per epoch
-    val ctl = batch
-      .where(substring(col("frame"), 1, 1)
-        .isin(ControlBytes.map(b => Array(b): Array[Byte]): _*))
-      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("frame")))
+    // ---- ONE driver-side scan for everything the driver needs:
+    // control-frame bytes, every frame's lead byte (for the open-txn
+    // tail count), and 'T' bytes (truncates take one sequence slot
+    // per relation — their exact count needs the relation list).
+    // Collecting (position, lead, ctl-bytes) is ~10 B/frame, bounded
+    // by admission control; the previous shape paid three separate
+    // source scans per epoch (ctl collect, tail count, truncate
+    // collect) plus a sort exchange before the collect — the position
+    // sort now happens on the driver.
+    val lead = substring(col("frame"), 1, 1)
+    val driverFrames = batch.select(
+        col("position").cast("long"),
+        lead.as("lead"),
+        when(lead.isin((ControlBytes :+ 'T'.toByte)
+          .map(b => Array(b): Array[Byte]): _*), col("frame")).as("ctl"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("lead")(0),
+        r.getAs[Array[Byte]]("ctl")))
       .sortBy(_._1)
+    val ctl = driverFrames.collect {
+      case (pos, b, bytes) if ControlBytes.contains(b) => (pos, bytes)
+    }
 
     val carried = openTxn // txn left open by the previous batch
     val schemas = Vector.newBuilder[ChangelogBuilder.SchemaEntry]
@@ -181,20 +196,17 @@ final class DistributedDecode {
     // Truncate frames take one sequence slot PER relation, so the
     // rare 'T' frames are decoded driver-side for their exact count.
     openTxn.foreach { t =>
-      val tail = batch.where(
-        substring(col("frame"), 1, 1)
-          .isin(RowBytes.map(b => Array(b): Array[Byte]): _*) &&
-          col("position") > t.beginPos)
-      val plainRows = tail.where(
-        substring(col("frame"), 1, 1) =!= lit(Array('T'.toByte))).count()
-      val truncSlots = tail
-        .where(substring(col("frame"), 1, 1) === lit(Array('T'.toByte)))
-        .collect().iterator.map { r =>
-          PgOutput.decode(r.getAs[Array[Byte]]("frame")) match {
-            case PgOutput.Truncate(_, ids) => ids.size.toLong
-            case _ => 0L
+      var plainRows = 0L
+      var truncSlots = 0L
+      driverFrames.foreach { case (pos, b, bytes) =>
+        if (pos > t.beginPos && RowBytes.contains(b)) {
+          if (b == 'T'.toByte) PgOutput.decode(bytes) match {
+            case PgOutput.Truncate(_, ids) => truncSlots += ids.size.toLong
+            case _ => ()
           }
-        }.sum
+          else plainRows += 1L
+        }
+      }
       openTxn = Some(t.copy(seqOffset = t.seqOffset + plainRows + truncSlots))
     }
     (schemas.result(), out)
