@@ -95,8 +95,12 @@ object FrameStreamPipeline {
         Envelope.operationOf(m.lsn, m.before, m.after),
         imageRow(payloadType, m.before), imageRow(payloadType, m.after),
         if (m.unchangedToast.isEmpty) null else m.unchangedToast))
+      // LocalRelation, not parallelize(rows): the local form converts
+      // to compact UnsafeRows ONCE on the driver and ships binary;
+      // parallelize Java-serializes every nested Row into the task
+      // closures on each use
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows),
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
         Envelope.schemaFor(payloadType, withToastMarker = true))
       // the fold is already known on the driver (we hold the rows):
       // pass it down so the sink can skip the count/max job
