@@ -139,6 +139,39 @@ class FrameSourceSpec extends AnyFunSuite {
       PgOutputFrameLog.append(dir, "seg-0001", txn(300L, 3L -> "c")))
   }
 
+  test("segment-count cache: growth stays visible, range reads skip cached segments exactly") {
+    val dir = tmp()
+    // warm the cache on a multi-segment log
+    val segs = (0 until 5).map { i =>
+      val fs = txn(100L * (i + 1), (i * 2 + 1).toLong -> s"a$i",
+        (i * 2 + 2).toLong -> s"b$i")
+      PgOutputFrameLog.append(dir, f"seg-$i%03d", fs)
+      fs
+    }
+    val total = PgOutputFrameLog.frameCount(dir)
+    assert(total == segs.map(_.size).sum.toLong)
+    // repeated polls (the latestOffset path) must serve from cache and
+    // agree with the first count
+    (0 until 3).foreach(_ => assert(PgOutputFrameLog.frameCount(dir) == total))
+
+    // mid-log reads skip whole cached segments; every offset window
+    // must equal the corresponding slice of the appended frames
+    val all = segs.flatten
+    Seq((0L, 3L), (5L, 11L), (total - 4, total), (0L, total)).foreach {
+      case (s, e) =>
+        val read = PgOutputFrameLog.readRange(dir, s, e)
+        assert(read.toSeq.map(_.toSeq) ==
+          all.slice(s.toInt, e.toInt).map(_.toSeq), s"range [$s,$e)")
+    }
+
+    // growth after caching is visible immediately (new segment) and
+    // readable at the old high-water mark
+    PgOutputFrameLog.append(dir, "seg-005", txn(900L, 99L -> "tail"))
+    assert(PgOutputFrameLog.frameCount(dir) == total + 4)
+    val tail = PgOutputFrameLog.readRange(dir, total, total + 4)
+    assert(tail.length == 4)
+  }
+
   test("primary key discovery: single key ok, none/composite rejected") {
     import graft.model.{ColumnSpec, TableSchema}
     import graft.sources.ImportSource._
