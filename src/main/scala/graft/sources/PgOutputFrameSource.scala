@@ -91,7 +91,10 @@ final case class FramePosition(position: Long) extends Offset {
 final class PgOutputFrameStream(path: String, maxFramesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  override def initialOffset(): Offset = FramePosition(0L)
+  // a FRESH checkpoint starts at the retention floor: positions below
+  // it were acked by a previous consumer and their segments deleted
+  override def initialOffset(): Offset =
+    FramePosition(PgOutputFrameLog.retainInfo(path)._1)
 
   /** Catch-up bound captured at query start under
     * Trigger.AvailableNow: the backlog drains to exactly this frame
@@ -189,7 +192,11 @@ object PgOutputFrameLog {
     */
   def append(dir: String, segment: String, frames: Seq[Array[Byte]]): Unit = {
     new File(dir).mkdirs()
-    segments(dir).lastOption.foreach { last =>
+    val (_, lastDropped) = retainInfo(dir)
+    require(segment > lastDropped,
+      s"segment '$segment' must sort after retained-away '$lastDropped': " +
+        "an earlier or equal name would renumber committed frame positions")
+    retainedSegments(dir).lastOption.foreach { last =>
       require(segment > last.getName,
         s"segment '$segment' must sort after '${last.getName}': an earlier " +
           "or equal name would renumber committed frame positions")
@@ -198,6 +205,63 @@ object PgOutputFrameLog {
     val out = new DataOutputStream(new FileOutputStream(new File(dir, segment)))
     try frames.foreach { f => out.writeInt(f.length); out.write(f) }
     finally out.close()
+  }
+
+  // ---- retention: the WAL-drop analogue ----------------------------
+  //
+  // The reference's replication slot advances restart_lsn as the sink
+  // acks, letting Postgres recycle WAL; without the same move this
+  // log grows without bound. `retain(dir, upTo)` deletes whole
+  // segments whose frames all sit below the acked position while
+  // keeping POSITIONS STABLE: a `_retained` sidecar records how many
+  // frames logically precede the first surviving segment (and the
+  // name of the last dropped one, so `append`'s ordering check still
+  // holds against deleted history). Crash-safe by write order — the
+  // sidecar commits first (atomic same-dir rename), file deletion
+  // follows; a crash between the two leaves segments that every
+  // reader already excludes by name, swept by the next retain.
+
+  /** (basePosition, lastDroppedSegmentName) — frames logically before
+    * the first on-disk segment, and the ordering floor for appends. */
+  def retainInfo(dir: String): (Long, String) = {
+    val f = new File(dir, "_retained")
+    if (!f.exists()) (0L, "")
+    else {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      val i = txt.indexOf(' ')
+      (txt.substring(0, i).toLong, txt.substring(i + 1))
+    }
+  }
+
+  private def retainedSegments(dir: String): Seq[File] = {
+    val (_, lastDropped) = retainInfo(dir)
+    segments(dir).filter(_.getName > lastDropped)
+  }
+
+  /** Drop whole segments entirely below `upToPosition` (exclusive).
+    * Safe to call concurrently with readers at or past that position
+    * — typically the streaming checkpoint's acked offset. Returns the
+    * number of frames dropped. */
+  def retain(dir: String, upToPosition: Long): Long = {
+    val (base, _) = retainInfo(dir)
+    var pos = base
+    val droppable = retainedSegments(dir).takeWhile { f =>
+      val n = countOf(f)
+      if (pos + n <= upToPosition) { pos += n; true } else false
+    }
+    if (droppable.isEmpty) return 0L
+    val dropped = pos - base
+    // commit the new floor first: readers switch over atomically, and
+    // a crash before deletion leaves files they already ignore
+    val tmp = new File(dir, "_retained.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"$pos ${droppable.last.getName}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new File(dir, "_retained").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    droppable.foreach(_.delete())
+    dropped
   }
 
   /** Cut a crash-torn trailing record off a sealed segment so it can
@@ -231,8 +295,10 @@ object PgOutputFrameLog {
       .sortBy(_.getName).toSeq
   }
 
-  def frameCount(dir: String): Long =
-    segments(dir).map(countOf).sum
+  def frameCount(dir: String): Long = {
+    val (base, _) = retainInfo(dir)
+    base + retainedSegments(dir).map(countOf).sum
+  }
 
   /** Per-segment complete-frame counts, keyed by (path, length).
     * The log is append-only and `append` truncates crash-torn tails
@@ -280,8 +346,13 @@ object PgOutputFrameLog {
   /** Frames at positions [start, end) across all segments, in order. */
   def readRange(dir: String, start: Long, end: Long): Array[Array[Byte]] = {
     val out = Array.newBuilder[Array[Byte]]
-    var pos = 0L
-    segments(dir).foreach { f =>
+    val (base, _) = retainInfo(dir)
+    require(start >= base,
+      s"frames [$start, $base) were retained away: a reader below the " +
+        "retention floor lost data — retain() must follow the ack " +
+        "watermark, never lead it")
+    var pos = base
+    retainedSegments(dir).foreach { f =>
       // whole segments before the range advance by cached count
       // without opening the file — a reader of offset N must not
       // re-scan the N frames behind it on every micro-batch

@@ -29,7 +29,8 @@ object FrameStreamPipeline {
       watermark: CdcPipeline.AckWatermark,
       checkpoint: String,
       flushInterval: String = "5 seconds",
-      maxFramesPerTrigger: Option[Long] = None): StreamingQuery = {
+      maxFramesPerTrigger: Option[Long] = None,
+      retainLog: Boolean = false): StreamingQuery = {
     val builder = new ChangelogBuilder // driver-side, lives across batches
 
     val reader = spark.readStream
@@ -45,7 +46,17 @@ object FrameStreamPipeline {
       .trigger(Trigger.ProcessingTime(flushInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, builder, sink, watermark)
+        val batchStart = processBatch(spark, batch, builder, sink, watermark)
+        // Drop log segments this consumer can never need again: every
+        // frame before THIS batch's first position is committed in
+        // the checkpoint (the current batch itself stays — it may
+        // replay after a crash). Retention follows the read position,
+        // the restart_lsn-advance move of the reference's slot. Only
+        // sound when this query is the log's single consumer — the
+        // composed live pipeline's shape.
+        if (retainLog)
+          batchStart.foreach(p =>
+            graft.sources.PgOutputFrameLog.retain(frameDir, p))
         ()
       }
       .start()
@@ -59,7 +70,7 @@ object FrameStreamPipeline {
       batch: DataFrame,
       builder: ChangelogBuilder,
       sink: Sink,
-      watermark: CdcPipeline.AckWatermark): Unit = {
+      watermark: CdcPipeline.AckWatermark): Option[Long] = {
     // the driver-side collect here is bounded by the source's
     // admission control (maxFramesPerTrigger, default 5000 — see
     // PgOutputFrameSource), not by backlog size: a restart against a
@@ -67,10 +78,10 @@ object FrameStreamPipeline {
     // sort happens on the driver — a distributed orderBy before a
     // full collect pays a range-sampling job plus a sort exchange per
     // flush epoch for an array the driver re-materializes anyway.
-    val frames = batch.select("position", "frame").collect()
+    val collected = batch.select("position", "frame").collect()
       .sortBy(_.getLong(0))
-      .map(_.getAs[Array[Byte]]("frame"))
-    if (frames.isEmpty) return
+    val frames = collected.map(_.getAs[Array[Byte]]("frame"))
+    if (frames.isEmpty) return None
     val entries = builder.push(frames.iterator.map(PgOutput.decode)).toVector
 
     val schemas = scala.collection.mutable.Map.empty[String, TableSchema]
@@ -120,6 +131,7 @@ object FrameStreamPipeline {
       case _ =>
     }
     maxLsn.foreach(watermark.confirm)
+    Some(collected.head.getLong(0)) // the epoch's first frame position
   }
 
   private def imageRow(payload: StructType, m: Option[Map[String, Any]]): Row =

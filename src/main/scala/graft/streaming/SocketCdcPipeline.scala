@@ -61,7 +61,8 @@ object SocketCdcPipeline {
       sink: Sink,
       watermark: CdcPipeline.AckWatermark,
       checkpoint: String,
-      flushInterval: String = "5 seconds"): Handle = {
+      flushInterval: String = "5 seconds",
+      retainLog: Boolean = true): Handle = {
     val stop = new AtomicBoolean(false)
     val tailer = new ReplicationTailer(connect(), logDir)
     val thread = new Thread(
@@ -69,8 +70,12 @@ object SocketCdcPipeline {
       "graft-replication-tailer")
     thread.setDaemon(true)
     thread.start()
+    // retention on by default: the composed pipeline is the log's
+    // single consumer, so segments behind the query's read position
+    // are the WAL a replication slot would have recycled already
     val query = FrameStreamPipeline.start(
-      spark, logDir, sink, watermark, checkpoint, flushInterval)
+      spark, logDir, sink, watermark, checkpoint, flushInterval,
+      retainLog = retainLog)
     new Handle(query, thread, stop)
   }
 }

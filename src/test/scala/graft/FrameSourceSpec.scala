@@ -172,6 +172,87 @@ class FrameSourceSpec extends AnyFunSuite {
     assert(tail.length == 4)
   }
 
+  test("retention drops acked segments; positions stay stable and readers below the floor fail loudly") {
+    val dir = tmp()
+    val segs = (0 until 5).map { i =>
+      val fs = txn(100L * (i + 1), (i + 1).toLong -> s"m$i") // 4 frames each
+      PgOutputFrameLog.append(dir, f"seg-$i%03d", fs)
+      fs
+    }
+    val all = segs.flatten
+    val total = PgOutputFrameLog.frameCount(dir)
+
+    // drop everything strictly below position 9: only whole segments
+    // go, so segments 0-1 (8 frames) are dropped, segment 2 survives
+    val dropped = PgOutputFrameLog.retain(dir, 9L)
+    assert(dropped == 8L)
+    assert(PgOutputFrameLog.retainInfo(dir) == (8L, "seg-001"))
+    assert(new java.io.File(dir, "seg-000").exists() == false)
+
+    // positions are STABLE: the count still reports the full history
+    // and reads at-or-past the floor return the same frames as before
+    assert(PgOutputFrameLog.frameCount(dir) == total)
+    val read = PgOutputFrameLog.readRange(dir, 8L, total)
+    assert(read.toSeq.map(_.toSeq) == all.drop(8).map(_.toSeq))
+    // a reader below the floor lost data: that must be an error, not
+    // silently-shifted frames
+    assertThrows[IllegalArgumentException](PgOutputFrameLog.readRange(dir, 7L, total))
+
+    // retaining nothing new is a no-op; a mid-segment position keeps
+    // the segment holding it
+    assert(PgOutputFrameLog.retain(dir, 9L) == 0L)
+    assert(PgOutputFrameLog.retain(dir, 10L) == 0L)
+
+    // append ordering still honors DELETED history
+    assertThrows[IllegalArgumentException](
+      PgOutputFrameLog.append(dir, "seg-001", txn(999L, 9L -> "x")))
+
+    // crash window: sidecar committed but a dropped file still on
+    // disk (deletion interrupted) — readers must ignore it by name
+    java.nio.file.Files.write(new java.io.File(dir, "seg-000").toPath,
+      Array[Byte](0, 0, 0, 1, 42)) // a 1-byte frame, orphaned
+    assert(PgOutputFrameLog.frameCount(dir) == total)
+    assert(PgOutputFrameLog.readRange(dir, 8L, total).length == (total - 8).toInt)
+  }
+
+  test("streaming checkpoint survives retention of its acked prefix; fresh streams start at the floor") {
+    val dir = tmp(); val ckpt = tmp()
+    PgOutputFrameLog.append(dir, "seg-000", txn(100L, 1L -> "early"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(checkpoint: String): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.PgOutputFrameSource")
+        .option("path", dir).load()
+        .writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val frames = batch.collect().sortBy(_.getLong(0))
+            .map(_.getAs[Array[Byte]]("frame"))
+          got.synchronized {
+            got ++= ChangelogBuilder.build(frames.iterator.map(PgOutput.decode))
+              .collect { case m: ChangelogBuilder.ModificationEntry =>
+                m.after.get("msg").asInstanceOf[String] }
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(ckpt)
+    assert(got.toSeq == Seq("early"))
+
+    // ack + retain the consumed prefix, then continue from the same
+    // checkpoint: no error, no redelivery, new frames flow
+    assert(PgOutputFrameLog.retain(dir, PgOutputFrameLog.frameCount(dir)) == 4L)
+    PgOutputFrameLog.append(dir, "seg-001", txn(200L, 2L -> "late"))
+    run(ckpt)
+    assert(got.toSeq == Seq("early", "late"))
+
+    // a FRESH checkpoint on the retained log starts at the floor —
+    // it must not try to read the deleted prefix
+    got.clear()
+    run(tmp())
+    assert(got.toSeq == Seq("late"))
+  }
+
   test("primary key discovery: single key ok, none/composite rejected") {
     import graft.model.{ColumnSpec, TableSchema}
     import graft.sources.ImportSource._

@@ -98,4 +98,44 @@ class FrameStreamPipelineSpec extends AnyFunSuite {
       .select("email").as[String].collect().toSeq == Seq("a@b.c"))
     assert(wm.position.contains(300L))
   }
+
+  test("retainLog drops segments behind the read position as epochs advance") {
+    val frameDir = tmp(); val ckpt = tmp(); val wh = tmp()
+    val sink = new WarehouseSink(spark, wh)
+    val wm = new CdcPipeline.AckWatermark
+    // two 5-frame transactions in two segments; maxFramesPerTrigger=5
+    // forces one epoch per segment, so epoch 2's start position (5)
+    // lets retention drop segment 0
+    def seg(name: String, lsn: Long, a: Long, b: Long): Unit =
+      PgOutputFrameLog.append(frameDir, name,
+        Seq(encodeBegin(Begin(lsn, 0L, lsn)), encodeRelation(rel),
+          ins(a, s"pet$a"), ins(b, s"pet$b"),
+          encodeCommit(Commit(0, lsn, lsn + 1, 0L))))
+    seg("seg-000", 100L, 1L, 2L)
+    seg("seg-001", 200L, 3L, 4L)
+    val q = FrameStreamPipeline.start(spark, frameDir, sink, wm, ckpt,
+      "1 seconds", maxFramesPerTrigger = Some(5L), retainLog = true)
+    try q.processAllAvailable() finally q.stop()
+    assert(wm.position.contains(200L))
+
+    // segment 0 is gone, the floor records its 5 frames, and the
+    // warehouse kept everything that flowed through
+    assert(!new java.io.File(frameDir, "seg-000").exists())
+    assert(PgOutputFrameLog.retainInfo(frameDir) == (5L, "seg-000"))
+    assert(PgOutputFrameLog.frameCount(frameDir) == 10L)
+    val pets = graft.model.TableSchema(1L, "public", "pets", Seq(
+      graft.model.ColumnSpec("id", PgTypes.Int8, key = true),
+      graft.model.ColumnSpec("name", PgTypes.Text)))
+    assert(sink.latestView(pets).count() == 4)
+
+    // the same checkpoint keeps consuming new segments after retention
+    seg("seg-002", 300L, 5L, 6L)
+    val q2 = FrameStreamPipeline.start(spark, frameDir, sink, wm, ckpt,
+      "1 seconds", maxFramesPerTrigger = Some(5L), retainLog = true)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(wm.position.contains(300L))
+    assert(sink.latestView(pets).count() == 6)
+    // and the floor advanced past segment 1
+    assert(PgOutputFrameLog.retainInfo(frameDir) == (10L, "seg-001"))
+  }
 }
