@@ -572,9 +572,12 @@ object SparkEntry {
     // yesterday's label table + today's new pairs must reproduce the
     // full recompute's connectivity, which is all the oracle sees -----
     "q143_incremental_clusters" -> ((s, dir) => {
+      // one materialization of the candidate pairs: yesterday's and
+      // today's splits both derive from it, and without the checkpoint
+      // each cluster run re-tokenizes the corpus for its own edge cache
       val pairs = DedupOps.fingerprintCandidatePairs(
         t(s, dir, "documents").where(col("doc_id") % 2 === 0),
-        "doc_id", "text")
+        "doc_id", "text").localCheckpoint()
       val yesterday = pairs.where(col("id_a") % 3 =!= 0)
       val today = pairs.where(col("id_a") % 3 === 0)
       val prev = DedupOps.duplicateClusters(yesterday)
