@@ -138,10 +138,14 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
   /** The latest-row view over the raw table
     * (reference: pkg/sinks/bigquery/schema_builders.go:146-161).
     * Unchanged-TOAST cells merge from the previous image when the
-    * marker column is present (ChangelogOps.latestRowsMerged). */
+    * marker column is present (ChangelogOps.latestRowsMerged).
+    * Compaction-aware: with a baseline it reads baseline + tail
+    * (equivalence to the full window is spec-verified), which is also
+    * what keeps this view CORRECT after [[vacuum]] drops raw
+    * partitions the baseline already covers; without one it windows
+    * the full history. */
   def latestView(table: TableSchema): DataFrame =
-    ChangelogOps.latestRowsMerged(
-      afterTruncate(raw(table), truncateMarker(table)), table.primaryKeys)
+    latestViewCompacted(table)
 
   /** Register both as SQL-queryable views, like the reference's
     * `CREATE VIEW <name>` DDL. */
@@ -156,13 +160,31 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     * partition filter prunes before the window runs.
     */
   def asOf(table: TableSchema, ts: java.sql.Timestamp): DataFrame =
-    ChangelogOps.latestRowsMerged(
-      afterTruncate(
-        raw(table)
-          .where(col("_date") <= to_date(lit(ts)) &&
-            col(Envelope.TimestampCol) <= lit(ts)),
-        truncateMarker(table, upTo = Some(ts))),
-      table.primaryKeys)
+    if (!vacuumed(table))
+      // full history intact: window the raw rows at or before ts
+      ChangelogOps.latestRowsMerged(
+        afterTruncate(
+          raw(table)
+            .where(col("_date") <= to_date(lit(ts)) &&
+              col(Envelope.TimestampCol) <= lit(ts)),
+          truncateMarker(table, upTo = Some(ts))),
+        table.primaryKeys)
+    else {
+      // vacuumed history: states before the compaction watermark are
+      // not reconstructible (a key's last pre-ts row may be in a
+      // dropped partition, and the baseline holds NEWER state). Fail
+      // loudly — deleted data must never look like an answer — and
+      // serve at-or-past-watermark instants from baseline + tail.
+      val (wmLsn, wmTs) = compactionWatermark(table).get
+      require(!ts.before(wmTs),
+        s"asOf($ts) predates the compaction watermark $wmTs of a " +
+          s"vacuumed table (horizon ${retentionHorizon(table)}): that " +
+          "history was dropped by retention")
+      compactedStateRead(table, wmLsn, wmTs, Some(ts))
+    }
+
+  private def vacuumed(table: TableSchema): Boolean =
+    retentionHorizon(table) != java.sql.Date.valueOf("1970-01-01")
 
   // ---- compaction: bound the window's read amplification ----
 
@@ -198,6 +220,78 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     finally out.close()
   }
 
+  // ---- vacuum: retention as partition drop ------------------------
+
+  private def horizonPath(table: TableSchema) =
+    s"$root/compacted/${table.ref.qualified}.horizon"
+
+  /** First date still present in raw history (1970-01-01 = never
+    * vacuumed). Time travel below it is gone — and fails loudly. */
+  def retentionHorizon(table: TableSchema): java.sql.Date = {
+    val p = new org.apache.hadoop.fs.Path(horizonPath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) java.sql.Date.valueOf("1970-01-01")
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      java.sql.Date.valueOf(text.trim)
+    }
+  }
+
+  /** Drop raw `_date` partitions older than `retainFrom` whose rows
+    * are all folded into the compacted baseline — the reference's
+    * stated reason for time-partitioning its raw tables ("drop old
+    * data", schema_builders.go:103-106) and the warehouse analogue of
+    * partition expiration. Whole-directory deletes, no rewrite.
+    *
+    * Safety contract, enforced not assumed:
+    *  - requires a compacted baseline, and only drops partitions
+    *    strictly below BOTH `retainFrom` and the compaction
+    *    watermark's date — every dropped row's latest state lives in
+    *    the baseline, so [[latestView]] is unchanged (spec-verified);
+    *  - the horizon sidecar commits (atomic rename) BEFORE deletion:
+    *    a crash in between leaves extra partitions, never a lying
+    *    horizon;
+    *  - [[asOf]] below the horizon throws — pre-horizon time travel
+    *    was deleted, and data loss must never look like an answer.
+    *
+    * @return number of partition directories dropped. */
+  def vacuum(table: TableSchema, retainFrom: java.sql.Date): Long = {
+    val (_, wmTs) = compactionWatermark(table).getOrElse(throw
+      new IllegalStateException(
+        s"vacuum(${table.ref.qualified}) requires compact() first: " +
+          "without a baseline, dropped partitions would lose state"))
+    // a partition d is fully covered iff every possible ts in it
+    // (< d+1 00:00) is <= wmTs, i.e. d is strictly before wmTs's date
+    val wmDate = java.sql.Date.valueOf(wmTs.toLocalDateTime.toLocalDate)
+    val floor = if (retainFrom.before(wmDate)) retainFrom else wmDate
+    val rawDir = new org.apache.hadoop.fs.Path(rawPath(table))
+    val fs = rawDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rawDir)) return 0L
+    val droppable = fs.listStatus(rawDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_date="))
+      .filter { s =>
+        val d = java.sql.Date.valueOf(
+          s.getPath.getName.stripPrefix("_date="))
+        d.before(floor)
+      }
+    if (droppable.isEmpty) return 0L
+    // horizon first (atomic), deletion second — see safety contract
+    val prev = retentionHorizon(table)
+    val horizon = if (prev.after(floor)) prev else floor
+    val hp = new org.apache.hadoop.fs.Path(horizonPath(table))
+    val tmp = new org.apache.hadoop.fs.Path(horizonPath(table) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(horizon.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(hp, false)
+    fs.rename(tmp, hp)
+    droppable.foreach(s => fs.delete(s.getPath, true))
+    droppable.size.toLong
+  }
+
   private def compactionWatermark(
       table: TableSchema): Option[(Long, java.sql.Timestamp)] = {
     val p = new org.apache.hadoop.fs.Path(watermarkPath(table))
@@ -229,7 +323,15 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
   def latestViewCompacted(table: TableSchema): DataFrame =
     compactionWatermark(table) match {
       case None => latestViewFull(table)
-      case Some((wmLsn, wmTs)) =>
+      case Some((wmLsn, wmTs)) => compactedStateRead(table, wmLsn, wmTs, None)
+    }
+
+  /** Baseline + raw tail, optionally bounded above by `upTo` (the
+    * compaction-aware `asOf`): the baseline is state at the watermark,
+    * the tail replays changes in (watermark, upTo]. */
+  private def compactedStateRead(table: TableSchema, wmLsn: Long,
+      wmTs: java.sql.Timestamp,
+      upTo: Option[java.sql.Timestamp]): DataFrame = {
         val rawDf = raw(table)
         val payloadType = rawDf.schema(Envelope.AfterCol).dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -257,9 +359,12 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
           Envelope.AfterCol) ++
           (if (rawDf.columns.contains(Envelope.UnchangedCol))
             Seq(Envelope.UnchangedCol) else Nil)
-        val tail = rawDf
-          .where(col(Envelope.LsnCol) > wmLsn ||
-            (col(Envelope.LsnCol).isNull && col(Envelope.TimestampCol) > lit(wmTs)))
+        val tail = upTo.foldLeft(rawDf
+            .where(col(Envelope.LsnCol) > wmLsn ||
+              (col(Envelope.LsnCol).isNull && col(Envelope.TimestampCol) > lit(wmTs)))) {
+            (df, ts) => df.where(col("_date") <= to_date(lit(ts)) &&
+              col(Envelope.TimestampCol) <= lit(ts))
+          }
           .select(envCols.map(col): _*)
         // markers past the watermark have not been folded into the
         // baseline: apply them to the union (a post-compaction
@@ -271,7 +376,7 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
         ChangelogOps.latestRowsMerged(
           afterTruncate(
             baseEnv.unionByName(tail, allowMissingColumns = true),
-            truncateMarker(table, past = Some((wmLsn, wmTs)))),
+            truncateMarker(table, upTo = upTo, past = Some((wmLsn, wmTs)))),
           table.primaryKeys)
-    }
+  }
 }
