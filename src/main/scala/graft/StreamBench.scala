@@ -166,13 +166,51 @@ object StreamBench {
     val ddRows = GenericPlane.raw(spark, s"$out/ddplane").count()
     require(ddRows == totalRows, s"distributed decode wrote $ddRows of $totalRows")
 
+    // 4. capture latency: one small transaction at a time into a LIVE
+    // pipeline (100 ms trigger), append -> ack wall time. This is the
+    // "low-latency" half of the reference's claim — bounded below by
+    // the trigger interval plus one flush epoch.
+    val latDir = s"$out/lat"
+    val latSink = new WarehouseSink(spark, s"$out/latwh")
+    val latWm = new CdcPipeline.AckWatermark
+    def latTxn(i: Int): Seq[Array[Byte]] = Seq(
+      encodeBegin(Begin(5000L + i, 775180800000000L, 9000L + i)),
+      encodeRelation(rel),
+      encodeInsert(Insert(relId, TupleData(Seq(
+        cell(s"${900000 + i}"), cell("0"), cell(s"lat-$i"))))),
+      encodeCommit(Commit(0, 5000L + i, 5001L + i, 775180800000000L)))
+    def awaitAck(lsn: Long, timeoutMs: Long = 20000L): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!latWm.position.exists(_ >= lsn)) {
+        require(System.nanoTime() < deadline, s"ack $lsn never arrived")
+        Thread.sleep(1)
+      }
+    }
+    val latencies = {
+      val q = FrameStreamPipeline.start(spark, latDir, latSink, latWm,
+        s"$out/latckpt", "100 milliseconds", retainLog = true)
+      try {
+        PgOutputFrameLog.append(latDir, "seg-00000", latTxn(0)) // warm epoch
+        awaitAck(5000L)
+        (1 to 20).map { i =>
+          val t0 = System.nanoTime()
+          PgOutputFrameLog.append(latDir, f"seg-$i%05d", latTxn(i))
+          awaitAck(5000L + i)
+          (System.nanoTime() - t0) / 1e6 // ms
+        }.sorted
+      } finally q.stop()
+    }
+    val p50 = latencies(latencies.length / 2)
+    val p95 = latencies((latencies.length * 95) / 100 min (latencies.length - 1))
+
     def rps(t: Double) = math.round(totalRows / t)
     println(s"""{"metric":"cdc_rows_per_sec","rows":$totalRows,""" +
       s""""frames":$nFrames,"txns":$nTxn,""" +
       s""""decode_rps":${rps(tDecode)},"pipeline_rps":${rps(tPipeline)},""" +
       s""""distributed_rps":${rps(tDistributed)},""" +
       f""""decode_sec":$tDecode%.2f,"pipeline_sec":$tPipeline%.2f,""" +
-      f""""distributed_sec":$tDistributed%.2f}""")
+      f""""distributed_sec":$tDistributed%.2f,""" +
+      f""""ack_latency_p50_ms":$p50%.0f,"ack_latency_p95_ms":$p95%.0f}""")
     spark.stop()
   }
 }
