@@ -111,6 +111,47 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(gotKeys == wantKeys)
   }
 
+  test("late-but-in-watermark events merge into the open session; beyond-watermark events drop") {
+    val src = Files.createTempDirectory("graft-late").toString
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StatefulSessions.sessions(
+        spark.readStream.schema(schema).parquet(s"$src/*"), 600L, "30 minutes")
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    try {
+      // batch 1: two events 5 min apart — one open session for user 1
+      drop(src, 0, Seq(
+        Row(1L, at("2024-01-01 10:00:00"), 1.0),
+        Row(1L, at("2024-01-01 10:05:00"), 2.0)))
+      q.processAllAvailable()
+      // batch 2 carries the max event time to 10:40 (user 2), PLUS a
+      // LATE event for user 1 at 10:02 — 38 min behind, inside the
+      // 30-min watermark relative to batch 1's max (10:05), and
+      // in-gap: it must merge into the open session, not start one
+      drop(src, 1, Seq(
+        Row(2L, at("2024-01-01 10:40:00"), 0.5),
+        Row(1L, at("2024-01-01 10:02:00"), 4.0)))
+      q.processAllAvailable()
+      // batch 3: beyond-watermark straggler for user 1 (now > 30 min
+      // behind 10:40) — the watermark must drop it — then the
+      // sentinel to flush everything
+      drop(src, 2, Seq(Row(1L, at("2024-01-01 10:03:00"), 100.0)))
+      q.processAllAvailable()
+      drop(src, 3, Seq(Row(-1L, sentinelTs, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_sessions").where($"user" >= 0)
+      .select($"user", $"startUs", $"endUs", $"n_events", round($"sum_value", 6))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    def us(s: String) = at(s).getTime * 1000L
+    assert(got == Set(
+      // user 1: three events (the late one merged, the dropped one not)
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:05:00"), 3L, 7.0),
+      (2L, us("2024-01-01 10:40:00"), us("2024-01-01 10:40:00"), 1L, 0.5)))
+  }
+
   test("stateful sessions survive a query restart from the checkpoint") {
     // stop the query between drops and restart it against the same
     // checkpoint: open sessions must resume, no session emits twice
