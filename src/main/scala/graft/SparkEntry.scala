@@ -438,8 +438,8 @@ object SparkEntry {
           col(Envelope.LsnCol), col(Envelope.BeforeCol), col(Envelope.AfterCol)))
       ChangelogOps.latestRows(changelog, Seq("o_orderkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
-            .as("sum_price"))
+          graft.functions.Int128Sum.exactScaledSum(col("o_totalprice"), 2)
+            .cast(DoubleType).as("sum_price"))
     }),
     // ----- §2.11/§7.4 custom aggregate: grouped top-k via bounded
     // heap (partial-aggregates k rows per partition before shuffle,
@@ -643,7 +643,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+          graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
+            .cast(DoubleType).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     // ----- §2.4 breadth: pivoted conditional aggregation -----
@@ -809,7 +810,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          graft.functions.Int128Sum.exactScaledSum(col("o_totalprice"), 2)
             .cast(DoubleType).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
@@ -845,7 +846,7 @@ object SparkEntry {
           "l_orderkey", "o_orderkey", numBits = 1 << 17, numHashes = 5)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast(DecimalType(18, 2)))
+          graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
             .cast(DoubleType).as("qty"))
         .orderBy(col("o_orderkey"))
     }),
@@ -920,7 +921,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(year(ts).as("yr"), month(ts).as("mo"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          graft.functions.Int128Sum.exactScaledSum(col("o_totalprice"), 2)
             .cast(DoubleType).as("total"))
         .orderBy(col("yr"), col("mo"))
     }),
@@ -936,7 +937,7 @@ object SparkEntry {
       ChangelogOps.skewAwareSaltedJoin(li, ords, "l_orderkey", maxBuckets = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2)))
+          graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
             .cast(DoubleType).as("qty"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -1224,8 +1225,12 @@ object SparkEntry {
     // subquery as a semi join on the pre-aggregated key set) -----
     "q104_large_orders" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
+      // both quantity sums ride the int128 aggregate (see q01): the
+      // decimal accumulator BigDecimal-allocates per row on the two
+      // largest shuffles of this Q18 shape
       val big = l.groupBy(col("l_orderkey").as("big_okey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .agg(graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
+          .as("qty"))
         .where(col("qty") > 200).select(col("big_okey"))
       t(s, dir, "orders")
         .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
@@ -1233,7 +1238,7 @@ object SparkEntry {
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .agg(graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
           .cast(DoubleType).as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
@@ -1264,7 +1269,8 @@ object SparkEntry {
           col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
         .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .agg(graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
+          .as("qty"))
         .where(col("qty") > 50).select(col("l_suppkey"))
       t(s, dir, "supplier")
         .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
