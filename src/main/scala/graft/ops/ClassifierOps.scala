@@ -1,9 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Supervised text classification as pure dataflow: training a
   * multinomial Naive Bayes model is ONE aggregation pass over the
@@ -15,11 +16,25 @@ import org.apache.spark.sql.types.DecimalType
   * training-data pipeline (label a seed set, train, score the full
   * corpus).
   *
-  * Scale shape: the only corpus-sized shuffles are the keyed (doc,
-  * token) count every Text op pays and the |docs|×|labels| score
-  * join. The model is (vocab × labels) rows, corpus-size-independent
-  * — it broadcasts while the corpus streams past, so scoring adds no
-  * token-sized exchange.
+  * Scale shape: the only corpus-sized shuffle is the doc-keyed
+  * exchange every Text op pays; scoring joins the model BROADCAST
+  * against per-document token counts, adding no token-sized exchange.
+  * The model itself is (vocab × labels) rows — corpus-size-
+  * independent, and small enough to broadcast BY DESIGN (a model too
+  * big to broadcast could not be shipped to executors either way).
+  * That design bound is what licenses the collect: the class counts
+  * come back to the driver in one action, the smoothed log-
+  * likelihoods are computed there with the same double arithmetic
+  * Catalyst would use, and the finished model re-enters the plan as a
+  * LocalRelation whose broadcast costs no job.
+  *
+  * Why this shape: the previous version kept the model distributed
+  * and chained five broadcast builds (class totals → vocab → token
+  * model → doc counts → priors), every one its own job with its own
+  * 32-task stage — ~6 corpus-independent scheduling floors that
+  * dominated the wall clock at any scale factor (measured: the same
+  * plan on a 10× corpus costs the same). Three jobs remain: the
+  * count-table checkpoint, the model collect, the scoring pass.
   *
   * Numeric reproducibility follows the repo's estimator contract
   * (see [[TextOps.unigramLogProb]]): per-token contributions sum as
@@ -39,25 +54,27 @@ object ClassifierOps {
     * ln(1/(T_l+V)) each. Priors are document-count fractions.
     * Output: (idCol, pred, score) — the winning joint log-likelihood
     * rounded to 6 dp. Zero-token documents still classify (pure
-    * prior argmax).
+    * prior argmax). Labels are compared and returned as strings
+    * (class labels name categories; the string form is canonical
+    * across the driver↔executor boundary the model crosses).
     */
   def nbClassify(
       df: DataFrame, idCol: String, labelCol: String, textCol: String)
       : DataFrame = {
+    val spark = df.sparkSession
     val d = DecimalType(28, 12)
     // ONE tokenize, ZERO raw-token shuffles: the doc-keyed exchange
     // moves compact (id, label, text) rows, after which the
     // (id, label, len, token) count aggregation is exchange-free
     // (HashPartitioning(id) satisfies any clustering containing id).
     // Carrying label and len through the count rows costs three small
-    // columns but eliminates BOTH extra corpus passes the previous
-    // shape paid (a tf⋈labels shuffle join for the class counts and a
-    // second tokenize for doc lengths). The checkpoint materializes
-    // the compact count table once for its four consumers (tf, class
-    // counts, doc table, lengths); it is bounded by distinct
-    // (doc, token), far below the raw token stream. explode_outer
-    // keeps zero-token documents as a single null-token row so they
-    // still reach the prior-only argmax.
+    // columns but eliminates extra corpus passes (a tf⋈labels shuffle
+    // join for the class counts and a second tokenize for doc
+    // lengths). The checkpoint materializes the compact count table
+    // once for its consumers; it is bounded by distinct (doc, token),
+    // far below the raw token stream. explode_outer keeps zero-token
+    // documents as a single null-token row so they still reach the
+    // prior-only argmax.
     val dt = Parallelism.ensureKeyed(
         df.select(col(idCol), col(labelCol), col(textCol)), col(idCol))
       .select(col(idCol), col(labelCol),
@@ -70,38 +87,58 @@ object ClassifierOps {
       .localCheckpoint()
     val tok = dt.where(col("token").isNotNull)
     val tf = tok.select(col(idCol), col("token"), col("tf"))
-    // class-conditional counts: label is already on the count rows —
-    // the shuffle is vocab×labels after map-side partial aggregation
-    val ct = tok.groupBy(col(labelCol), col("token"))
+    // Model collect, ONE action: class-conditional counts (vocab ×
+    // labels rows, map-side partially aggregated before the model-
+    // sized exchange) unioned with per-label document counts. Both
+    // branches read the checkpoint blocks — no second corpus pass.
+    val labelAsString = col(labelCol).cast(StringType)
+    val modelRows = tok.groupBy(col(labelCol), col("token"))
       .agg(sum(col("tf")).as("c"))
-    // one row per document (id is unique): label + length without
-    // touching the corpus again
-    val docs = dt.select(col(idCol), col(labelCol), col("_len")).distinct()
-    // model-sized aggregates: class token totals (|labels| rows),
-    // vocabulary size (1 row), doc counts (|labels| rows)
-    val tl = ct.groupBy(col(labelCol)).agg(sum(col("c")).as("T"))
-    val vocab = ct.select(col("token")).distinct()
-      .agg(count(lit(1)).cast("double").as("V"))
-    val tokenModel = ct.join(broadcast(tl), Seq(labelCol))
-      .crossJoin(broadcast(vocab))
-      .select(col(labelCol).as("_l"), col("token"),
-        log((col("c") + 1).cast("double") / (col("T") + col("V")))
-          .as("loglik"))
-    val labelModel = {
-      val nl = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("nl"))
-      val n = docs.agg(count(lit(1)).cast("double").as("n"))
-      // left join + coalesce: a label whose documents are all empty
-      // has no ct rows but still needs a prior and an unseen weight
-      nl.join(broadcast(tl), Seq(labelCol), "left")
-        .crossJoin(broadcast(n))
-        .crossJoin(broadcast(vocab))
-        .select(col(labelCol).as("_l"),
-          log(col("nl").cast("double") / col("n")).as("prior"),
-          log(lit(1.0) / (coalesce(col("T"), lit(0L)) + col("V"))).as("unk"))
+      .select(lit("ct").as("_src"), labelAsString.as("_l"), col("token"),
+        col("c"))
+      .unionByName(dt
+        .groupBy(col(labelCol))
+        .agg(count_distinct(col(idCol)).as("c"))
+        .select(lit("doc").as("_src"), labelAsString.as("_l"),
+          lit(null).cast(StringType).as("token"), col("c")))
+      .collect()
+    // driver-side model math — same double arithmetic Catalyst's
+    // log/division expressions evaluate, on the same inputs, so the
+    // scores are bit-identical to the previous distributed build
+    val ctRows = modelRows.filter(_.getString(0) == "ct")
+    val tByLabel = ctRows.groupBy(_.getString(1))
+      .map { case (l, rs) => l -> rs.map(_.getLong(3)).sum }
+    val vocabV = ctRows.map(_.getString(2)).distinct.length.toDouble
+    val nlRows = modelRows.filter(_.getString(0) == "doc")
+    val nDocs = nlRows.map(_.getLong(3)).sum.toDouble
+    val tokenModelRows: Seq[Row] = ctRows.toSeq.map { r =>
+      val tl = tByLabel(r.getString(1))
+      Row(r.getString(1), r.getString(2),
+        math.log((r.getLong(3) + 1).toDouble / (tl + vocabV)))
     }
+    val labelModelRows: Seq[Row] = nlRows.toSeq.map { r =>
+      val l = r.getString(1)
+      val tl = tByLabel.getOrElse(l, 0L)
+      Row(l,
+        math.log(r.getLong(3).toDouble / nDocs),
+        math.log(1.0 / (tl + vocabV)))
+    }
+    val tokenModel = spark.createDataFrame(tokenModelRows.asJava,
+      StructType(Seq(StructField("_l", StringType), StructField("token", StringType),
+        StructField("loglik", DoubleType))))
+    val labelModel = spark.createDataFrame(labelModelRows.asJava,
+      StructType(Seq(StructField("_l", StringType),
+        StructField("prior", DoubleType), StructField("unk", DoubleType))))
+    // one row per document (id is unique): label + length without
+    // touching the corpus again — HashPartitioning(id) satisfies the
+    // (id, label, len) clustering, so the distinct is exchange-free
+    // and stays inside the scoring job
+    val docs = dt.select(col(idCol), labelAsString.as("_lbl"), col("_len"))
+      .distinct()
     // per-(doc, label) matched mass: the doc's tokens that exist in
-    // the class vocabulary. Model side broadcasts at any corpus
-    // scale; the aggregation stays on the id-hash partitioning.
+    // the class vocabulary. Model side is a LocalRelation — its
+    // broadcast costs no job; the aggregation stays on the id-hash
+    // partitioning.
     // (the 12-dp matched mass stays on the decimal accumulator: an
     // int128 rescale would round c·10¹² in double, which is lossy
     // past 2^53 — the decimal cast is what keeps the oracle bit-equal)
