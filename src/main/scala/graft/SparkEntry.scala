@@ -1871,6 +1871,20 @@ object SparkEntry {
               |GROUP BY l_linestatus
               |ORDER BY l_linestatus""".stripMargin)
     }),
+    // ----- embedding k-means: Lloyd's rounds with driver-held
+    // broadcast centroids, shuffle-free assignment (ClusterOps).
+    // The declared result is the ASSIGNMENT: the d2 column is
+    // dropped because a raw squared distance can land exactly on a
+    // 6-dp rounding boundary where the engines' round() (shortest-
+    // decimal HALF_UP vs binary scaling) disagree by 1e-6 — observed
+    // once in 4000 rounding sites at sf0.01 — while the argmin
+    // itself compares identically-rounded values on both sides. -----
+    "q154_kmeans" -> ((s, dir) => {
+      graft.ops.ClusterOps.kmeans(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3610,5 +3624,48 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+    // Lloyd's k-means, 2 rounds, k=8, seeds = the 8 smallest vec_ids.
+    // The engine contract mirrored exactly: distances as
+    // n2 - 2·a·c + |c|² rounded to 6 dp with smaller-cid ties, means
+    // as DECIMAL(28,8) sums (q79's proven float→decimal cast parity)
+    // divided as DOUBLE and rounded to 6 dp, empty clusters dropped.
+    "q154_kmeans" ->
+      """WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+        |  FROM embeddings),
+        |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+        |        FROM embeddings ORDER BY vec_id LIMIT 8) s),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |    SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(p.n2 - 2.0*list_inner_product(p.v, c.cv)
+        |        + list_inner_product(c.cv, c.cv), 6), c.cid) AS rn
+        |    FROM pts p, c0 c) WHERE rn = 1),
+        |x0 AS (SELECT a.cid, e.embedding, unnest(range(0, len(e.embedding))) AS pos
+        |  FROM embeddings e JOIN a0 a ON e.vec_id = a.vec_id),
+        |m0 AS (SELECT cid, pos,
+        |    round(CAST(sum(CAST(embedding[pos+1] AS DECIMAL(28,8))) AS DOUBLE)
+        |      / count(*), 6) AS mv
+        |  FROM x0 GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m0 GROUP BY cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(p.n2 - 2.0*list_inner_product(p.v, c.cv)
+        |        + list_inner_product(c.cv, c.cv), 6), c.cid) AS rn
+        |    FROM pts p, c1 c) WHERE rn = 1),
+        |x1 AS (SELECT a.cid, e.embedding, unnest(range(0, len(e.embedding))) AS pos
+        |  FROM embeddings e JOIN a1 a ON e.vec_id = a.vec_id),
+        |m1 AS (SELECT cid, pos,
+        |    round(CAST(sum(CAST(embedding[pos+1] AS DECIMAL(28,8))) AS DOUBLE)
+        |      / count(*), 6) AS mv
+        |  FROM x1 GROUP BY cid, pos),
+        |c2 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+        |fin AS (SELECT p.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(p.n2 - 2.0*list_inner_product(p.v, c.cv)
+        |        + list_inner_product(c.cv, c.cv), 6), c.cid) AS rn
+        |  FROM pts p, c2 c)
+        |SELECT vec_id, cid AS cluster FROM fin WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
   )
 }
