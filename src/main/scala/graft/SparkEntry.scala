@@ -1225,21 +1225,25 @@ object SparkEntry {
     // subquery as a semi join on the pre-aggregated key set) -----
     "q104_large_orders" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
-      // both quantity sums ride the int128 aggregate (see q01): the
-      // decimal accumulator BigDecimal-allocates per row on the two
-      // largest shuffles of this Q18 shape
+      // ONE per-order aggregate serves both roles of this Q18 shape:
+      // the HAVING filter AND the output quantity. orders is unique
+      // on o_orderkey, so the classic semi-join + re-aggregation over
+      // a second lineitem pass is redundant — joining the filtered
+      // aggregate inner gives the same rows with one lineitem shuffle
+      // instead of two, and the >200 survivors are few enough that
+      // AQE broadcasts them into the orders join. The quantity sum
+      // rides the int128 aggregate (see q01): a decimal accumulator
+      // BigDecimal-allocates per row on the largest shuffle here.
       val big = l.groupBy(col("l_orderkey").as("big_okey"))
         .agg(graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
           .as("qty"))
-        .where(col("qty") > 200).select(col("big_okey"))
+        .where(col("qty") > 200)
       t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(big, col("o_orderkey") === col("big_okey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(graft.functions.Int128Sum.exactScaledSum(col("l_quantity"), 2)
-          .cast(DoubleType).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("qty").cast(DoubleType).as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
@@ -1884,6 +1888,13 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, rounds = 2)
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
+    }),
+    // ----- maximal duplicated token ranges (Lee et al. exact-
+    // substring dedup shape): overlapping 4-grams, corpus-global
+    // duplicate marking, per-doc island merge -----
+    "q155_dup_spans" -> ((s, dir) => {
+      TextOps.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", 4)
+        .orderBy(col("doc_id"), col("span_start"))
     }),
   )
 
@@ -3667,5 +3678,37 @@ object SparkEntry {
         |  FROM pts p, c2 c)
         |SELECT vec_id, cid AS cluster FROM fin WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    // overlapping 4-grams; a gram occurring >1 time corpus-wide marks
+    // its window; per doc, overlapping/abutting windows merge into
+    // maximal islands (start strictly past the running covered end
+    // opens a new island)
+    "q155_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |    unnest(range(CASE WHEN len(toks) >= 4 THEN len(toks) - 3
+        |                      ELSE 0 END)) AS pos
+        |  FROM t),
+        |g2 AS (SELECT doc_id, pos,
+        |    array_to_string(list_slice(toks, pos + 1, pos + 4), ' ') AS gram
+        |  FROM g),
+        |d AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+        |    FROM g2) WHERE c > 1),
+        |m AS (SELECT doc_id, pos, pos + 4 AS e,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS covered
+        |  FROM d),
+        |i AS (SELECT doc_id, pos, e,
+        |    CASE WHEN covered IS NULL OR pos > covered THEN 1 ELSE 0 END AS nw
+        |  FROM m),
+        |s AS (SELECT doc_id, pos, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM i)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |  CAST(max(e) - min(pos) AS BIGINT) AS span_tokens
+        |FROM s GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

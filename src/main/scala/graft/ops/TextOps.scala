@@ -791,4 +791,74 @@ object TextOps {
     gated.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_fp", "_rn")
   }
+
+  /** Maximal duplicated token ranges — the exact-substring dedup
+    * shape of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2022), re-expressed for the engine:
+    * instead of a corpus suffix array, every OVERLAPPING
+    * `spanWords`-gram is marked duplicated when it occurs more than
+    * once corpus-wide (including twice in one document), and each
+    * document's marked windows merge into maximal islands — the
+    * token ranges a substring-level dedup pass would cut. Unlike
+    * [[spanDedup]]'s fixed non-overlapping blocks, the islands are
+    * position-exact: a 50-token boilerplate paragraph comes back as
+    * ONE [start, end) range whatever its alignment.
+    *
+    * Returns (id, span_start, span_end, span_tokens): token-index
+    * ranges, end exclusive, ordered by construction per document.
+    *
+    * Shuffle profile: tokenize once behind the keyed exchange, one
+    * gram-keyed exchange for the corpus-global occurrence count, one
+    * id-keyed exchange for the island merge (the merge's two windows
+    * and the island aggregation share that one sort). The gram
+    * window carries (id, pos, gram) — a hot boilerplate gram
+    * concentrates only (id, pos) pairs on its reducer, same bound as
+    * [[spanDedup]]; the count-only frame lets WindowExec spill its
+    * buffered rows, and a production variant at 100 TB would swap
+    * the window for a count-aggregate + skew-joined semi join (AQE
+    * splits the hot partitions) at the cost of a second gram
+    * exchange.
+    *
+    * Island merge is the classic gaps-and-islands reduction: a
+    * window start opens a new island when it lies strictly past the
+    * running covered end (`max(pos + n) over rows preceding`), so
+    * overlapping AND abutting windows fuse — every token inside an
+    * island is covered by some duplicated gram.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val n = spanWords
+    // tokenize BELOW the keyed exchange: the exchange materializes
+    // the token arrays, so the per-gram slice lambdas read a column,
+    // not a re-run of the tokenizer (see Parallelism)
+    val toks = Parallelism.ensureKeyed(
+      df.select(id, filter(tokens(col(textCol)), _ =!= "").as("_toks")),
+      id)
+    val gramArr = when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = toks.select(id, posexplode(gramArr).as(Seq("pos", "gram")))
+    // corpus-global occurrence count as a window over the gram rows:
+    // a count-aggregate + join would make the optimizer specialize
+    // the tokenize subplan into two copies (the tfidfTopTerms lesson)
+    val dup = grams
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .where(col("_cnt") > 1)
+      .select(id, col("pos"))
+    val wDoc = Window.partitionBy(id).orderBy(col("pos"))
+    dup
+      .withColumn("_end", col("pos") + n)
+      .withColumn("_covered",
+        max(col("_end")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_covered").isNull || col("pos") > col("_covered"), 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(wDoc))
+      .groupBy(id, col("_isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("_end")).as("span_end"))
+      .select(id, col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
 }

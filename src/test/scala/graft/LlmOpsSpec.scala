@@ -768,6 +768,42 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, 3.0, 6.0, 2L), // row frame: rows 2-3; range: rows 2-3
       (4L, 6.0, 8.0, 1L))) // row frame: rows 3-4; range: alone
   }
+
+  test("duplicateSpans: overlapping windows merge into maximal position-exact islands") {
+    // doc 1 and doc 2 share the 6-token run "p q r s t u": with n=3
+    // that is windows at doc-1 positions 2,3,4,5 — overlapping, so
+    // ONE island [2, 8). doc 3 repeats its own 3-gram "x y z" at
+    // positions 0 and 4 — two islands [0,3) and [4,7) (position 3 is
+    // the unshared 'k', windows abut nowhere). doc 4 has no dups.
+    val df = Seq(
+      (1L, "a b p q r s t u"),
+      (2L, "p q r s t u c d"),
+      (3L, "x y z k x y z"),
+      (4L, "nothing here repeats at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.duplicateSpans(df, "doc_id", "text", spanWords = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 2, 8, 6), (2L, 0, 6, 6),
+      (3L, 0, 3, 3), (3L, 4, 7, 3)))
+  }
+
+  test("duplicateSpans: abutting windows fuse; short docs and empties survive") {
+    // "m n o" at 0 and "o m n" at 3 are different grams, but doc 5
+    // repeats BOTH, so doc 5's windows [0,3) and [3,6) abut -> one
+    // island [0,6)
+    val df = Seq(
+      (5L, "m n o o m n"), (6L, "m n o"), (7L, "o m n"),
+      (8L, ""), (9L, "xy"))
+      .toDF("doc_id", "text")
+    val got = TextOps.duplicateSpans(df, "doc_id", "text", spanWords = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set((5L, 0, 6, 6), (6L, 0, 3, 3), (7L, 0, 3, 3)))
+    // partitioning invariance
+    val got13 = TextOps.duplicateSpans(df.repartition(13), "doc_id", "text", 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got13 == got)
+  }
 }
 
 /** Shared fixture: a minimal spec-shaped MP4 — ftyp + mdat (550 bytes,
