@@ -1896,6 +1896,16 @@ object SparkEntry {
       TextOps.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", 4)
         .orderBy(col("doc_id"), col("span_start"))
     }),
+    // ----- binary logistic regression (is-English quality-gate
+    // shape): 2 full-batch GD steps, trained and scored in one
+    // dataflow (ClassifierOps.logregTrainScore) -----
+    "q156_logreg" -> ((s, dir) => {
+      graft.ops.ClassifierOps.logregTrainScore(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("int")),
+          "doc_id", "is_en", "text", steps = 2, lr = 0.5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3710,5 +3720,55 @@ object SparkEntry {
         |  CAST(max(e) - min(pos) AS BIGINT) AS span_tokens
         |FROM s GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin,
+    // 2 full-batch GD steps from w=0, b=0 with lr=0.5, mirrored
+    // CTE-for-CTE: step 1's sigmoid is exactly 0.5 (z=0), so g1 has
+    // the closed form sum((0.5 - y)*tf); every z-sum and gradient
+    // accumulates as DECIMAL(28,12); probabilities and weight
+    // updates round to 12 dp in the same association as the engine
+    // (w - lr*(g/N))
+    "q156_logreg" ->
+      """WITH tokr AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tokr
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |g1 AS (SELECT f.token,
+        |    CAST(sum(CAST((0.5 - d.y) * f.tf AS DECIMAL(28,12))) AS DOUBLE) AS g
+        |  FROM tf f JOIN docs d USING (doc_id) GROUP BY f.token),
+        |b1 AS (SELECT round(0.0 - 0.5 * (
+        |    CAST(sum(CAST((0.5 - y) AS DECIMAL(28,12))) AS DOUBLE) / n.n),
+        |    12) AS b
+        |  FROM docs, n GROUP BY n.n),
+        |w1 AS (SELECT token, round(0.0 - 0.5 * (g / n.n), 12) AS w
+        |  FROM g1, n),
+        |z2 AS (SELECT d.doc_id, d.y,
+        |    b1.b + COALESCE(CAST(s.zs AS DOUBLE), 0.0) AS z
+        |  FROM docs d CROSS JOIN b1 LEFT JOIN (
+        |    SELECT f.doc_id, sum(CAST(f.tf * w1.w AS DECIMAL(28,12))) AS zs
+        |    FROM tf f JOIN w1 USING (token) GROUP BY f.doc_id) s
+        |    USING (doc_id)),
+        |p2 AS (SELECT doc_id, y, round(1.0 / (1.0 + exp(-z)), 12) AS p
+        |  FROM z2),
+        |g2 AS (SELECT f.token,
+        |    CAST(sum(CAST((p2.p - p2.y) * f.tf AS DECIMAL(28,12))) AS DOUBLE) AS g
+        |  FROM tf f JOIN p2 USING (doc_id) GROUP BY f.token),
+        |b2 AS (SELECT round(b1.b - 0.5 * (
+        |    CAST(sum(CAST((p - y) AS DECIMAL(28,12))) AS DOUBLE) / n.n),
+        |    12) AS b
+        |  FROM p2, b1, n GROUP BY b1.b, n.n),
+        |w2 AS (SELECT w1.token, round(w1.w - 0.5 * (g2.g / n.n), 12) AS w
+        |  FROM w1 JOIN g2 USING (token), n),
+        |z3 AS (SELECT d.doc_id, b2.b + COALESCE(CAST(s.zs AS DOUBLE), 0.0) AS z
+        |  FROM docs d CROSS JOIN b2 LEFT JOIN (
+        |    SELECT f.doc_id, sum(CAST(f.tf * w2.w AS DECIMAL(28,12))) AS zs
+        |    FROM tf f JOIN w2 USING (token) GROUP BY f.doc_id) s
+        |    USING (doc_id)),
+        |p3 AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 12) AS p FROM z3)
+        |SELECT doc_id, round(p, 6) AS prob,
+        |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+        |FROM p3 ORDER BY doc_id""".stripMargin,
   )
 }

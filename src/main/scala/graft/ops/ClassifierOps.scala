@@ -167,4 +167,109 @@ object ClassifierOps {
       .select(col(idCol), col("_best.pred").as("pred"),
         col("_best.score").as("score"))
   }
+
+  /** Binary logistic regression over bag-of-words features, trained
+    * by full-batch gradient descent and scored in the same plan —
+    * the iterative-trainer counterpart to [[nbClassify]]'s one-pass
+    * model, and the shape of the linear quality classifiers real
+    * training-data pipelines run (label a seed set, fit, gate the
+    * corpus).
+    *
+    * Topology per step is ONE job: the current weights enter as a
+    * broadcast LocalRelation (vocab-sized — broadcastable by design,
+    * like the NB model), the doc-keyed partitioning carries z-sums,
+    * sigmoid residuals and the join back to the token counts without
+    * an exchange, and the collected gradient is vocab-sized whatever
+    * the corpus. Driver state is the (token → weight) map + bias —
+    * the bounded trainer-state pattern.
+    *
+    * Engine-exact contract: z-sums and gradients accumulate as
+    * DECIMAL(28,12) (order-independent); probabilities round to
+    * 12 dp after the sigmoid; weight updates round to 12 dp
+    * (`w − lr·(g/N)` evaluated in that exact association). The only
+    * libm call is exp(), whose cross-engine agreement the corpus
+    * already demonstrates for ln() at thousands of sites (q145).
+    *
+    * `labelCol` must be numeric 0/1. Output: (idCol, prob, pred) —
+    * the 6-dp positive-class probability and the 0/1 argmax at the
+    * 0.5 threshold, ordered by nothing (caller sorts).
+    */
+  def logregTrainScore(
+      df: DataFrame, idCol: String, labelCol: String, textCol: String,
+      steps: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(steps >= 1, "logreg: at least one gradient step")
+    val spark = df.sparkSession
+    val d = DecimalType(28, 12)
+    val dt = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(labelCol).cast(DoubleType).as("_y"),
+          col(textCol)), col(idCol))
+      .select(col(idCol), col("_y"),
+        explode_outer(filter(TextOps.tokens(col(textCol)), _ =!= ""))
+          .as("token"))
+      .groupBy(col(idCol), col("_y"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tok = dt.where(col("token").isNotNull)
+    val docs = dt.select(col(idCol), col("_y")).distinct()
+
+    def round12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wSchema = StructType(Seq(
+      StructField("token", StringType), StructField("_w", DoubleType)))
+    def wRelation(w: Map[String, Double]): DataFrame =
+      spark.createDataFrame(
+        w.toSeq.sortBy(_._1).map { case (t, v) => Row(t, v): Row }.asJava,
+        wSchema)
+
+    // p(doc) under (weights, bias): z-sum via the broadcast weight
+    // join, sigmoid rounded to 12 dp; docs without matched tokens
+    // (incl. zero-token docs) score at sigmoid(bias)
+    def scored(w: Map[String, Double], b: Double): DataFrame = {
+      val zs = tok.join(broadcast(wRelation(w)), Seq("token"))
+        .groupBy(col(idCol))
+        .agg(sum((col("tf") * col("_w")).cast(d)).as("_zs"))
+      docs.join(zs, Seq(idCol), "left")
+        .select(col(idCol), col("_y"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(lit(b) + coalesce(col("_zs").cast(DoubleType), lit(0.0))))),
+            12).as("_p"))
+    }
+
+    var w = Map.empty[String, Double]
+    var b = 0.0
+    var step = 0
+    var nDocs = 0.0
+    while (step < steps) {
+      // one action: per-token gradient rows ∪ the (bias gradient, N)
+      // row — the residual join stays on the id partitioning
+      val sc = scored(w, b)
+      val gRows = tok
+        .join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
+          Seq(idCol))
+        .groupBy(col("token"))
+        .agg(sum((col("_r") * col("tf")).cast(d)).as("_g"),
+          lit(0L).as("_n"))
+        .unionByName(sc.agg(
+            sum((col("_p") - col("_y")).cast(d)).as("_g"),
+            count(lit(1)).as("_n"))
+          .select(lit(null).cast(StringType).as("token"), col("_g"),
+            col("_n")))
+        .collect()
+      val bias = gRows.find(_.isNullAt(0)).get
+      nDocs = bias.getLong(2).toDouble
+      if (nDocs == 0)
+        return scored(w, b).select(col(idCol),
+          round(col("_p"), 6).as("prob"),
+          when(col("_p") >= 0.5, 1).otherwise(0).as("pred"))
+      b = round12(b - lr * (bias.getDecimal(1).doubleValue / nDocs))
+      w = gRows.filter(!_.isNullAt(0)).map { r =>
+        val t = r.getString(0)
+        t -> round12(w.getOrElse(t, 0.0) -
+          lr * (r.getDecimal(1).doubleValue / nDocs))
+      }.toMap
+      step += 1
+    }
+    scored(w, b).select(col(idCol), round(col("_p"), 6).as("prob"),
+      when(col("_p") >= 0.5, 1).otherwise(0).as("pred"))
+  }
 }

@@ -5,6 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.ClassifierOps
 
 class ClassifierOpsSpec extends AnyFunSuite {
+
+  private def round12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def sigmoid12(z: Double): Double =
+    round12(1.0 / (1.0 + math.exp(-z)))
+
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
@@ -48,5 +54,54 @@ class ClassifierOpsSpec extends AnyFunSuite {
     val out7 = ClassifierOps.nbClassify(df.repartition(7), "doc_id", "lang", "text")
       .as[(Long, String, Double)].collect()
     assert(out.toSet == out7.toSet) // scores bit-equal under any partitioning
+  }
+
+  test("logreg: two GD steps match a hand-stepped reference") {
+    // doc 1 = "a a" (y=1), doc 2 = "b" (y=0); N=2, lr=0.5
+    val df = Seq((1L, 1, "a a"), (2L, 0, "b")).toDF("doc_id", "y", "text")
+    val got = ClassifierOps.logregTrainScore(df, "doc_id", "y", "text",
+        steps = 2, lr = 0.5)
+      .as[(Long, Double, Int)].collect().sortBy(_._1).toList
+
+    // step 1: p = 0.5 everywhere -> g_a = -0.5*2, g_b = 0.5, g_bias = 0
+    val wa1 = round12(0.0 - 0.5 * (-1.0 / 2)) // 0.25
+    val wb1 = round12(0.0 - 0.5 * (0.5 / 2)) // -0.125
+    // step 2: residuals at the step-1 weights
+    val p1 = sigmoid12(0.0 + 2 * wa1)
+    val p2 = sigmoid12(0.0 + 1 * wb1)
+    val wa2 = round12(wa1 - 0.5 * ((p1 - 1.0) * 2 / 2))
+    val wb2 = round12(wb1 - 0.5 * ((p2 - 0.0) * 1 / 2))
+    val b2 = round12(0.0 - 0.5 * (((p1 - 1.0) + (p2 - 0.0)) / 2))
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e1 = sigmoid12(b2 + 2 * wa2)
+    val e2 = sigmoid12(b2 + 1 * wb2)
+    assert(got == List(
+      (1L, round6(e1), if (e1 >= 0.5) 1 else 0),
+      (2L, round6(e2), if (e2 >= 0.5) 1 else 0)))
+    assert(got.head._3 == 1 && got(1)._3 == 0) // it learned the split
+  }
+
+  test("logreg: separable corpus classified perfectly; zero-token docs get the prior") {
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, 1, "alpha beta gamma alpha")
+      else (i, 0, "omega psi chi omega")
+    } :+ ((40L, 1, "")) // empty doc: scores at sigmoid(bias)
+    val df = docs.toDF("doc_id", "y", "text")
+    val out = ClassifierOps.logregTrainScore(df, "doc_id", "y", "text",
+        steps = 3, lr = 0.5)
+      .as[(Long, Double, Int)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    (0L until 40L).foreach { i =>
+      assert(byId(i)._3 == (if (i % 2 == 0) 1 else 0), s"doc $i: ${byId(i)}")
+    }
+    // the empty doc's probability is a pure function of the bias —
+    // strictly between the class probabilities
+    assert(byId(40L)._2 > 0.0 && byId(40L)._2 < 1.0)
+    // bit-equal under repartitioning (decimal sums + 12-dp rounding)
+    val out9 = ClassifierOps.logregTrainScore(df.repartition(9),
+        "doc_id", "y", "text", steps = 3, lr = 0.5)
+      .as[(Long, Double, Int)].collect()
+    assert(out.toSet == out9.toSet)
   }
 }
