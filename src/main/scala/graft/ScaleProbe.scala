@@ -197,10 +197,39 @@ object ScaleProbe {
         run(ChangelogOps.sessionize(events(dir), col("user_id"), col("ts"), 1800L)
           .groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("v")))
+      },
+      // round-5 additions
+      "kmeans (2 rounds, k~sqrt n)" -> { dir =>
+        val base = ImportSource.table(spark, sf, "embeddings")
+        val e =
+          if (dir == sf) base
+          else (0 until 10).map(i => base.select(
+            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+            .reduce(_ unionByName _)
+        run(graft.ops.ClusterOps.kmeans(e, "vec_id", "embedding",
+          k = if (dir == sf) 8 else 25, rounds = 2))
+      },
+      "duplicate spans (4-gram)" -> { dir =>
+        run(TextOps.duplicateSpans(
+          ImportSource.table(spark, dir, "documents"), "doc_id", "text", 4))
+      },
+      "logreg (2 GD steps)" -> { dir =>
+        run(graft.ops.ClassifierOps.logregTrainScore(
+          ImportSource.table(spark, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("int")),
+          "doc_id", "is_en", "text", steps = 2, lr = 0.5))
+      },
+      "gopher rules (map-side)" -> { dir =>
+        run(TextOps.gopherQuality(
+          ImportSource.table(spark, dir, "documents"), "doc_id", "text"))
       })
 
+    // optional arg: case-insensitive substring filter over probe names
+    val wanted = probes.filter { case (name, _) =>
+      args.isEmpty || args.exists(a => name.toLowerCase.contains(a.toLowerCase))
+    }
     println(f"${"operator"}%-26s ${"1x"}%8s ${"10x"}%8s ratio")
-    probes.foreach { case (name, fn) =>
+    wanted.foreach { case (name, fn) =>
       val t1 = timeIt(fn(sf))
       val t10 = timeIt(fn(big))
       println(f"$name%-26s $t1%7.2fs $t10%7.2fs ${t10 / t1}%5.1fx")

@@ -1906,6 +1906,27 @@ object SparkEntry {
           "doc_id", "is_en", "text", steps = 2, lr = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // ----- Gopher-rule quality gate (Rae et al. 2021 A1.1): every
+    // rule's metric exposed beside the keep verdict -----
+    "q157_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherQuality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // ----- embedding covariance matrix (the PCA/whitening
+    // sufficient statistic): one corpus pass, dim²-sized output -----
+    "q158_covariance" -> ((s, dir) => {
+      graft.ops.StatsOps.embeddingCovariance(
+          t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+    // ----- token-label mutual information (feature selection in
+    // front of the classifier stack) -----
+    "q159_token_mi" -> ((s, dir) => {
+      graft.ops.ClassifierOps.tokenMI(
+        t(s, dir, "documents")
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "doc_id", "is_en", "text", topK = 30)
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3770,5 +3791,84 @@ object SparkEntry {
         |SELECT doc_id, round(p, 6) AS prob,
         |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
         |FROM p3 ORDER BY doc_id""".stripMargin,
+    // ratios round to 6 dp; the keep verdict compares the rounded
+    // values (band 50..100000 words, mean length 3..10, symbols
+    // <= 0.1/word, >= 80% alphabetic words, >= 2 Gopher stopwords)
+    "q157_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w), 6)
+        |    END AS mean_word_len,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+        |        + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE)/3)
+        |        / len(w), 6)
+        |    END AS symbol_ratio,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(w,
+        |        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w), 6)
+        |    END AS alpha_frac,
+        |    CAST(len(list_filter(w, x -> x IN ('the','be','to','of','and',
+        |      'that','have','with'))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  n_stopwords,
+        |  CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |        AND n_stopwords >= 2 THEN 1 ELSE 0 END AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // upper-triangle sample covariance: Σxy as DECIMAL(28,12) over
+    // double-widened floats, Σx as DECIMAL(28,8); the closed form is
+    // IEEE ops on engine-identical doubles (no folds, no libm)
+    "q158_covariance" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |x AS (SELECT vec_id, unnest(range(len(e))) AS i, e FROM v),
+        |xi AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |    CAST(e[i + 1] AS DOUBLE) AS x FROM x),
+        |s AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx
+        |  FROM xi GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    count(*) AS n
+        |  FROM xi a JOIN xi b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY a.i, b.i)
+        |SELECT p.i, p.j,
+        |  -- + 0.0: DuckDB's round keeps IEEE -0.0 on tiny negatives,
+        |  -- Spark's BigDecimal round drops the sign
+        |  round((p.sxy - sa.sx * sb.sx / p.n) / (p.n - 1), 6) + 0.0 AS cov
+        |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i
+        |ORDER BY p.i, p.j""".stripMargin,
+    // presence/label 2x2 MI, four terms in fixed sum order, counts
+    // exact in doubles; 0*ln0 = 0 via the CASE guards
+    "q159_token_mi" ->
+      """WITH tokp AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')))
+        |    AS token FROM documents),
+        |docs AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+        |    CAST(sum(y) AS DOUBLE) AS N1 FROM docs),
+        |c AS (SELECT t.token,
+        |    CAST(sum(CASE WHEN d.y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+        |    CAST(sum(CASE WHEN d.y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n10
+        |  FROM tokp t JOIN docs d USING (doc_id) GROUP BY t.token)
+        |SELECT token, CAST(n11 + n10 AS BIGINT) AS df_docs,
+        |  round(
+        |    (CASE WHEN n11 > 0 THEN (n11/N)*ln((N*n11)/((n11+n10)*N1))
+        |          ELSE 0.0 END)
+        |  + (CASE WHEN n10 > 0 THEN (n10/N)*ln((N*n10)/((n11+n10)*(N-N1)))
+        |          ELSE 0.0 END)
+        |  + (CASE WHEN N1-n11 > 0 THEN
+        |        ((N1-n11)/N)*ln((N*(N1-n11))/((N-(n11+n10))*N1))
+        |          ELSE 0.0 END)
+        |  + (CASE WHEN (N-N1)-n10 > 0 THEN
+        |        (((N-N1)-n10)/N)*ln((N*((N-N1)-n10))/((N-(n11+n10))*(N-N1)))
+        |          ELSE 0.0 END), 6) + 0.0 AS mi
+        |FROM c, tot ORDER BY mi DESC, token LIMIT 30""".stripMargin,
   )
 }

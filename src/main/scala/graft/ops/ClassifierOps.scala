@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
@@ -271,5 +271,55 @@ object ClassifierOps {
     }
     scored(w, b).select(col(idCol), round(col("_p"), 6).as("prob"),
       when(col("_p") >= 0.5, 1).otherwise(0).as("pred"))
+  }
+
+  /** Token–label mutual information — the feature-selection step in
+    * front of [[nbClassify]]/[[logregTrainScore]]: which tokens carry
+    * signal about a binary label. MI over the 2×2 presence/label
+    * contingency table, 0·ln0 = 0 by convention.
+    *
+    * One corpus pass: `array_distinct` collapses within-document
+    * repeats BEFORE the explode (per-doc presence needs no distinct
+    * shuffle), one token-keyed exchange aggregates the table's two
+    * free cells, the (N, N₁) totals broadcast as a 1-row aggregate,
+    * and the output is vocab-sized before the top-k cut. All counts
+    * are exact integers in doubles, the four MI terms sum in fixed
+    * order, so the 6-dp score is engine-identical (ln parity per
+    * q145/q156).
+    *
+    * Returns the `topK` tokens by (mi DESC, token): (token, df_docs,
+    * mi). `labelCol` must be numeric 0/1.
+    */
+  def tokenMI(df: DataFrame, idCol: String, labelCol: String,
+      textCol: String, topK: Int): DataFrame = {
+    val presence = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(labelCol).cast("int").as("_y"),
+          col(textCol)), col(idCol))
+      .select(col("_y"),
+        explode(array_distinct(filter(TextOps.tokens(col(textCol)),
+          x => x =!= ""))).as("token"))
+    val totals = df.agg(
+      count(lit(1)).cast(DoubleType).as("_N"),
+      sum(col(labelCol).cast("long")).cast(DoubleType).as("_N1"))
+    val cells = presence.groupBy(col("token"))
+      .agg(sum(when(col("_y") === 1, 1).otherwise(0)).cast(DoubleType)
+          .as("_n11"),
+        sum(when(col("_y") === 0, 1).otherwise(0)).cast(DoubleType)
+          .as("_n10"))
+      .crossJoin(broadcast(totals))
+    def term(n: Column, rowTot: Column, colTot: Column): Column =
+      when(n > 0, (n / col("_N")) *
+        log((col("_N") * n) / (rowTot * colTot))).otherwise(lit(0.0))
+    val nt = col("_n11") + col("_n10")
+    val nnt = col("_N") - nt
+    val n0 = col("_N") - col("_N1")
+    cells.select(col("token"), nt.cast("long").as("df_docs"),
+        round(
+          term(col("_n11"), nt, col("_N1")) +
+            term(col("_n10"), nt, n0) +
+            term(col("_N1") - col("_n11"), nnt, col("_N1")) +
+            term(n0 - col("_n10"), nnt, n0), 6).as("mi"))
+      .orderBy(col("mi").desc, col("token"))
+      .limit(topK)
   }
 }

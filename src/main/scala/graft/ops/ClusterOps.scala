@@ -90,10 +90,16 @@ object ClusterOps {
     var r = 0
     while (r < rounds && cent.nonEmpty) {
       // one job: assign, explode dims, per-(cluster, dim) exact mean —
-      // the collected result is k·dim rows whatever the corpus size
+      // the collected result is k·dim rows whatever the corpus size.
+      // The assignment is projected in its OWN select below the
+      // explode: a generator and a complex expression in one select
+      // put the expression in the projection above the Generate,
+      // re-evaluating the k-way argmin once per exploded dimension
+      // (measured 234x at the 10x scale probe before this split)
       val means = pts
         .select(col("_kmid"), best(cent).getField("_cid").as("_cid"),
-          posexplode(col("_v")).as(Seq("_pos", "_val")))
+          col("_v"))
+        .select(col("_cid"), posexplode(col("_v")).as(Seq("_pos", "_val")))
         .groupBy(col("_cid"), col("_pos"))
         .agg(round(
           sum(col("_val").cast(DecimalType(28, 8))).cast(DoubleType)

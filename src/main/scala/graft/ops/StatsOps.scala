@@ -359,4 +359,120 @@ object StatsOps {
       .select(explode(array(entries: _*)).as("e"))
       .select(col("e.*"))
   }
+
+  /** Upper-triangular sample covariance matrix of an embedding
+    * column — the sufficient statistic for PCA/whitening over a
+    * vector corpus, computed in one corpus pass.
+    *
+    * Per row, the dim·(dim+1)/2 upper-triangle products explode from
+    * a nested-transform literal pattern (no self-join of the
+    * exploded table, so the corpus is never shuffled twice); the
+    * (i, j) aggregation output is dim²-sized regardless of corpus
+    * size, and the per-dimension sums ride a second, dim-sized
+    * aggregate broadcast back onto it. Engine-exact by the
+    * estimator contract: Σxᵢxⱼ accumulates as DECIMAL(28,12) over
+    * double-widened floats, Σxᵢ as DECIMAL(28,8); the closed form
+    * (Σxy − Σx·Σy/n)/(n−1) is then a fixed sequence of IEEE
+    * operations on engine-identical doubles — no folds, no libm —
+    * so the 6-dp rounding cannot diverge.
+    *
+    * Returns (i, j, cov) for 0 ≤ i ≤ j < dim.
+    */
+  def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
+    val d12 = DecimalType(28, 12)
+    val d8 = DecimalType(28, 8)
+    val v = Parallelism.ensure(df.select(col(vecCol).as("_v"))
+      .where(col("_v").isNotNull))
+    // flatten(i -> (j >= i -> (i, j, x_i·x_j))): element lambdas are
+    // interpreted, but each evaluates one product — O(dim²) work per
+    // row that any covariance must pay
+    val pairs = v.select(explode(flatten(
+        transform(sequence(lit(0), size(col("_v")) - 1), i =>
+          transform(sequence(i, size(col("_v")) - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("_v"), i + 1).cast(DoubleType) *
+                element_at(col("_v"), j + 1).cast(DoubleType)).as("xy"))))))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xy").cast(d12)).cast(DoubleType).as("sxy"),
+        count(lit(1)).as("n"))
+    val dims = v
+      .select(posexplode(col("_v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast(d8)).cast(DoubleType).as("sx"))
+    pairs
+      .join(broadcast(dims.select(col("i"), col("sx").as("_sxi"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("_sxj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("_sxi") * col("_sxj") / col("n"))
+          / (col("n") - 1), 6).as("cov"))
+  }
+
+  /** PCA projection: the top-`k` principal components extracted
+    * driver-side from [[embeddingCovariance]] (power iteration with
+    * deflation on the dim×dim matrix — dim²-bounded trainer state,
+    * like the k-means centroids), then ONE distributed projection
+    * pass via the native vector dot against the centered input.
+    *
+    * Deterministic end to end: fixed start vector (1, 1/2, 1/3, …),
+    * a fixed iteration count instead of a convergence test, and each
+    * component's sign normalized so its largest-magnitude entry is
+    * positive. Returns (idCol, pc) with `pc` the k-vector of
+    * projections, 6 dp.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int = 50): DataFrame = {
+    require(k > 0)
+    val covRows = embeddingCovariance(df, vecCol).collect()
+    if (covRows.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .withColumn(idCol, lit(null))
+        .withColumn("pc", lit(null).cast("array<double>"))
+        .select(col(idCol), col("pc"))
+    val dim = covRows.iterator.map(_.getInt(1)).max + 1
+    val n = df.where(col(vecCol).isNotNull).count().toDouble
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // means for centering (decimal-exact like the covariance sums)
+    val d8 = DecimalType(28, 8)
+    val means = df.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(col("x").cast(d8)).cast(DoubleType) / lit(n)).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(x.length)(i => (0 until x.length)
+        .foldLeft(0.0)((acc, j) => acc + m(i)(j) * x(j)))
+    def normalize(x: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(x.foldLeft(0.0)((a, v) => a + v * v))
+      if (nrm == 0) x else x.map(_ / nrm)
+    }
+    val work = cov.map(_.clone())
+    val comps = (0 until math.min(k, dim)).map { _ =>
+      var x = normalize(Array.tabulate(dim)(i => 1.0 / (i + 1)))
+      (0 until iterations).foreach { _ => x = normalize(matVec(work, x)) }
+      // sign convention: largest-|entry| positive
+      val lead = x.maxBy(math.abs)
+      val c = if (lead < 0) x.map(-_) else x
+      // deflate: work -= λ ccᵀ with λ = cᵀ work c
+      val wc = matVec(work, c)
+      val lambda = c.zip(wc).map { case (a, b) => a * b }.sum
+      for (i <- 0 until dim; j <- 0 until dim)
+        work(i)(j) -= lambda * c(i) * c(j)
+      c
+    }
+    val proj = comps.map { c =>
+      // projection = (v − mean)·c = v·c − mean·c (dot is linear)
+      val meanDot = means.zip(c).map { case (m, ci) => m * ci }.sum
+      round(graft.functions.VectorExpressions.dot(col(vecCol),
+        typedLit[Seq[Double]](c.toSeq)) - lit(meanDot), 6)
+    }
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), array(proj: _*).as("pc"))
+  }
 }

@@ -792,6 +792,60 @@ object TextOps {
       .where(col("_rn") === 1).drop("_fp", "_rn")
   }
 
+  /** The Gopher stopword containment set (Rae et al. 2021, A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule document gate (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, appendix A1.1): the canonical
+    * heuristic filter batch — word-count band, mean-word-length
+    * band, symbol-to-word ratio (# and ... as the symbol set),
+    * alphabetic-word fraction, stopword containment — evaluated
+    * per document with every rule's metric EXPOSED, not just the
+    * verdict, so a pipeline can audit which rule fired and tune
+    * thresholds against its own corpus.
+    *
+    * Pure map-side column arithmetic: no shuffle, no UDF; ratios
+    * round to 6 dp and the keep decision compares the ROUNDED
+    * values, so the gate is reproducible across engines and
+    * partitionings. Zero-token documents report zero ratios and
+    * fail the word-count band.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val w = filter(tokens(text), x => x =!= "")
+    val n = size(w)
+    val nd = n.cast("double")
+    val hashes = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("double")
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / lit(3)
+    val meanLen = when(n === 0, 0.0)
+      .otherwise(round(length(concat_ws("", w)).cast("double") / nd, 6))
+    val symRatio = when(n === 0, 0.0)
+      .otherwise(round((hashes + ellipses) / nd, 6))
+    val alphaFrac = when(n === 0, 0.0)
+      .otherwise(round(
+        size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nd, 6))
+    val nStop =
+      size(filter(w, x => x.isin(gopherStopwords.map(lit(_)): _*)))
+        .cast("long")
+    df.select(col(idCol), n.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"))
+      .withColumn("keep",
+        when(col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stopwords") >= minStopwords, 1).otherwise(0))
+  }
+
   /** Maximal duplicated token ranges — the exact-substring dedup
     * shape of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022), re-expressed for the engine:

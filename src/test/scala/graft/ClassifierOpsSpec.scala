@@ -104,4 +104,22 @@ class ClassifierOpsSpec extends AnyFunSuite {
       .as[(Long, Double, Int)].collect()
     assert(out.toSet == out9.toSet)
   }
+
+  test("tokenMI: 2x2 contingency MI matches hand computation, presence not counts") {
+    // 'a a a' counts once: MI is over PRESENCE. a appears only in
+    // y=1 docs (perfect signal), b in one of each (zero signal), c
+    // only in one y=0 doc (partial signal)
+    val df = Seq(
+      (1L, 1, "a a a b"), (2L, 1, "a"), (3L, 0, "b"), (4L, 0, "c"))
+      .toDF("doc_id", "y", "text")
+    val got = ClassifierOps.tokenMI(df, "doc_id", "y", "text", topK = 3)
+      .as[(String, Long, Double)].collect().toList
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val miA = r6(0.5 * math.log(2.0) + 0.5 * math.log(2.0))
+    val miC = r6(0.25 * math.log(4.0 * 1 / (1 * 2.0)) +
+      0.5 * math.log(4.0 * 2 / (3 * 2.0)) +
+      0.25 * math.log(4.0 * 1 / (3 * 2.0)))
+    assert(got == List(("a", 2L, miA), ("c", 1L, miC), ("b", 2L, 0.0)))
+  }
 }

@@ -804,6 +804,27 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int)].collect().toSet
     assert(got13 == got)
   }
+
+  test("gopherQuality: each rule's metric is exact and the gate fires per rule") {
+    // doc 1: 55 words, mean 36/11 chars, 4 stopword hits/rep -> keep
+    val good = ("the cat sat on mat with dog and bird that flew " * 5).trim
+    // doc 2: symbol + mean-length metrics hand-checked, fails the gate
+    val symbolic = "aa# bb cc..."
+    // doc 3: long enough but zero stopwords -> stopword rule fires
+    val noStop = (("lorem ipsum dolor amet " * 13).trim)
+    val df = Seq((1L, good), (2L, symbolic), (3L, noStop), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 55L, 3.272727, 0.0, 1.0, 20L, 1)))
+    assert(got(2L)._2 == 3L)
+    assert(got(2L)._3 == 3.333333) // (3 + 2 + 5) chars / 3 words, 6 dp
+    assert(got(2L)._4 == 0.666667) // (1 hash + 1 ellipsis) / 3 words
+    assert(got(2L)._5 == 1.0 && got(2L)._7 == 0)
+    assert(got(3L)._2 == 52L && got(3L)._6 == 0L && got(3L)._7 == 0)
+    assert(got(4L) == ((4L, 0L, 0.0, 0.0, 0.0, 0L, 0)))
+  }
 }
 
 /** Shared fixture: a minimal spec-shaped MP4 — ftyp + mdat (550 bytes,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{SampleOps, SketchOps}
+import graft.ops.{SampleOps, SketchOps, StatsOps}
 
 class SketchOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -208,5 +208,44 @@ class SketchOpsSpec extends AnyFunSuite {
     // determinism
     val again = SampleOps.weightedSample(df, "id", "w", 0.002).count()
     assert(again == kept.values.sum)
+  }
+
+  test("embeddingCovariance matches a hand-computed 2x2 matrix") {
+    // x = (1,2,3,4), y = (2,4,6,8): var(x)=5/3, cov=10/3, var(y)=20/3
+    val df = Seq(
+      Seq(1.0f, 2.0f), Seq(2.0f, 4.0f), Seq(3.0f, 6.0f), Seq(4.0f, 8.0f))
+      .toDF("embedding")
+    val got = StatsOps.embeddingCovariance(df, "embedding")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(got == Set(
+      (0, 0, 1.666667), (0, 1, 3.333333), (1, 1, 6.666667)))
+    // bit-equal under repartitioning (decimal sums)
+    val got7 = StatsOps.embeddingCovariance(df.repartition(7), "embedding")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(got7 == got)
+  }
+
+  test("pcaProject recovers the dominant axis of correlated 2D data") {
+    // points near the y=x line: PC1 ≈ (1,1)/√2, PC2 ≈ (1,-1)/√2
+    val pts = (0 until 200).map { i =>
+      val base = (i % 41).toFloat
+      (i.toLong, Seq(base + (i % 3) * 0.1f, base - (i % 5) * 0.1f))
+    }
+    val df = pts.toDF("id", "embedding")
+    val out = StatsOps.pcaProject(df, "id", "embedding", k = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.size == 200)
+    // variance along PC1 must dominate PC2 by the data's anisotropy
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(v => (v - m) * (v - m)).sum / (xs.size - 1)
+    }
+    val v1 = variance(out.values.map(_.head).toSeq)
+    val v2 = variance(out.values.map(_(1)).toSeq)
+    assert(v1 > 50 * v2, s"PC1 var $v1 should dominate PC2 var $v2")
+    // deterministic across partitionings
+    val again = StatsOps.pcaProject(df.repartition(9), "id", "embedding", 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == out)
   }
 }
