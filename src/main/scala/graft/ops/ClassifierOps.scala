@@ -223,17 +223,26 @@ object ClassifierOps {
 
     // p(doc) under (weights, bias): z-sum via the broadcast weight
     // join, sigmoid rounded to 12 dp; docs without matched tokens
-    // (incl. zero-token docs) score at sigmoid(bias)
-    def scored(w: Map[String, Double], b: Double): DataFrame = {
-      val zs = tok.join(broadcast(wRelation(w)), Seq("token"))
-        .groupBy(col(idCol))
-        .agg(sum((col("tf") * col("_w")).cast(d)).as("_zs"))
-      docs.join(zs, Seq(idCol), "left")
-        .select(col(idCol), col("_y"),
-          round(lit(1.0) / (lit(1.0) +
-            exp(-(lit(b) + coalesce(col("_zs").cast(DoubleType), lit(0.0))))),
-            12).as("_p"))
-    }
+    // (incl. zero-token docs) score at sigmoid(bias). With no
+    // weights yet (step 1) every z-sum is zero, so the whole chain
+    // folds to a constant-probability projection over the doc table
+    // — the first gradient pass then costs one aggregation, not a
+    // join stack
+    def scored(w: Map[String, Double], b: Double): DataFrame =
+      if (w.isEmpty)
+        docs.select(col(idCol), col("_y"),
+          round(lit(1.0) / (lit(1.0) + exp(-(lit(b) + lit(0.0)))), 12)
+            .as("_p"))
+      else {
+        val zs = tok.join(broadcast(wRelation(w)), Seq("token"))
+          .groupBy(col(idCol))
+          .agg(sum((col("tf") * col("_w")).cast(d)).as("_zs"))
+        docs.join(zs, Seq(idCol), "left")
+          .select(col(idCol), col("_y"),
+            round(lit(1.0) / (lit(1.0) +
+              exp(-(lit(b) + coalesce(col("_zs").cast(DoubleType), lit(0.0))))),
+              12).as("_p"))
+      }
 
     var w = Map.empty[String, Double]
     var b = 0.0
@@ -241,8 +250,11 @@ object ClassifierOps {
     var nDocs = 0.0
     while (step < steps) {
       // one action: per-token gradient rows ∪ the (bias gradient, N)
-      // row — the residual join stays on the id partitioning
-      val sc = scored(w, b)
+      // row — the residual join stays on the id partitioning. The
+      // doc-sized score table is checkpointed first so the union's
+      // two branches read materialized rows instead of re-running
+      // the z-sum join stack per branch
+      val sc = scored(w, b).localCheckpoint()
       val gRows = tok
         .join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
           Seq(idCol))

@@ -253,4 +253,63 @@ class PlanSpec extends AnyFunSuite {
     assert(!"SortMergeJoin \\[token".r.findFirstIn(s).isDefined,
       s"token join must broadcast, not sort-merge:\n$s")
   }
+
+  test("kmeans assignment is a pure projection: zero exchanges, argmin below any explode") {
+    val emb = ImportSource.table(spark, sf, "embeddings")
+    val assign = ClusterOps.kmeans(emb, "vec_id", "embedding", k = 4,
+      rounds = 0)
+    // rounds = 0 isolates the assignment plan: centroids are
+    // literals, so scoring every row against k centroids must add
+    // NO exchange of any kind
+    assert(shuffles(assign) == 0,
+      s"assignment must not shuffle:\n${planString(assign)}")
+    // the 10x-probe regression: a Generate above the argmin would
+    // re-evaluate the k-way least() once per exploded dimension.
+    // The update-round plan must keep Generate's CHILD carrying the
+    // computed _cid attribute (argmin below the explode)
+    val s = planString(assign)
+    assert(!s.contains("Generate"), s"no generator in assignment:\n$s")
+  }
+
+  test("duplicate spans: gram + island exchanges only, one sort serves both windows") {
+    val docs = ImportSource.table(spark, sf, "documents")
+    val df = TextOps.duplicateSpans(docs, "doc_id", "text", 4)
+    // keyed tokenize exchange + gram window exchange + island window
+    // exchange; the two island windows and the island aggregation
+    // must share the id-keyed sort, adding no fourth exchange
+    assert(shuffles(df) <= 3,
+      s"expected <=3 exchanges (keyed, gram, island):\n${planString(df)}")
+  }
+
+  test("token MI: distinct rides array_distinct, single token exchange, totals broadcast") {
+    val docs = ImportSource.table(spark, sf, "documents")
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    val df = ClassifierOps.tokenMI(docs, "doc_id", "is_en", "text", 30)
+    val s = planString(df)
+    // presence dedup happens per-document inside the projection —
+    // a corpus-wide distinct before the aggregation would add a
+    // (doc, token) exchange ahead of the token-keyed one
+    assert(s.contains("array_distinct"), s"per-doc distinct:\n$s")
+    // keyed tokenize exchange + token aggregation exchange (the
+    // 1-row totals subtree adds a SinglePartition exchange, which is
+    // row-bounded); the top-k must plan as TakeOrdered, not a global
+    // range-sort exchange
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 2,
+      s"expected <=2 hash exchanges:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"no global sort exchange:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must TakeOrdered:\n$s")
+  }
+
+  test("covariance: pair explosion aggregates in one exchange; dim joins broadcast") {
+    val emb = ImportSource.table(spark, sf, "embeddings")
+    val df = StatsOps.embeddingCovariance(emb, "embedding")
+    val s = planString(df)
+    // the corpus-sized Generate feeds ONE (i, j) hash aggregation;
+    // the per-dimension sums join back as broadcasts (dim-sized)
+    assert(s.contains("BroadcastHashJoin"), s"dim joins broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no sort-merge on dim-sized sides:\n$s")
+  }
 }
