@@ -197,6 +197,31 @@ object Example {
       li, urgent, "l_orderkey", "o_orderkey", 1 << 14, 5).count()
     println(s"tfidf key terms: $topTerms | bm25 top docs: $hits | " +
       s"bloom-joined urgent lineitems: $bloomJoined")
+
+    // ---- round-5 curation surface, composed the way a pipeline
+    // ships it: heuristic gate -> span-level dedup audit -> embedding
+    // clusters -> feature selection -> trained linear gate ----
+    import org.apache.spark.sql.functions.{element_at, round, stddev}
+    import graft.ops.{ClassifierOps, ClusterOps, StatsOps}
+    val gated = TextOps.gopherQuality(docs, "doc_id", "text",
+      minWords = 20) // fixture docs average ~54 words
+    val spans = TextOps.duplicateSpans(docs, "doc_id", "text", 4)
+    val clusters = ClusterOps.kmeans(emb, "vec_id", "embedding", 4, 2)
+      .groupBy(col("cluster")).count().orderBy(col("cluster"))
+      .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+    val labeled = docs.withColumn("is_en", (col("lang") === "en").cast("int"))
+    val features = ClassifierOps.tokenMI(labeled, "doc_id", "is_en", "text", 3)
+      .collect().map(_.getString(0)).mkString(",")
+    val enAcc = ClassifierOps
+      .logregTrainScore(labeled, "doc_id", "is_en", "text", steps = 3)
+      .join(labeled.select(col("doc_id"), col("is_en")), "doc_id")
+      .where(col("pred") === col("is_en")).count()
+    val pcSpread = StatsOps.pcaProject(emb, "vec_id", "embedding", 1)
+      .agg(round(stddev(element_at(col("pc"), 1)), 3)).collect()(0).get(0)
+    println(s"gopher keep: ${gated.where(col("keep") === 1).count()}/" +
+      s"${gated.count()} | dup spans: ${spans.count()} | " +
+      s"kmeans sizes: $clusters | top MI: $features | " +
+      s"logreg is-en accuracy: $enAcc/${labeled.count()} | pc1 sd: $pcSpread")
     spark.stop()
   }
 }
