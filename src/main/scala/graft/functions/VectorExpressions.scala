@@ -230,6 +230,10 @@ object VectorExpressions {
       "graft_simhash(text) - 32-bit SimHash of a text column") {
       es => graft.ops.DedupOps.simhash(es(0))
     },
+    composed("graft_gopher_keep",
+      "graft_gopher_keep(text) - Gopher-rule (Rae et al. 2021 A1.1) quality-gate verdict, canonical thresholds") {
+      es => graft.ops.TextOps.gopherKeep(es(0))
+    },
     composed("min_shingle_md5",
       "min_shingle_md5(text, n) - minimal md5 over word n-gram shingles (dedup blocking key)") {
       es =>

@@ -816,7 +816,35 @@ object TextOps {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
       minStopwords: Int = 2): DataFrame = {
-    val text = col(textCol)
+    val (n, meanLen, symRatio, alphaFrac, nStop) = gopherMetrics(col(textCol))
+    df.select(col(idCol), n.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"))
+      .withColumn("keep",
+        when(col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stopwords") >= minStopwords, 1).otherwise(0))
+  }
+
+  /** The keep verdict of [[gopherQuality]] as a single scalar column
+    * (registered in SQL as `graft_gopher_keep(text)`), canonical
+    * thresholds. */
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): Column = {
+    val (n, meanLen, symRatio, alphaFrac, nStop) = gopherMetrics(text)
+    when(n >= minWords && n <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      symRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+      nStop >= minStopwords, 1).otherwise(0)
+  }
+
+  private def gopherMetrics(text: Column)
+      : (Column, Column, Column, Column, Column) = {
     val w = filter(tokens(text), x => x =!= "")
     val n = size(w)
     val nd = n.cast("double")
@@ -834,16 +862,7 @@ object TextOps {
     val nStop =
       size(filter(w, x => x.isin(gopherStopwords.map(lit(_)): _*)))
         .cast("long")
-    df.select(col(idCol), n.cast("long").as("n_words"),
-        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
-        alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"))
-      .withColumn("keep",
-        when(col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= minMeanLen &&
-          col("mean_word_len") <= maxMeanLen &&
-          col("symbol_ratio") <= maxSymbolRatio &&
-          col("alpha_frac") >= minAlphaFrac &&
-          col("n_stopwords") >= minStopwords, 1).otherwise(0))
+    (n, meanLen, symRatio, alphaFrac, nStop)
   }
 
   /** Maximal duplicated token ranges — the exact-substring dedup

@@ -303,4 +303,42 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(Mp4Decoder.parse(full).exists(_.video.nonEmpty)) // sanity: fixture parses whole
   }
+
+  test("duplicateSpans equals the brute-force island merge on random corpora") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 3
+    val genDoc = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val prop = Prop.forAllNoShrink(Gen.listOfN(5, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.ops.TextOps
+        .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      // reference: count every overlapping n-gram corpus-wide, mark
+      // window starts whose gram repeats, merge overlapping/abutting
+      // ranges per document
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+      }
+      val counts = toks.flatMap { case (_, w) =>
+        w.sliding(n).filter(_.size == n).map(_.mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val want = toks.flatMap { case (id, w) =>
+        val marked = w.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.size == n && counts(g.mkString(" ")) > 1 }
+          .map(_._2).toList
+        val islands = marked.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, p) => acc match {
+            case (s, e) :: rest if p <= e => (s, math.max(e, p + n)) :: rest
+            case _ => (p, p + n) :: acc
+          }
+        }.reverse
+        islands.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -78,6 +78,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val viaApi = Seq("hello world").toDF("t")
       .select(graft.ops.DedupOps.simhash(col("t"))).head().getLong(0)
     assert(r.getLong(3) == viaApi)
+    // the Gopher gate verdict is SQL-callable with the same semantics
+    // as the DataFrame op (55 words, stopwords present -> keep)
+    val good = ("the cat sat on mat with dog and bird that flew " * 5).trim
+    val g = spark.sql(
+      s"SELECT graft_gopher_keep('$good') AS k1, graft_gopher_keep('x') AS k2")
+      .head()
+    assert(g.getInt(0) == 1 && g.getInt(1) == 0)
   }
 
   test("VectorFoldRewrite replaces the fold dot with the native expression") {
