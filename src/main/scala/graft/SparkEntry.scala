@@ -1927,6 +1927,12 @@ object SparkEntry {
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "doc_id", "is_en", "text", topK = 30)
     }),
+    // ----- exact-substring dedup APPLY (Lee et al.): cut repeats of
+    // earlier content, keep first occurrences, reassemble text -----
+    "q160_span_cut" -> ((s, dir) => {
+      TextOps.cutDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3870,5 +3876,48 @@ object SparkEntry {
         |        (((N-N1)-n10)/N)*ln((N*((N-N1)-n10))/((N-(n11+n10))*(N-N1)))
         |          ELSE 0.0 END), 6) + 0.0 AS mi
         |FROM c, tot ORDER BY mi DESC, token LIMIT 30""".stripMargin,
+    // keep-first marking (row_number over the gram, occurrence
+    // order), island merge, then the cut: positions outside every
+    // island reassemble with a single space
+    "q160_span_cut" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |    unnest(range(CASE WHEN len(toks) >= 4 THEN len(toks) - 3
+        |                      ELSE 0 END)) AS pos
+        |  FROM t),
+        |g2 AS (SELECT doc_id, pos,
+        |    array_to_string(list_slice(toks, pos + 1, pos + 4), ' ') AS gram
+        |  FROM g),
+        |d AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rk
+        |    FROM g2) WHERE rk > 1),
+        |m AS (SELECT doc_id, pos, pos + 4 AS e,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS covered
+        |  FROM d),
+        |i AS (SELECT doc_id, pos, e,
+        |    CASE WHEN covered IS NULL OR pos > covered THEN 1 ELSE 0 END AS nw
+        |  FROM m),
+        |s AS (SELECT doc_id, pos, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM i),
+        |islands AS (SELECT doc_id, isl, min(pos) AS st, max(e) AS en
+        |  FROM s GROUP BY doc_id, isl),
+        |x AS (SELECT t.doc_id, t.toks, unnest(range(len(t.toks))) AS p FROM t),
+        |kept AS (SELECT x.doc_id, x.p, x.toks[x.p + 1] AS w FROM x
+        |  WHERE NOT EXISTS (SELECT 1 FROM islands il
+        |    WHERE il.doc_id = x.doc_id AND x.p >= il.st AND x.p < il.en)),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |cuts AS (SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS n_cut
+        |  FROM islands GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.n_cut, 0) AS n_cut
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN cuts c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -865,6 +865,72 @@ object TextOps {
     (n, meanLen, symRatio, alphaFrac, nStop)
   }
 
+  /** The APPLY step of exact-substring dedup (Lee et al. 2022): cut
+    * every token range that repeats EARLIER content and reassemble
+    * the text, keeping each duplicated run's first occurrence
+    * corpus-wide. Where [[duplicateSpans]] audits (it marks every
+    * occurrence), this transforms: a window is cut only when its
+    * n-gram already occurred at a smaller (doc, position) — so
+    * "x y z x y z x y z" keeps exactly one "x y z", and the first
+    * copy of a boilerplate paragraph survives while every later copy
+    * across the corpus is removed.
+    *
+    * Returns (id, clean_text, n_tokens, n_cut). Shuffle profile:
+    * the same keyed-tokenize + gram exchanges as [[duplicateSpans]]
+    * (rank instead of count over the gram window), an id-keyed
+    * island aggregation, then ONE broadcast-free join of the
+    * island lists back onto the token arrays — per-doc island lists
+    * are bounded by the doc's own window count, and the cut itself
+    * is an index-aware array filter, no second explode.
+    */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val n = spanWords
+    val toks = Parallelism.ensureKeyed(
+      df.select(id, filter(tokens(col(textCol)), x => x =!= "").as("_toks")),
+      id)
+    val gramArr = when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = toks.select(id, posexplode(gramArr).as(Seq("pos", "gram")))
+    // keep-first: a window is a repeat iff an earlier (doc, pos) has
+    // the same gram — rank over the gram partition, occurrence order
+    val repeats = grams
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("gram")).orderBy(id.asc, col("pos").asc)))
+      .where(col("_rk") > 1)
+      .select(id, col("pos"))
+    val wDoc = Window.partitionBy(id).orderBy(col("pos"))
+    val islands = repeats
+      .withColumn("_end", col("pos") + n)
+      .withColumn("_covered",
+        max(col("_end")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_covered").isNull || col("pos") > col("_covered"), 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(wDoc))
+      .groupBy(id, col("_isl"))
+      .agg(min(col("pos")).as("_s"), max(col("_end")).as("_e"))
+      .groupBy(id)
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_cuts"))
+    toks.join(islands, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("_cuts"),
+          array().cast("array<struct<_s:int,_e:int>>")).as("_cuts"),
+        col("_toks"))
+      .select(id,
+        concat_ws(" ", filter(col("_toks"), (w, i) =>
+          !exists(col("_cuts"), c =>
+            i >= c.getField("_s") && i < c.getField("_e"))))
+          .as("clean_text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("_cuts"), lit(0),
+            (acc, c) => acc + (c.getField("_e") - c.getField("_s"))), lit(0))
+          .cast("long").as("n_cut"))
+  }
+
   /** Maximal duplicated token ranges — the exact-substring dedup
     * shape of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022), re-expressed for the engine:

@@ -805,6 +805,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("cutDuplicateSpans keeps first occurrences and reassembles the text") {
+    // intra-doc: "x y z" x3 collapses to one copy (windows 3..6 are
+    // all repeats of earlier content -> island [3,9))
+    // cross-doc: doc 20's "p q r s" prefix repeats doc 10's tokens,
+    // so doc 20 keeps only its novel tail
+    val df = Seq(
+      (1L, "x y z x y z x y z"),
+      (10L, "p q r s"),
+      (20L, "p q r s t"),
+      (30L, "all novel words here"),
+      (40L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.cutDuplicateSpans(df, "doc_id", "text", spanWords = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("x y z", 9L, 6L)))
+    assert(got(10L) == (("p q r s", 4L, 0L)))
+    assert(got(20L) == (("t", 5L, 4L)))
+    assert(got(30L) == (("all novel words here", 4L, 0L)))
+    assert(got(40L) == (("", 0L, 0L)))
+    // partitioning invariance: keep-first rank is a total order
+    val got13 = TextOps
+      .cutDuplicateSpans(df.repartition(13), "doc_id", "text", 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got13 == got)
+  }
+
   test("gopherQuality: each rule's metric is exact and the gate fires per rule") {
     // doc 1: 55 words, mean 36/11 chars, 4 stopword hits/rep -> keep
     val good = ("the cat sat on mat with dog and bird that flew " * 5).trim

@@ -336,7 +336,35 @@ class PropertySpec extends AnyFunSuite {
         }.reverse
         islands.map { case (s, e) => (id, s, e, e - s) }
       }.toSet
-      got == want
+      // the APPLY form: keep-first marking (an occurrence is cut iff
+      // an earlier (doc, pos) has the same gram), then reassembly
+      val gotCut = graft.ops.TextOps
+        .cutDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val firstAt = toks.flatMap { case (id, w) =>
+        w.sliding(n).zipWithIndex.collect {
+          case (g, p) if g.size == n => (g.mkString(" "), (id, p))
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val wantCut = toks.map { case (id, w) =>
+        val marked = w.sliding(n).zipWithIndex.collect {
+          case (g, p) if g.size == n &&
+            firstAt(g.mkString(" ")) != ((id, p)) => p
+        }.toList
+        val islands = marked.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, p) => acc match {
+            case (s, e) :: rest if p <= e => (s, math.max(e, p + n)) :: rest
+            case _ => (p, p + n) :: acc
+          }
+        }
+        val cut = islands.map { case (s, e) => e - s }.sum
+        val kept = w.zipWithIndex.collect {
+          case (t, i) if !islands.exists { case (s, e) => i >= s && i < e } => t
+        }
+        id -> ((kept.mkString(" "), w.size.toLong, cut.toLong))
+      }.toMap
+      got == want && gotCut == wantCut
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
