@@ -250,11 +250,14 @@ object ClassifierOps {
     var nDocs = 0.0
     while (step < steps) {
       // one action: per-token gradient rows ∪ the (bias gradient, N)
-      // row — the residual join stays on the id partitioning. The
-      // doc-sized score table is checkpointed first so the union's
-      // two branches read materialized rows instead of re-running
-      // the z-sum join stack per branch
-      val sc = scored(w, b).localCheckpoint()
+      // row — the residual join stays on the id partitioning. With
+      // real weights the doc-sized score table is checkpointed first
+      // so the union's two branches read materialized rows instead
+      // of re-running the z-sum join stack per branch; step 1's
+      // constant projection is cheaper to re-evaluate than the
+      // checkpoint barrier it would save
+      val sc0 = scored(w, b)
+      val sc = if (w.isEmpty) sc0 else sc0.localCheckpoint()
       val gRows = tok
         .join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
           Seq(idCol))

@@ -100,4 +100,21 @@ class EmptyInputSpec extends AnyFunSuite {
     val pairs0 = spark.range(0).select(col("id").as("id_a"), col("id").as("id_b"))
     assert(DedupOps.duplicateClusters(pairs0).count() == 0)
   }
+
+  test("round-5 operators accept empty corpora") {
+    val emb0 = graft.sources.ImportSource.table(spark, sf, "embeddings")
+      .where(lit(false))
+    assert(ClusterOps.kmeans(emb0, "vec_id", "embedding", 4, 2).count() == 0)
+    assert(StatsOps.embeddingCovariance(emb0, "embedding").count() == 0)
+    assert(StatsOps.pcaProject(emb0, "vec_id", "embedding", 2).count() == 0)
+    assert(TextOps.duplicateSpans(docs0, "doc_id", "text", 4).count() == 0)
+    assert(TextOps.cutDuplicateSpans(docs0, "doc_id", "text", 4).count() == 0)
+    assert(TextOps.gopherQuality(docs0, "doc_id", "text").count() == 0)
+    val labeled0 = docs0.withColumn("is_en", (col("lang") === "en").cast("int"))
+    assert(ClassifierOps.tokenMI(labeled0, "doc_id", "is_en", "text", 10)
+      .count() == 0)
+    assert(ClassifierOps
+      .logregTrainScore(labeled0, "doc_id", "is_en", "text", steps = 2)
+      .count() == 0)
+  }
 }
