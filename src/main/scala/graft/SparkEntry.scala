@@ -1933,6 +1933,16 @@ object SparkEntry {
       TextOps.cutDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", 4)
         .orderBy(col("doc_id"))
     }),
+    // ----- size-balanced training shards: serpentine LPT deal over
+    // the two-phase global rank (no single-task window) -----
+    "q161_shard_assign" -> ((s, dir) => {
+      graft.ops.PackOps.shardAssign(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).cast("long").as("w")),
+          "doc_id", "w", nShards = 10)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3919,5 +3929,19 @@ object SparkEntry {
         |  COALESCE(c.n_cut, 0) AS n_cut
         |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN cuts c USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // serpentine deal over the (weight DESC, id) dense rank: block k
+    // left-to-right, block k+1 right-to-left
+    "q161_shard_assign" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+        |         END AS BIGINT) AS w
+        |  FROM documents),
+        |r AS (SELECT doc_id, w,
+        |    row_number() OVER (ORDER BY w DESC, doc_id) - 1 AS r0 FROM w)
+        |SELECT doc_id, w,
+        |  CAST(CASE WHEN (r0 // 10) % 2 = 0 THEN r0 % 10
+        |       ELSE 9 - (r0 % 10) END AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -57,6 +57,37 @@ object PackOps {
     * chunk it starts in, and how many `chunkTokens`-sized chunks it
     * spans (0 for empty documents).
     */
+  /** Size-balanced shard assignment for training output: rank
+    * documents by (weight DESC, id) with the two-phase
+    * [[StatsOps.globalRank]] (no single-task window), then deal them
+    * serpentine across `nShards` — block k goes left-to-right, block
+    * k+1 right-to-left — the classic LPT-style folding that bounds
+    * per-shard weight spread by one document within every
+    * 2·nShards block, against ANY weight distribution. Deterministic
+    * and engine-exact: the assignment is pure integer arithmetic on
+    * the dense rank.
+    *
+    * Returns (idCol, weightCol, shard). Shuffle profile: one range
+    * exchange for the rank, then a pure projection; at 100 TB the
+    * writer follows with `repartition(col("shard"))` so each shard
+    * lands as one output stream.
+    */
+  def shardAssign(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "shardAssign: need at least one shard")
+    val (ranked, _) = StatsOps.globalRank(
+      df.select(col(idCol), col(weightCol)), "_r",
+      col(weightCol).desc, col(idCol).asc)
+    val r0 = col("_r") - 1
+    // floor-div: exact for any feasible rank (double holds integers
+    // to 2^52; a 100 TB corpus is ~1e11 documents)
+    val block = floor(r0 / nShards).cast("long")
+    val pos = r0 % nShards
+    ranked.select(col(idCol), col(weightCol),
+      when(block % 2 === 0, pos).otherwise(lit(nShards - 1) - pos)
+        .cast("int").as("shard"))
+  }
+
   def chunkAssignments(
       df: DataFrame, orderCol: String, tokenCountCol: Column,
       chunkTokens: Long): DataFrame = {

@@ -49,4 +49,25 @@ class PackOpsSpec extends AnyFunSuite {
       (4L, 1024L, 2L, 0L),
       (5L, 1024L, 2L, 3L)))
   }
+
+  test("shardAssign: serpentine deal balances weights and is partition-invariant") {
+    // weights 100..1: with 4 shards, serpentine blocks mean every
+    // consecutive 8 ranks contribute equal-opportunity pairs — the
+    // spread of shard sums stays within the largest single weight
+    val df = (1L to 100L).map(i => (i, 101L - i)).toDF("id", "w")
+    val got = PackOps.shardAssign(df, "id", "w", nShards = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 100)
+    assert(got.map(_._3).toSet == Set(0, 1, 2, 3))
+    val sums = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(sums.values.max - sums.values.min <= 100,
+      s"shard sums too uneven: $sums")
+    // serpentine hand-check: ranks 1..8 (weights 100..93) deal
+    // 0,1,2,3 then 3,2,1,0 — ids 4 and 5 share shard 3
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) == 0 && byId(4L) == 3 && byId(5L) == 3 && byId(8L) == 0)
+    val again = PackOps.shardAssign(df.repartition(7), "id", "w", 4)
+      .as[(Long, Long, Int)].collect()
+    assert(again.toSet == got.toSet)
+  }
 }
