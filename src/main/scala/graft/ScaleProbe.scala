@@ -222,6 +222,17 @@ object ScaleProbe {
       "gopher rules (map-side)" -> { dir =>
         run(TextOps.gopherQuality(
           ImportSource.table(spark, dir, "documents"), "doc_id", "text"))
+      },
+      "span cut (keep-first)" -> { dir =>
+        run(TextOps.cutDuplicateSpans(
+          ImportSource.table(spark, dir, "documents"), "doc_id", "text", 4))
+      },
+      "shard assign (global rank)" -> { dir =>
+        run(graft.ops.PackOps.shardAssign(
+          ImportSource.table(spark, dir, "documents")
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).cast("long").as("w")),
+          "doc_id", "w", nShards = 32))
       })
 
     // optional arg: case-insensitive substring filter over probe names

@@ -307,4 +307,30 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(sink.schemaUpdates.sum() == 1 && sink.schemaNoops.sum() == 1)
     assert(sink.meanInsertSeconds > 0.0)
   }
+
+  test("map-side curation gates run unchanged on a stream (Gopher + PII scrub)") {
+    // the quality/PII operators are pure column arithmetic, so the
+    // SAME code path serves batch curation and streaming ingestion —
+    // no streaming twin needed, which is the point of declaring them
+    // as expressions rather than jobs
+    val src = Files.createTempDirectory("graft-gate").toString
+    val docsB = ImportSource.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    docsB.write.parquet(s"$src/batch0")
+    val streamed = graft.ops.TextOps.gopherQuality(
+        spark.readStream.schema(docsB.schema).parquet(s"$src/*")
+          .withColumn("text", graft.ops.TextOps.scrubPii($"text")),
+        "doc_id", "text", minWords = 20)
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream
+      .outputMode("append").format("memory").queryName("gate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gate_out")
+      .select($"doc_id", $"keep").as[(Long, Int)].collect().toMap
+    val want = graft.ops.TextOps.gopherQuality(
+        docsB.withColumn("text", graft.ops.TextOps.scrubPii($"text")),
+        "doc_id", "text", minWords = 20)
+      .select($"doc_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(got == want && got.nonEmpty && got.values.toSet == Set(0, 1))
+  }
 }
