@@ -1933,6 +1933,20 @@ object SparkEntry {
       TextOps.cutDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", 4)
         .orderBy(col("doc_id"))
     }),
+    // ----- bloom-gated decontamination: the eval-set-too-big-to-
+    // broadcast plan — driver-held bitset probe at the scan, exact
+    // shuffle-join confirm over candidates only; row-identical to
+    // q51 (same oracle, second execution strategy, like q40/q58/q134
+    // sharing the ASOF oracle) -----
+    "q162_decon_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.decontaminateBloomed(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     // ----- size-balanced training shards: serpentine LPT deal over
     // the two-phase global rank (no single-task window) -----
     "q161_shard_assign" -> ((s, dir) => {
@@ -2606,6 +2620,20 @@ object SparkEntry {
         |      * (1::BIGINT << (2*i + 1))), 'sum') AS BIGINT) AS z
         |FROM events ORDER BY event_id""".stripMargin,
     "q51_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(len(toks)-4), i -> array_to_string(list_slice(toks, i+1, i+5), ' ')) END) AS s
+        |  FROM t),
+        |test AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN test USING (s)
+        |  WHERE sh.doc_id % 20 <> 0)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin,
+    // identical semantics to q51 (bloom false positives are removed
+    // by the exact confirm join) — deliberately the same oracle
+    "q162_decon_bloom" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]

@@ -239,17 +239,48 @@ object DedupOps {
     * on the (small) contaminated-id set. Shingles compare by md5 —
     * fixed-width join keys instead of arbitrary-length strings.
     */
+  private[ops] def shingleHashes(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame =
+    TextOps.explodeShingles(
+        Parallelism.ensure(df.select(col(idCol).as("id"),
+          TextOps.tokens(col(textCol)).as("_t"))),
+        col("_t"), shingleSize, "s")
+      .select(col("id"), md5(col("s")).as("h"))
+
   def decontaminate(
       corpus: DataFrame, testSet: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 5): DataFrame = {
-    def shingleHashes(df: DataFrame): DataFrame =
-      TextOps.explodeShingles(
-          Parallelism.ensure(df.select(col(idCol).as("id"),
-            TextOps.tokens(col(textCol)).as("_t"))),
-          col("_t"), shingleSize, "s")
-        .select(col("id"), md5(col("s")).as("h"))
-    val testShingles = broadcast(shingleHashes(testSet).select(col("h")).distinct())
-    val contaminated = shingleHashes(corpus)
+    val testShingles = broadcast(
+      shingleHashes(testSet, idCol, textCol, shingleSize)
+        .select(col("h")).distinct())
+    val contaminated = shingleHashes(corpus, idCol, textCol, shingleSize)
+      .join(testShingles, "h")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] for the regime where the eval set is too big
+    * to broadcast (a full benchmark union can be billions of
+    * shingles): the corpus side probes a BLOOM of the eval shingle
+    * hashes first — a driver-held bitset of `numBits/8` bytes
+    * whatever the eval-set size, tested map-side inside codegen at
+    * the scan — so the exact-confirm SHUFFLE join carries only
+    * bloom-candidate shingles (true hits + the false-positive tail)
+    * instead of the whole corpus's shingle stream. False positives
+    * are harmless: the exact join decides membership, and the result
+    * is row-identical to [[decontaminate]] (q51 and q162 share one
+    * oracle).
+    */
+  def decontaminateBloomed(
+      corpus: DataFrame, testSet: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 5,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val testShingles = shingleHashes(testSet, idCol, textCol, shingleSize)
+      .select(col("h")).distinct()
+    val words = SketchOps.bloomFilterOf(testShingles, "h", numBits, numHashes)
+    val contaminated = shingleHashes(corpus, idCol, textCol, shingleSize)
+      .where(SketchOps.bloomMightContain(words, numHashes,
+        xxhash64(col("h"))))
       .join(testShingles, "h")
       .select(col("id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -805,6 +805,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("bloom-gated decontamination is row-identical to the broadcast-exact path") {
+    val corpus = docs.where($"doc_id" % 20 =!= 0)
+    val eval = docs.where($"doc_id" % 20 === 0)
+    val exact = DedupOps.decontaminate(corpus, eval, "doc_id", "text", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val bloomed = DedupOps
+      .decontaminateBloomed(corpus, eval, "doc_id", "text", 5)
+    assert(bloomed.select($"doc_id").as[Long].collect().toSet == exact)
+    // the bitset probe must gate the corpus shingles at the scan —
+    // getbit over the broadcast word literal, inside the plan, below
+    // the exact-confirm join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("getbit"), s"bloom probe missing:\n$plan")
+    // a tiny filter (64 bits, many hashes) must stay CONSERVATIVE:
+    // saturated blooms pass everything through to the exact join and
+    // the result is still identical
+    val saturated = DedupOps.decontaminateBloomed(
+      corpus, eval, "doc_id", "text", 5, numBits = 64, numHashes = 7)
+    assert(saturated.select($"doc_id").as[Long].collect().toSet == exact)
+  }
+
   test("cutDuplicateSpans keeps first occurrences and reassembles the text") {
     // intra-doc: "x y z" x3 collapses to one copy (windows 3..6 are
     // all repeats of earlier content -> island [3,9))
