@@ -1957,6 +1957,47 @@ object SparkEntry {
           "doc_id", "w", nShards = 10)
         .orderBy(col("doc_id"))
     }),
+    // ----- CCNet-style cross-corpus quality tiers: per-language
+    // unigram LM trained on the "wiki-like" source slice, every doc
+    // scored against it, head/middle/tail ntile per language -----
+    "q163_perplexity_buckets" -> ((s, dir) => {
+      TextOps.perplexityBuckets(t(s, dir, "documents"),
+          "doc_id", "text", "lang",
+          isReference = col("source").isin("src0", "src1", "src2", "src3"),
+          buckets = 3)
+        .orderBy(col("doc_id"))
+    }),
+    // ----- UniMax language balancing: integer water-filling of a
+    // token budget, deterministic hash-prefix selection per language -----
+    "q164_token_budget" -> ((s, dir) => {
+      SampleOps.tokenBudgetSample(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              TextOps.tokenCount(col("text")).cast("long").as("w")),
+          "doc_id", "lang", "w", budget = 20000L)
+        .select(col("doc_id"), col("lang"), col("w"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- corpus shape diagnostic: Zipf slope over the top-1000
+    // term-frequency head (integer micro-nat moments, engine-exact) -----
+    "q165_zipf_slope" -> ((s, dir) => {
+      TextOps.zipfSlope(t(s, dir, "documents"), "text", k = 1000)
+    }),
+    // ----- SQL window-function completeness: percent_rank /
+    // cume_dist / nth_value / last_value over per-customer order
+    // history (partitioned windows only — no global sort) -----
+    "q166_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("o_orderkey"), 2).over(wRows).as("second_order"),
+          last(col("o_orderkey")).over(wRows).as("last_order"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -3971,5 +4012,103 @@ object SparkEntry {
         |  CAST(CASE WHEN (r0 // 10) % 2 = 0 THEN r0 % 10
         |       ELSE 9 - (r0 % 10) END AS INT) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q163_perplexity_buckets" ->
+      """WITH arr AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, source, t.tk AS token
+        |  FROM arr, UNNEST(a) AS t(tk) WHERE t.tk <> ''),
+        |model AS (
+        |  SELECT lang, token, count(*) AS c_ref FROM tok
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |  GROUP BY lang, token),
+        |ls AS (
+        |  SELECT lang, sum(c_ref) AS n_ref, count(*) AS v_ref
+        |  FROM model GROUP BY lang),
+        |tf AS (
+        |  SELECT doc_id, lang, token, count(*) AS tf
+        |  FROM tok GROUP BY doc_id, lang, token),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.lang,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(CAST(tf.tf * ln((COALESCE(m.c_ref, 0) + 1) /
+        |        (COALESCE(ls.n_ref, 0) + COALESCE(ls.v_ref, 0) + 1))
+        |      AS DECIMAL(28,12))) AS DOUBLE) / sum(tf.tf), 6) AS avg_logprob
+        |  FROM tf LEFT JOIN model m ON tf.lang = m.lang AND tf.token = m.token
+        |  LEFT JOIN ls ON tf.lang = ls.lang
+        |  GROUP BY tf.doc_id, tf.lang)
+        |SELECT doc_id, lang, n_tokens, avg_logprob,
+        |  CAST(ntile(3) OVER (PARTITION BY lang
+        |    ORDER BY avg_logprob DESC, doc_id) AS INT) AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q164_token_budget" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+        |         END AS BIGINT) AS w
+        |  FROM documents WHERE lang IS NOT NULL),
+        |tot AS (SELECT lang, sum(w) AS t FROM w GROUP BY lang),
+        |r AS (SELECT lang, t,
+        |    row_number() OVER (ORDER BY t, lang) AS rn,
+        |    COALESCE(sum(t) OVER (ORDER BY t, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+        |    count(*) OVER () AS n
+        |  FROM tot),
+        |c AS (SELECT lang, t, rn, (20000 - p) // (n - rn + 1) AS cand FROM r),
+        |lvl AS (SELECT min(rn) AS jrn FROM c WHERE t > cand),
+        |lv AS (SELECT c.cand AS level FROM c, lvl WHERE c.rn = lvl.jrn),
+        |b AS (SELECT c.lang,
+        |    CASE WHEN (SELECT jrn FROM lvl) IS NULL
+        |           OR c.rn < (SELECT jrn FROM lvl) THEN c.t
+        |         ELSE (SELECT level FROM lv) END AS b
+        |  FROM c),
+        |sel AS (SELECT doc_id, lang, w,
+        |    sum(w) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+        |  FROM w)
+        |SELECT sel.doc_id, sel.lang, sel.w
+        |FROM sel JOIN b ON sel.lang = b.lang
+        |WHERE sel.cum <= b.b ORDER BY sel.doc_id""".stripMargin,
+    "q165_zipf_slope" ->
+      """WITH arr AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |tok AS (SELECT t.tk AS token FROM arr, UNNEST(a) AS t(tk)
+        |  WHERE t.tk <> ''),
+        |tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_vocab FROM tf),
+        |head AS (SELECT token, freq FROM tf
+        |  ORDER BY freq DESC, token LIMIT 1000),
+        |xy AS (SELECT
+        |    CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+        |      AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM head),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms, tot.total_tokens, tot.n_vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+        |FROM m, tot""".stripMargin,
+    "q166_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

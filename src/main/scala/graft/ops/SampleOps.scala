@@ -139,4 +139,67 @@ object SampleOps {
       .where(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** UniMax-style token-budget balancing: split a total token budget
+    * across strata (languages) by WATER-FILLING — every stratum whose
+    * corpus fits under the common water level keeps everything, the
+    * rest are capped at the level, so head languages are downsampled
+    * toward uniformity while tail languages are never starved (the
+    * failure mode of proportional and α-sampling both).
+    *
+    * The level is found greedily over strata sorted by total weight
+    * ascending (stratum name as tie-break): at step k the remaining
+    * budget splits evenly (INTEGER floor division — engine-exact)
+    * across the n−k unserved strata; a stratum below its share keeps
+    * its whole corpus and returns the difference to the pool; the
+    * first stratum ABOVE its share fixes the level for every stratum
+    * from there on (totals are ascending, so all of them cap). Any
+    * unspent floor remainder is forfeit — documented, deterministic.
+    *
+    * Row selection is the deterministic hash-order prefix: within a
+    * stratum, documents sort by (md5(id), id) and keep while the
+    * running token total stays ≤ the stratum's budget — the same
+    * membership rule every sampler in this file uses, so re-runs and
+    * cross-engine mirrors agree row-for-row.
+    *
+    * Shape at scale: the per-stratum totals are a strata-sized
+    * aggregate (collected — bounded by the number of languages, not
+    * rows); budgets compile to a literal CASE over the stratum
+    * column; the prefix cut is one stratum-partitioned window. A
+    * single giant stratum lands on one partition — pre-thin with
+    * [[deterministicSample]] at an overshooting rate first (hash
+    * order survives prefix-threshold thinning), as with
+    * [[exactKPerGroup]].
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0)
+    val totals = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(sum(col(weightCol)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (s, t) => (t, s) }
+    if (totals.isEmpty) return df.where(lit(false))
+    val n = totals.length
+    var remaining = budget
+    var level = Long.MaxValue
+    val budgets = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var k = 0
+    while (k < n) {
+      val (s, t) = totals(k)
+      val share = if (level == Long.MaxValue) remaining / (n - k) else level
+      if (t <= share && level == Long.MaxValue) { budgets(s) = t; remaining -= t }
+      else { if (level == Long.MaxValue) level = share; budgets(s) = level }
+      k += 1
+    }
+    val budgetExpr = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.where(col(stratumCol).isNotNull)
+      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .where(col("_cum") <= budgetExpr)
+      .drop("_cum")
+  }
 }

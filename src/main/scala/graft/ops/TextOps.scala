@@ -1000,4 +1000,118 @@ object TextOps {
       .select(id, col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
+
+  /** CCNet-style perplexity bucketing: score every document under a
+    * per-language unigram language model trained on a REFERENCE
+    * slice of the corpus (the "wiki-like" high-quality subset), then
+    * split each language into `buckets` quality tiers — head (bucket
+    * 1, most reference-like) through tail. This is the cross-corpus
+    * step the self-scored [[unigramLogProb]] can't do: a document is
+    * judged against an external model, so boilerplate that dominates
+    * the raw crawl but not the reference scores LOW.
+    *
+    * Model: add-one-smoothed unigram MLE per language —
+    * P(w | lang) = (c_ref(lang, w) + 1) / (N_lang + V_lang + 1); an
+    * out-of-vocabulary token gets the same formula with c = 0. All
+    * inputs to the log are exact integer ratios, so both engines
+    * evaluate identical arguments; the per-document fold accumulates
+    * in DECIMAL (order-independent), surfacing a round-6 mean.
+    *
+    * Shape at scale: the model is a (lang, token) count table built
+    * from the reference slice — ONE aggregation, then reused as the
+    * probe side of a token-keyed shuffle join against per-document
+    * token counts (both sides hash-partition on (lang, token); no
+    * broadcast assumption, the vocabulary can be huge). Per-language
+    * totals (N, V) are a languages-sized aggregate, broadcast. The
+    * final ntile window partitions BY LANGUAGE — never a global
+    * single-partition sort; a language's scored docs are a window
+    * over the per-doc aggregate, already shuffled on the doc id.
+    * Tie-break on (avg_logprob desc, id) makes the tier assignment
+    * total and engine-reproducible.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, isReference: Column, buckets: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val lang = col(langCol)
+    // reference model: per-(lang, token) counts + per-lang totals
+    val refTok = df.where(isReference)
+      .select(lang, explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val model = refTok.groupBy(lang, col("token"))
+      .agg(count(lit(1)).as("c_ref"))
+    val langStats = model.groupBy(lang)
+      .agg(sum(col("c_ref")).as("n_ref"), count(lit(1)).as("v_ref"))
+    // per-document token counts (id-keyed exchange; see unigramLogProb)
+    val tf = Parallelism.ensureKeyed(
+        df.select(id, lang, col(textCol)), id)
+      .select(id, lang, explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(id, lang, col("token")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(model, Seq(langCol, "token"), "left")
+      .join(broadcast(langStats), Seq(langCol), "left")
+      .withColumn("w", col("tf") *
+        log((coalesce(col("c_ref"), lit(0L)) + lit(1)) /
+          (coalesce(col("n_ref"), lit(0L)) + coalesce(col("v_ref"), lit(0L)) + lit(1))))
+      .groupBy(id, lang)
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("_wsum"),
+        sum(col("tf")).as("n_tokens"))
+      .select(id, lang, col("n_tokens"),
+        round(col("_wsum").cast("double") / col("n_tokens"), 6)
+          .as("avg_logprob"))
+    val w = Window.partitionBy(lang)
+      .orderBy(col("avg_logprob").desc, id)
+    scored.withColumn("bucket", ntile(buckets).over(w))
+  }
+
+  /** Zipf's-law fit over the corpus's term-frequency head: the
+    * least-squares slope of ln(freq) against ln(rank) for the top-k
+    * terms — the canonical "is this corpus naturally distributed or
+    * TEMPLATE SPAM" diagnostic (natural text ≈ −1; machine-generated
+    * boilerplate flattens the head). Returns one row:
+    * (n_terms, total_tokens, n_vocab, zipf_slope).
+    *
+    * Shape at scale: one token-count aggregation (map-side combined),
+    * the corpus totals ride the same counts, and the fit itself runs
+    * over `orderBy(freq desc, token).limit(k)` — a
+    * TakeOrderedAndProject that contracts to ONE k-sized partition,
+    * so [[StatsOps.postLimitRank]] numbers ranks with zero extra
+    * jobs and no unpartitioned window. The regression moments
+    * accumulate in DECIMAL over round-9 logs: order-independent and
+    * engine-exact; only the final slope division is floating point,
+    * surfaced at round 6.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tfAll = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val totals = tfAll.groupBy()
+      .agg(sum(col("freq")).as("total_tokens"), count(lit(1)).as("n_vocab"))
+    val head = StatsOps.postLimitRank(
+      tfAll.orderBy(col("freq").desc, col("token")).limit(k), "rank")
+    // quantize the logs to integer micro-nats (the pearsonExactScaled
+    // pattern): both engines round the SAME double to the SAME long,
+    // all moment sums are exact integer sums (ln ≤ 28 even at 10^12
+    // tokens → squares ≤ 8e14, k-term sums far inside 2^63), and the
+    // final slope is one IEEE expression over identical doubles
+    val xs = round(log(col("rank").cast("double")) * 1e6).cast("long")
+    val ys = round(log(col("freq").cast("double")) * 1e6).cast("long")
+    val fit = head
+      .select(xs.as("x"), ys.as("y"))
+      .groupBy()
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+    fit.crossJoin(broadcast(totals))
+      .select(col("n_terms"), col("total_tokens"), col("n_vocab"),
+        col("zipf_slope"))
+  }
 }

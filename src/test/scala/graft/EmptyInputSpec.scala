@@ -117,4 +117,13 @@ class EmptyInputSpec extends AnyFunSuite {
       .logregTrainScore(labeled0, "doc_id", "is_en", "text", steps = 2)
       .count() == 0)
   }
+
+  test("round-6 operators accept empty corpora") {
+    assert(TextOps.perplexityBuckets(docs0, "doc_id", "text", "lang",
+      col("source") === "src0").count() == 0)
+    assert(SampleOps.tokenBudgetSample(
+      docs0.withColumn("w", lit(1L)), "doc_id", "lang", "w", 100L)
+      .count() == 0)
+    // zipfSlope's well-defined 1-row empty answer is pinned in LlmOpsSpec
+  }
 }

@@ -854,6 +854,66 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("perplexityBuckets: reference-like docs tier above gibberish, OOV scores floor") {
+    // reference slice (is_ref): plain English; scored corpus includes a
+    // reference-like doc, a half-OOV doc, and pure gibberish
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en", true),
+      (2L, "the dog sat on the rug", "en", true),
+      (3L, "the cat sat on the rug", "en", false), // all in-vocab
+      (4L, "the cat zzz qqq vvv mat", "en", false), // half OOV
+      (5L, "zzz qqq vvv www yyy xxx", "en", false) // all OOV
+    ).toDF("doc_id", "text", "lang", "is_ref")
+    val out = TextOps.perplexityBuckets(df, "doc_id", "text", "lang",
+        isReference = col("is_ref"), buckets = 3)
+      .select("doc_id", "avg_logprob", "bucket")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(3L)._1 > out(4L)._1 && out(4L)._1 > out(5L)._1,
+      s"in-vocab > mixed > OOV ordering, got $out")
+    // all-OOV: every token scores ln(1/(N+V+1)); N=12 tokens, V=7 vocab
+    // (the cat sat on mat dog rug)
+    assert(math.abs(out(5L)._1 - math.log(1.0 / 20)) < 1e-6)
+    // model docs score themselves; 5 docs over 3 buckets per lang
+    assert(out.values.map(_._2).toSet.subsetOf(Set(1, 2, 3)))
+  }
+
+  test("perplexityBuckets: per-language models are independent") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "aa", true),
+      (2L, "alpha beta gamma", "bb", true),
+      (3L, "alpha beta gamma", "aa", false),
+      (4L, "alpha beta gamma", "bb", false)
+    ).toDF("doc_id", "text", "lang", "is_ref")
+    val out = TextOps.perplexityBuckets(df, "doc_id", "text", "lang",
+        col("is_ref"))
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    // same text, same-size per-lang models -> identical scores per lang
+    assert(out(3L) == out(4L))
+    // N=3, V=3 per model: each token P=(1+1)/(3+3+1)=2/7
+    assert(math.abs(out(3L) - math.log(2.0 / 7)) < 1e-6)
+  }
+
+  test("zipfSlope: an exact power-law head fits slope -1") {
+    // freq(rank r) = 1024/r for r=1..8, realized by repeating tokens
+    val rows = (1 to 8).flatMap { r =>
+      Seq.fill(1024 / r)(s"w$r")
+    }.grouped(64).zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val out = TextOps.zipfSlope(rows.toSeq.toDF("doc_id", "text"), "text", 1000)
+      .select("n_terms", "total_tokens", "n_vocab", "zipf_slope")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out._1 == 8 && out._3 == 8)
+    assert(out._2 == (1 to 8).map(1024 / _).sum)
+    // 1024/r is integer-exact for r in 1..8 except 1024/6=170.67 -> 170,
+    // 1024/7=146.3 -> 146: floor wobble keeps it near -1, not exactly
+    assert(math.abs(out._4 - (-1.0)) < 0.01, s"slope ${out._4}")
+  }
+
+  test("zipfSlope: empty corpus yields one well-defined row") {
+    val out = TextOps.zipfSlope(docs.where(lit(false)), "text", 100).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
+  }
+
   test("gopherQuality: each rule's metric is exact and the gate fires per rule") {
     // doc 1: 55 words, mean 36/11 chars, 4 stopword hits/rep -> keep
     val good = ("the cat sat on mat with dog and bird that flew " * 5).trim

@@ -24,7 +24,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q114_important_parts",                         // 1-row total for share-of
     "q70_edit_distance",                            // all-pairs of 10 sources
     "q145_nb_classify",                             // docs × |labels| scoring: build side is the label model (a handful of rows), bounded by class count not data
-    "q159_token_mi")                                // 1-row (N, N1) totals joined to the vocab cells
+    "q159_token_mi",                                // 1-row (N, N1) totals joined to the vocab cells
+    "q165_zipf_slope")                              // 1-row fit × 1-row corpus totals
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)

@@ -40,6 +40,50 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(math.abs(otherRate - 0.5) < 0.06, s"other rate was $otherRate")
   }
 
+  test("tokenBudgetSample water-fills: tail strata kept whole, head capped at the level") {
+    // strata token totals: a=100, b=300, c=2000; budget 900
+    // k=0: share 900/3=300, a(100)<=300 -> whole, rem 800
+    // k=1: share 800/2=400, b(300)<=400 -> whole, rem 500
+    // k=2: share 500, c(2000)>500 -> level 500, c capped at 500
+    val df = (
+      (1L to 10L).map(i => (i, "a", 10L)) ++
+      (11L to 40L).map(i => (i, "b", 10L)) ++
+      (41L to 240L).map(i => (i, "c", 10L))
+    ).toDF("id", "stratum", "w")
+    val kept = SampleOps.tokenBudgetSample(df, "id", "stratum", "w", 900L)
+      .groupBy("stratum").agg(sum("w").as("w")).as[(String, Long)]
+      .collect().toMap
+    assert(kept == Map("a" -> 100L, "b" -> 300L, "c" -> 500L), s"got $kept")
+  }
+
+  test("tokenBudgetSample: budget over total keeps everything; zero keeps nothing") {
+    val df = ((1L to 5L).map(i => (i, "a", 7L)) ++
+      (6L to 9L).map(i => (i, "b", 3L))).toDF("id", "stratum", "w")
+    assert(SampleOps.tokenBudgetSample(df, "id", "stratum", "w", 1000L)
+      .count() == 9)
+    assert(SampleOps.tokenBudgetSample(df, "id", "stratum", "w", 0L)
+      .count() == 0)
+    assert(SampleOps.tokenBudgetSample(df.where(lit(false)), "id", "stratum",
+      "w", 10L).count() == 0)
+  }
+
+  test("tokenBudgetSample prefix cut is deterministic and respects the budget exactly") {
+    val df = (1L to 50L).map(i => (i, "x", i % 7 + 1L)).toDF("id", "stratum", "w")
+    val a = SampleOps.tokenBudgetSample(df, "id", "stratum", "w", 60L)
+    val b = SampleOps.tokenBudgetSample(df.repartition(17), "id", "stratum", "w", 60L)
+    val idsA = a.select("id").as[Long].collect().toSet
+    assert(idsA == b.select("id").as[Long].collect().toSet,
+      "membership must not depend on partitioning")
+    val keptW = a.agg(sum("w")).as[Long].collect().head
+    assert(keptW <= 60L)
+    // the cut is a prefix: adding the next hash-ordered doc would bust it
+    val ordered = df.withColumn("h", md5($"id".cast("string")))
+      .orderBy($"h", $"id").select("id", "w").as[(Long, Long)].collect()
+    val nextW = ordered.dropWhile { case (i, _) => idsA.contains(i) }
+      .headOption.map(_._2).getOrElse(0L)
+    assert(nextW == 0L || keptW + nextW > 60L, "cut must be maximal")
+  }
+
   test("mixtureSample realizes the target shares at the max feasible size") {
     // 1000 a, 300 b with target 50/50: b binds (300/.5=600), a
     // downsamples to ~300, b kept whole
