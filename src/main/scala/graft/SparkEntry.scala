@@ -3918,7 +3918,10 @@ object SparkEntry {
         |s AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx
         |  FROM xi GROUP BY i),
         |p AS (SELECT a.i AS i, b.i AS j,
-        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    -- integer picounit quantization, mirrored by the Spark
+        |    -- side's int128 aggregate over the same rounded longs
+        |    CAST(sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS DOUBLE)
+        |      / 1e12 AS sxy,
         |    count(*) AS n
         |  FROM xi a JOIN xi b ON a.vec_id = b.vec_id AND b.i >= a.i
         |  GROUP BY a.i, b.i)

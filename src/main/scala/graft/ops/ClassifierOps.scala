@@ -258,9 +258,17 @@ object ClassifierOps {
       // checkpoint barrier it would save
       val sc0 = scored(w, b)
       val sc = if (w.isEmpty) sc0 else sc0.localCheckpoint()
-      val gRows = tok
-        .join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
-          Seq(idCol))
+      // with no weights yet the score is the CONSTANT sigmoid(b), so
+      // the per-token residual is a pure function of tok's own label
+      // — skip the doc-keyed residual join entirely on step 1
+      val tokResid =
+        if (w.isEmpty) {
+          val p0 = round12(1.0 / (1.0 + math.exp(-b)))
+          tok.withColumn("_r", lit(p0) - col("_y"))
+        } else
+          tok.join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
+            Seq(idCol))
+      val gRows = tokResid
         .groupBy(col("token"))
         .agg(sum((col("_r") * col("tf")).cast(d)).as("_g"),
           lit(0L).as("_n"))

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Feature-statistics operators for training pipelines. */
 object StatsOps {
@@ -379,13 +379,18 @@ object StatsOps {
     * Returns (i, j, cov) for 0 ≤ i ≤ j < dim.
     */
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
-    val d12 = DecimalType(28, 12)
     val d8 = DecimalType(28, 8)
     val v = Parallelism.ensure(df.select(col(vecCol).as("_v"))
       .where(col("_v").isNotNull))
     // flatten(i -> (j >= i -> (i, j, x_i·x_j))): element lambdas are
     // interpreted, but each evaluates one product — O(dim²) work per
     // row that any covariance must pay
+    // products quantized to integer picounits (the pearsonExactScaled
+    // pattern): both engines round the SAME double product to the SAME
+    // long, and the O(n·dim²) accumulation runs through the native
+    // int128 aggregate at long speed instead of per-row BigDecimal —
+    // the hot loop of the whole covariance (measured 2.4× the oracle
+    // on the decimal accumulator, at parity on this one)
     val pairs = v.select(explode(flatten(
         transform(sequence(lit(0), size(col("_v")) - 1), i =>
           transform(sequence(i, size(col("_v")) - 1), j =>
@@ -393,9 +398,13 @@ object StatsOps {
               (element_at(col("_v"), i + 1).cast(DoubleType) *
                 element_at(col("_v"), j + 1).cast(DoubleType)).as("xy"))))))
         .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy"))
+      // quantize in the flat post-explode projection (codegen'd),
+      // not inside the interpreted element lambda
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        round(col("p.xy") * 1e12).cast(LongType).as("xy"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xy").cast(d12)).cast(DoubleType).as("sxy"),
+      .agg((graft.functions.Int128Sum.exactLongSum(col("xy"))
+          .cast(DoubleType) / 1e12).as("sxy"),
         count(lit(1)).as("n"))
     val dims = v
       .select(posexplode(col("_v")).as(Seq("i", "x")))
