@@ -1998,6 +1998,16 @@ object SparkEntry {
           last(col("o_orderkey")).over(wRows).as("last_order"))
         .orderBy(col("o_orderkey"))
     }),
+    // ----- classifier evaluation: the language-ID heuristic measured
+    // against gold labels — per-class precision/recall/F1 -----
+    "q167_langid_eval" -> ((s, dir) => {
+      graft.ops.ClassifierOps.evalReport(
+          t(s, dir, "documents")
+            .select(col("lang").as("label"),
+              TextOps.languageId(col("text")).as("pred")),
+          "label", "pred")
+        .orderBy(col("cls"))
+    }),
   )
 
   /** Queries with no [[oracleSql]] entry — the driver records a
@@ -4113,5 +4123,46 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q167_langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang AS label,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, label,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','en'], x))) AS s_es
+        |FROM t),
+        |pr AS (SELECT label, CASE
+        |  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+        |  ELSE 'unknown' END AS pred
+        |FROM s),
+        |cells AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY label, pred),
+        |bt AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_true
+        |  FROM cells GROUP BY label),
+        |bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY pred),
+        |tp AS (SELECT label AS cls, CAST(n AS BIGINT) AS tp FROM cells
+        |  WHERE label = pred),
+        |j AS (SELECT COALESCE(bt.cls, bp.cls) AS cls,
+        |    COALESCE(bt.n_true, 0) AS n_true,
+        |    COALESCE(bp.n_pred, 0) AS n_pred,
+        |    COALESCE(tp.tp, 0) AS tp
+        |  FROM bt FULL JOIN bp ON bt.cls = bp.cls
+        |  LEFT JOIN tp ON COALESCE(bt.cls, bp.cls) = tp.cls),
+        |m AS (SELECT cls, n_true, n_pred, tp,
+        |    CASE WHEN n_pred > 0
+        |      THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+        |    CASE WHEN n_true > 0
+        |      THEN round(CAST(tp AS DOUBLE) / n_true, 6) END AS recall
+        |  FROM j)
+        |SELECT cls, n_true, n_pred, tp, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |         AND precision + recall > 0
+        |    THEN round(2.0 * precision * recall / (precision + recall), 6)
+        |  END AS f1
+        |FROM m ORDER BY cls""".stripMargin,
   )
 }

@@ -345,4 +345,48 @@ object ClassifierOps {
       .orderBy(col("mi").desc, col("token"))
       .limit(topK)
   }
+
+  /** Classifier evaluation report: per-class precision / recall / F1
+    * from (gold label, predicted label) pairs — the measurement half
+    * of the classifier stack (a quality gate is only as good as its
+    * measured precision on held-out labels). The class set is the
+    * UNION of gold and predicted values (a class the model invents,
+    * like `unknown`, shows up with n_true = 0 rather than vanishing).
+    *
+    * One (label, pred) count aggregation — confusion-matrix-sized,
+    * tiny whatever the corpus — then class-keyed re-aggregations and
+    * a full-outer stitch, all on catalog-sized frames. Ratios are
+    * single IEEE divisions of exact integers (engine-identical),
+    * F1 computed FROM the 6-dp-rounded precision/recall so both
+    * engines see the same operands; zero-denominator cells are NULL,
+    * not 0 (absence of evidence, not a zero score).
+    */
+  def evalReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cells = df
+      .select(col(labelCol).as("_label"), col(predCol).as("_pred"))
+      .groupBy(col("_label"), col("_pred")).agg(count(lit(1)).as("_n"))
+    val byTrue = cells.groupBy(col("_label").as("cls"))
+      .agg(sum(col("_n")).as("n_true"))
+    val byPred = cells.groupBy(col("_pred").as("cls"))
+      .agg(sum(col("_n")).as("n_pred"))
+    val tp = cells.where(col("_label") === col("_pred"))
+      .select(col("_label").as("cls"), col("_n").as("_tp"))
+    val p = col("precision")
+    val r = col("recall")
+    byTrue.join(byPred, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("_tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0,
+          round(col("tp").cast(DoubleType) / col("n_pred"), 6)))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          round(col("tp").cast(DoubleType) / col("n_true"), 6)))
+      .withColumn("f1",
+        when(p.isNotNull && r.isNotNull && (p + r) > 0,
+          round(lit(2.0) * p * r / (p + r), 6)))
+  }
 }

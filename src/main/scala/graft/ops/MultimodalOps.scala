@@ -551,4 +551,108 @@ object MultimodalOps {
     media.where(
       col("payload").isNotNull && length(col("payload")) > 0 &&
         col("meta.kind").isin("image", "audio", "video"))
+
+  /** dHash: the standard 64-bit difference perceptual hash. Decode,
+    * bilinear-resize to 9×8 grayscale, emit one bit per horizontally
+    * adjacent luma pair (left > right). Robust to re-encoding,
+    * scaling, and mild noise; bit distance ≈ visual distance.
+    * Returns None for payloads no ImageIO reader accepts (degrade,
+    * don't fail — the [[ImageIoDecoder]] contract).
+    */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    val img =
+      if (payload == null || payload.isEmpty) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val target = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = target.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val l = target.getRGB(x, y)
+          val r = target.getRGB(x + 1, y)
+          def luma(rgb: Int): Int =
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          if (luma(l) > luma(r)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+  }
+
+  /** Per-image perceptual hashes: (media_id, phash NULLABLE) — null
+    * marks payloads that didn't decode (kept, so callers can audit
+    * the undecodable fraction). The decode is per-partition
+    * imperative work (the sanctioned mapPartitions case, like
+    * [[extractFeatures]]); everything downstream is declarative.
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", media.schema("media_id").dataType),
+      StructField("phash", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.get(idIdx), dHash64(payload).map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Near-duplicate image pairs by banded dHash — the image twin of
+    * SimHash text dedup. The 64-bit hash splits into `bands` equal
+    * slices; a pair collides iff some slice matches exactly, then the
+    * exact bit distance (`bit_count(xor)`, codegen'd) confirms
+    * ≤ `maxHamming`. By pigeonhole every pair within `bands − 1` bits
+    * is GUARANTEED found (default 4 bands ⇒ distance ≤ 3 exact);
+    * beyond that recall degrades gracefully — the standard
+    * LSH-for-Hamming trade.
+    *
+    * Shape at scale: hashes are 8 bytes/image — the self-join runs on
+    * the (band, slice) key after a 4× fanout of 12-byte rows, never
+    * touching payloads; collisions concentrate only on true
+    * near-dups (uniform hash slices otherwise), so no hot buckets.
+    * Returns (id_a, id_b, hamming), id_a < id_b, one row per pair.
+    */
+  def nearDuplicateImages(media: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashes = perceptualHashes(media).where(col("phash").isNotNull)
+    val slices = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("phash"), b * width).bitwiseAND(lit(mask)))
+            .as("slice"))): _*)).as("bs"))
+      .select(col("media_id"), col("phash"),
+        col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val left = slices.select(col("band"), col("slice"),
+      col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val right = slices.select(col("band"), col("slice"),
+      col("media_id").as("id_b"), col("phash").as("ph_b"))
+    left.join(right, Seq("band", "slice"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

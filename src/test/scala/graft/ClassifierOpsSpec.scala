@@ -122,4 +122,26 @@ class ClassifierOpsSpec extends AnyFunSuite {
       0.25 * math.log(4.0 * 1 / (3 * 2.0)))
     assert(got == List(("a", 2L, miA), ("c", 1L, miC), ("b", 2L, 0.0)))
   }
+
+  test("evalReport: hand-computed confusion, union class set, null zero-denominators") {
+    import spark.implicits._
+    // gold en,en,en,de / pred en,en,de,xx:
+    //  en: n_true 3, n_pred 2, tp 2 -> p=1.0? no: tp(en)=2, n_pred(en)=2 -> p=1.0, r=2/3
+    //  de: n_true 1, n_pred 1, tp 0 -> p=0, r=0, f1 null (p+r=0)
+    //  xx: predicted only -> n_true 0, recall null
+    val df = Seq(("en", "en"), ("en", "en"), ("en", "de"), ("de", "xx"))
+      .toDF("label", "pred")
+    val got = ClassifierOps.evalReport(df, "label", "pred")
+      .orderBy("cls")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toList
+    val r23 = BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val f1en = BigDecimal(2.0 * 1.0 * r23 / (1.0 + r23))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(
+      ("de", 1L, 1L, 0L, Some(0.0), Some(0.0), None),
+      ("en", 3L, 2L, 2L, Some(1.0), Some(r23), Some(f1en)),
+      ("xx", 0L, 1L, 0L, Some(0.0), None, None)))
+  }
 }

@@ -410,6 +410,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r1.getStruct(2).getInt(1) == 4 && r1.getStruct(2).getInt(2) == 4)
   }
 
+  test("multimodal: dHash near-dup finds re-encoded/noised copies, not distinct images") {
+    import MultimodalOps._
+    def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // 36x32 grid of 4px blocks, block luma from a deterministic
+    // LCG of (bx, by, seed) — structured detail that survives the
+    // 9x8 downscale (each block ≈ one hash cell), unlike a smooth
+    // gradient whose horizontal deltas all share one sign
+    def blocks(seed: Int, noise: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        // xor-of-products then a multiply-shift: avalanched per block,
+        // NOT additive in the seed (a seed that only shifted global
+        // brightness would leave the dHash unchanged by design)
+        val m = ((x / 4) * 73856093) ^ ((y / 4) * 19349663) ^ (seed * 83492791)
+        val base = (((m.toLong * 2654435761L) >>> 24) & 0xff).toInt
+        val v = math.max(0, math.min(255,
+          base + (if ((x + y) % 5 == 0) noise else 0)))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    val rows = Seq(
+      Row(1L, png(blocks(1, 0)), Row("image", 36, 32, null, null)),
+      Row(2L, png(blocks(1, 10)), Row("image", 36, 32, null, null)), // noised copy
+      Row(3L, png(blocks(7, 0)), Row("image", 36, 32, null, null)), // different image
+      Row(4L, Array[Byte](9, 9, 9), Row("image", null, null, null, null))) // corrupt
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema())
+
+    val hashes = perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(hashes(4L).isEmpty, "corrupt payload must yield null, not fail")
+    assert(hashes(1L).isDefined && hashes(3L).isDefined)
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(2L).get) <= 3,
+      "mild noise must stay within the dHash near-dup radius")
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(3L).get) > 10,
+      "a structurally different image must be far in bit distance")
+
+    val pairs = nearDuplicateImages(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // empty input: no pairs, no failure
+    assert(nearDuplicateImages(media.where(lit(false))).count() == 0)
+  }
+
   test("multimodal: ImageIoDecoder decodes a real PNG through the distributed plan") {
     import MultimodalOps._
     // render a real 8x4 PNG in memory: left half pure red, right half
