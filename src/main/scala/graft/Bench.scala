@@ -157,11 +157,15 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    // Stop Spark BEFORE printing the summary: the driver keeps only
+    // the last ~2000 chars of combined output, so any shutdown-path
+    // log line landing after the JSON would evict it from the tail.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
       s""""overhead_floor":${fmt(floor)},""" +
       s""""protocol":"$protocol","detail":"BENCH_DETAIL.json",""" +
       s""""queries":${jsonOf(head)},"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
