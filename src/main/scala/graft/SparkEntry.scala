@@ -1998,6 +1998,40 @@ object SparkEntry {
           last(col("o_orderkey")).over(wRows).as("last_order"))
         .orderBy(col("o_orderkey"))
     }),
+    // ----- Unicode canonicalization: the native nfc_normalize
+    // expression over synthesized decomposed text (combining marks
+    // compose, lengths shrink, bytes hash identically to DuckDB's
+    // nfc_normalize) -----
+    "q168_unicode_nfc" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 16),
+        lit("e\u0301 o\u0302 u\u0308"))
+      val nfc = graft.functions.NfcNormalize(raw)
+      t(s, dir, "documents").select(col("doc_id"),
+          length(raw).as("len_raw"),
+          length(nfc).as("len_nfc"),
+          md5(nfc.cast("binary")).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- Unicode script profiling: the character-class signal
+    // ahead of langid — synthesized multi-script suffixes keyed by
+    // doc_id (Cyrillic/Greek/Han/Arabic + digits + a decomposed é
+    // that must NFC-compose into a Latin char inside the operator) -----
+    "q169_script_profile" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 5 === 1,
+          lit(" \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+        .when(col("doc_id") % 5 === 2,
+          lit(" \u03b3\u03b5\u03b9\u03b1 \u03ba\u03bf\u03c3\u03bc\u03b5"))
+        .when(col("doc_id") % 5 === 3, lit(" \u4f60\u597d\u4e16\u754c"))
+        .when(col("doc_id") % 5 === 4, lit(" \u0645\u0631\u062d\u0628\u0627"))
+        .otherwise(lit(""))
+      val raw = concat(substring(col("text"), 1, 40), suffix,
+        when(col("doc_id") % 3 === 0, lit(" 42")).otherwise(lit("")),
+        lit(" e\u0301"))
+      graft.ops.TextOps.scriptProfile(
+          t(s, dir, "documents").select(col("doc_id"), raw.as("txt")),
+          "doc_id", "txt")
+        .orderBy(col("doc_id"))
+    }),
     // ----- classifier evaluation: the language-ID heuristic measured
     // against gold labels — per-class precision/recall/F1 -----
     "q167_langid_eval" -> ((s, dir) => {
@@ -4164,5 +4198,60 @@ object SparkEntry {
         |    THEN round(2.0 * precision * recall / (precision + recall), 6)
         |  END AS f1
         |FROM m ORDER BY cls""".stripMargin,
+    "q168_unicode_nfc" ->
+      """WITH b AS (SELECT doc_id,
+        |    substr(text, 1, 16) || 'e' || chr(769) || ' o' || chr(770) ||
+        |      ' u' || chr(776) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q169_script_profile" ->
+      """WITH b AS (SELECT doc_id,
+        |    substr(text, 1, 40) ||
+        |    CASE doc_id % 5
+        |      WHEN 1 THEN ' ' || chr(1087)||chr(1088)||chr(1080)||
+        |        chr(1074)||chr(1077)||chr(1090)||' '||chr(1084)||
+        |        chr(1080)||chr(1088)
+        |      WHEN 2 THEN ' ' || chr(947)||chr(949)||chr(953)||chr(945)||
+        |        ' '||chr(954)||chr(959)||chr(963)||chr(956)||chr(949)
+        |      WHEN 3 THEN ' ' || chr(20320)||chr(22909)||chr(19990)||
+        |        chr(30028)
+        |      WHEN 4 THEN ' ' || chr(1605)||chr(1585)||chr(1581)||
+        |        chr(1576)||chr(1575)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' 42' ELSE '' END ||
+        |    ' e' || chr(769) AS raw
+        |  FROM documents),
+        | nrm AS (SELECT doc_id, nfc_normalize(raw) AS s FROM b),
+        | c AS (SELECT doc_id,
+        |   CAST(length(s) AS BIGINT) AS n_chars,
+        |   CAST(length(s) - length(regexp_replace(s, '[\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+        |   CAST(length(s) - length(regexp_replace(s, '[\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |   CAST(length(s) - length(regexp_replace(s, '[\p{Greek}]', '', 'g')) AS BIGINT) AS n_greek,
+        |   CAST(length(s) - length(regexp_replace(s, '[\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+        |   CAST(length(s) - length(regexp_replace(s, '[\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |   CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |   CAST(length(s) - length(regexp_replace(s, '[ ]', '', 'g')) AS BIGINT) AS n_space
+        |  FROM nrm)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_han,
+        |  n_arabic, n_digit, n_space,
+        |  CASE WHEN n_chars - n_space = 0 THEN 0.0
+        |    ELSE round(CAST(n_latin AS DOUBLE) /
+        |      CAST(n_chars - n_space AS DOUBLE), 6) END AS latin_ratio,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_han, n_arabic) = 0
+        |      THEN 'none'
+        |    WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_han, n_arabic)
+        |      THEN 'latin'
+        |    WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_han, n_arabic)
+        |      THEN 'cyrillic'
+        |    WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_han, n_arabic)
+        |      THEN 'greek'
+        |    WHEN n_han = greatest(n_latin, n_cyrillic, n_greek, n_han, n_arabic)
+        |      THEN 'han'
+        |    ELSE 'arabic' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -214,6 +214,10 @@ object VectorExpressions {
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => VectorCosine(es(0), es(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonical composition (DuckDB-compatible)"),
+      (es: Seq[Expression]) => NfcNormalizeExpr(es(0))),
     composed("graft_hash_unit",
       "graft_hash_unit(id) - deterministic uniform [0,1) hash of an id (sampling threshold)") {
       es => graft.ops.SampleOps.hashUnit(es(0))

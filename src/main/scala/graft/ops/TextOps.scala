@@ -1114,4 +1114,54 @@ object TextOps {
       .select(col("n_terms"), col("total_tokens"), col("n_vocab"),
         col("zipf_slope"))
   }
+
+  /** Unicode script profile — the character-class signal that sits
+    * AHEAD of token-level language ID in a web-crawl pipeline:
+    * before any tokenizer can run, the pipeline has to know whether
+    * a byte blob is Latin prose, CJK (no spaces to tokenize on),
+    * mixed-script spam, or digit noise. Reports per-document counts
+    * for the five highest-volume scripts plus digits/whitespace, the
+    * dominant script (deterministic fixed-order tie-break), and the
+    * Latin ratio over non-space characters.
+    *
+    * Input is NFC-normalized first ([[graft.functions.NfcNormalize]])
+    * so decomposed sequences count as their composed script character
+    * rather than base+Inherited-mark — the composition step changes
+    * the answer, which is exactly why it must be inside the operator.
+    *
+    * Pure map-side column arithmetic over codegen'd regexp counts —
+    * no shuffle, no UDF, scales embarrassingly. Counting is
+    * length(s) − length(regexp_replace(s, cls, "")): per-codepoint
+    * classes, identical in Java regex (Spark) and RE2 (engines like
+    * DuckDB spell the class \p{Latin} instead of \p{IsLatin}).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = graft.functions.NfcNormalize(col(textCol))
+    def cnt(cls: String): Column =
+      (length(s) - length(regexp_replace(s, cls, ""))).cast("long")
+    val nChars = length(s).cast("long")
+    val latin = cnt("[\\p{IsLatin}]")
+    val cyr = cnt("[\\p{IsCyrillic}]")
+    val greek = cnt("[\\p{IsGreek}]")
+    val han = cnt("[\\p{IsHan}]")
+    val arabic = cnt("[\\p{IsArabic}]")
+    val digits = cnt("[0-9]")
+    val spaces = cnt("[ ]")
+    val top = greatest(latin, cyr, greek, han, arabic)
+    val dominant = when(top === 0, lit("none"))
+      .when(latin === top, "latin")
+      .when(cyr === top, "cyrillic")
+      .when(greek === top, "greek")
+      .when(han === top, "han")
+      .otherwise("arabic")
+    val nonSpace = nChars - spaces
+    df.select(col(idCol), nChars.as("n_chars"),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), greek.as("n_greek"),
+      han.as("n_han"), arabic.as("n_arabic"),
+      digits.as("n_digit"), spaces.as("n_space"),
+      when(nonSpace === 0, 0.0)
+        .otherwise(round(latin.cast("double") / nonSpace.cast("double"), 6))
+        .as("latin_ratio"),
+      dominant.as("script"))
+  }
 }

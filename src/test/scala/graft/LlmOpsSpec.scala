@@ -964,6 +964,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("scriptProfile: hand-computed script counts, NFC-first, dominant tie-break") {
+    val cyr = "\u043c\u0438\u0440" // мир — 3 Cyrillic
+    val han = "\u4f60\u597d"       // 你好 — 2 Han
+    val df = Seq(
+      (1L, s"ab $cyr"),            // 2 latin, 3 cyrillic, 1 space
+      (2L, s"$han x1 "),           // 2 han, 1 latin, 1 digit, 2 spaces
+      (3L, "e\u0301e\u0301"),      // NFC composes to 2 Latin é chars
+      (4L, s"ab $cyr x"),          // latin==cyrillic==3 → latin wins tie
+      (5L, "")                     // empty: all zeros, script=none
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = out(id)
+    assert(row(1L).getLong(1) == 6 && row(1L).getLong(2) == 2 &&
+      row(1L).getLong(3) == 3 && row(1L).getString(10) == "cyrillic")
+    assert(row(2L).getLong(5) == 2 && row(2L).getLong(2) == 1 &&
+      row(2L).getLong(7) == 1 && row(2L).getLong(8) == 2 &&
+      row(2L).getString(10) == "han")
+    // NFC inside the operator: 4 raw codepoints become 2 composed Latin
+    assert(row(3L).getLong(1) == 2 && row(3L).getLong(2) == 2 &&
+      row(3L).getString(10) == "latin")
+    assert(row(4L).getLong(2) == 3 && row(4L).getLong(3) == 3 &&
+      row(4L).getString(10) == "latin", "fixed-order tie-break")
+    assert(row(5L).getLong(1) == 0 && row(5L).getString(10) == "none" &&
+      row(5L).getDouble(9) == 0.0)
+    // latin_ratio over non-space chars: doc 1 → 2/5
+    assert(math.abs(row(1L).getDouble(9) - 0.4) < 1e-9)
+  }
+
   test("gopherQuality: each rule's metric is exact and the gate fires per rule") {
     // doc 1: 55 words, mean 36/11 chars, 4 stopword hits/rep -> keep
     val good = ("the cat sat on mat with dog and bird that flew " * 5).trim

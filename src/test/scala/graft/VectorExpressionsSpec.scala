@@ -165,4 +165,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(hasCodegenSpan)
     assert(df.where(col("c") > 0.99).count() > 0) // executes through codegen
   }
+
+  test("nfc_normalize composes combining marks; NFC input passes through; SQL-callable") {
+    GraftSparkExtensions.register(spark)
+    val decomposed = "café ô x" // e + U+0301, o + U+0302
+    val composed = "café ô x"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "ascii only"),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.NfcNormalize(col("s")).as("n"),
+        length(col("s")).as("lr"),
+        length(graft.functions.NfcNormalize(col("s"))).as("ln"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(rows(1L)._1.contains(composed), "marks must compose")
+    assert(rows(1L)._2 == rows(1L)._3 + 2, "two combining marks absorbed")
+    assert(rows(2L)._1.contains(composed) && rows(2L)._2 == rows(2L)._3)
+    assert(rows(3L)._1.contains("ascii only"))
+    assert(rows(4L)._1.isEmpty, "null propagates")
+    // registered SQL spelling, through codegen (parquet-free project
+    // still exercises eval; the codegen span is asserted on a scan)
+    val viaSql = spark.sql(
+      s"SELECT nfc_normalize('café') AS n").collect().head.getString(0)
+    assert(viaSql == "café")
+    // stays inside whole-stage codegen over a real scan
+    val docs = graft.sources.ImportSource.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    val plan = docs.select(graft.functions.NfcNormalize(col("text")).as("n"))
+      .queryExecution.executedPlan
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+  }
 }
