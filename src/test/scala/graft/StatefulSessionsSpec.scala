@@ -99,6 +99,24 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assertMatches(got)
   }
 
+  test("transformWithState sessionization matches batch sessionize across micro-batches") {
+    // TWS requires the RocksDB state store provider — which is the
+    // at-scale posture anyway; scope it to this query and restore
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = replay("tws_sessions") { s =>
+        StatefulSessions.sessionsTws(s, gap, "60 seconds").toDF()
+      }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assertMatches(got)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session_window streaming aggregation matches batch sessionize across micro-batches") {
     val got = replay("sw_sessions") { s =>
       StatefulSessions.sessionWindowStats(s, gap, "60 seconds")
@@ -111,14 +129,14 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(gotKeys == wantKeys)
   }
 
-  test("late-but-in-watermark events merge into the open session; beyond-watermark events drop") {
-    val src = Files.createTempDirectory("graft-late").toString
+  /** The late-data scenario, shared by both stateful-API forms. */
+  private def lateDataScenario(name: String,
+      mk: DataFrame => DataFrame): Unit = {
+    val src = Files.createTempDirectory(s"graft-$name").toString
     def at(s: String) = java.sql.Timestamp.valueOf(s)
-    val q = StatefulSessions.sessions(
-        spark.readStream.schema(schema).parquet(s"$src/*"), 600L, "30 minutes")
-      .toDF()
+    val q = mk(spark.readStream.schema(schema).parquet(s"$src/*"))
       .writeStream.outputMode("append")
-      .format("memory").queryName("late_sessions").start()
+      .format("memory").queryName(name).start()
     try {
       // batch 1: two events 5 min apart — one open session for user 1
       drop(src, 0, Seq(
@@ -142,7 +160,7 @@ class StatefulSessionsSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val got = spark.table("late_sessions").where($"user" >= 0)
+    val got = spark.table(name).where($"user" >= 0)
       .select($"user", $"startUs", $"endUs", $"n_events", round($"sum_value", 6))
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     def us(s: String) = at(s).getTime * 1000L
@@ -150,6 +168,24 @@ class StatefulSessionsSpec extends AnyFunSuite {
       // user 1: three events (the late one merged, the dropped one not)
       (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:05:00"), 3L, 7.0),
       (2L, us("2024-01-01 10:40:00"), us("2024-01-01 10:40:00"), 1L, 0.5)))
+  }
+
+  test("late-but-in-watermark events merge into the open session; beyond-watermark events drop") {
+    lateDataScenario("late_sessions",
+      s => StatefulSessions.sessions(s, 600L, "30 minutes").toDF())
+  }
+
+  test("transformWithState: same late-data contract (merge in-watermark, drop beyond)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try lateDataScenario("late_tws",
+      s => StatefulSessions.sessionsTws(s, 600L, "30 minutes").toDF())
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("stateful sessions survive a query restart from the checkpoint") {
