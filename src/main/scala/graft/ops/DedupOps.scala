@@ -277,7 +277,12 @@ object DedupOps {
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     val testShingles = shingleHashes(testSet, idCol, textCol, shingleSize)
       .select(col("h")).distinct()
-    val words = SketchOps.bloomFilterOf(testShingles, "h", numBits, numHashes)
+    // the bloom build skips the distinct exchange: bit-OR insertion is
+    // duplicate-insensitive, so the raw shingle stream folds straight
+    // into map-side partial bitsets
+    val words = SketchOps.bloomFilterOf(
+      shingleHashes(testSet, idCol, textCol, shingleSize), "h",
+      numBits, numHashes)
     val contaminated = shingleHashes(corpus, idCol, textCol, shingleSize)
       .where(SketchOps.bloomMightContain(words, numHashes,
         xxhash64(col("h"))))

@@ -80,24 +80,21 @@ object SketchOps {
       .select(agg.toColumn).head()
   }
 
-  /** Pure-column Bloom membership probe: recomputes the aggregator's
-    * double-hash bit positions from `xxhash64(key)` and tests each in
-    * the broadcast bitset literal with `getbit` — all built-in
-    * expressions, so the probe stays inside whole-stage codegen on
-    * the scan.
+  /** Bloom membership probe, staying inside whole-stage codegen on
+    * the scan via the native [[graft.functions.BloomProbeExpr]]: the
+    * bitset rides as a primitive `long[]` codegen reference and each
+    * row pays one static-call tight loop with first-clear-bit early
+    * exit. (The earlier built-in composition — k× `getbit(element_at(
+    * <16384-element array literal>, …))` — walked a boxed array per
+    * probe at ~2.6 µs/row; the native probe is the 100 TB posture:
+    * once per corpus shingle, nanoseconds each.)
     */
   def bloomMightContain(words: Array[Long], numHashes: Int,
-      keyHash: Column): Column = {
-    val numBits = words.length * 64
-    val wordsLit = typedLit(words.toSeq)
-    val h2 = shiftrightunsigned(keyHash, 32).bitwiseOR(lit(1L))
-    (0 until numHashes).map { i =>
-      val pos = pmod(keyHash + lit(i.toLong) * h2, lit(numBits.toLong))
-      call_function("getbit",
-        element_at(wordsLit, shiftright(pos, 6).cast("int") + 1),
-        pos.bitwiseAND(lit(63L)).cast("int")) === 1
-    }.reduce(_ && _)
-  }
+      keyHash: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BloomProbeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(keyHash),
+        words, numHashes))
 
   /** Equi-join with a Bloom-filter pre-filter on the fact side — the
     * manual twin of Spark's runtime bloom-filter join pruning, for

@@ -864,10 +864,10 @@ class LlmOpsSpec extends AnyFunSuite {
       .decontaminateBloomed(corpus, eval, "doc_id", "text", 5)
     assert(bloomed.select($"doc_id").as[Long].collect().toSet == exact)
     // the bitset probe must gate the corpus shingles at the scan —
-    // getbit over the broadcast word literal, inside the plan, below
-    // the exact-confirm join
+    // the native bloom_might_contain expression, inside the plan,
+    // below the exact-confirm join
     val plan = bloomed.queryExecution.executedPlan.toString
-    assert(plan.contains("getbit"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("bloom_might_contain"), s"bloom probe missing:\n$plan")
     // a tiny filter (64 bits, many hashes) must stay CONSERVATIVE:
     // saturated blooms pass everything through to the exact join and
     // the result is still identical
