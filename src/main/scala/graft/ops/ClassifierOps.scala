@@ -84,7 +84,10 @@ object ClassifierOps {
         explode_outer(col("_arr")).as("token"))
       .groupBy(col(idCol), col(labelCol), col("_len"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      // LAZY: the model collect below is the first action anyway —
+      // an eager checkpoint would pay one extra job's scheduling just
+      // to materialize blocks that action is about to produce
+      .localCheckpoint(false)
     val tok = dt.where(col("token").isNotNull)
     val tf = tok.select(col(idCol), col("token"), col("tf"))
     // Model collect, ONE action: class-conditional counts (vocab ×
