@@ -2012,6 +2012,18 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- the end-to-end curation pipeline as ONE plan: normalize →
+    // Gopher gate → exact-dedup keep-first → decontaminate vs the
+    // eval slice → deterministic budget sample + token accounting -----
+    "q170_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.CurationOps.curate(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // ----- Unicode script profiling: the character-class signal
     // ahead of langid — synthesized multi-script suffixes keyed by
     // doc_id (Cyrillic/Greek/Han/Arabic + digits + a decomposed é
@@ -4208,6 +4220,62 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    // the full curation chain mirrored CTE-for-CTE: gate metrics are
+    // q157's fragment on the normalized text, dedup is q21's
+    // fingerprint as a keep-first window, decontamination is q51's
+    // shingle join, the sample is a lexicographic md5 threshold
+    "q170_curation_pipeline" ->
+      """WITH n AS (SELECT doc_id, lang, nfc_normalize(text) AS s
+        |    FROM documents WHERE doc_id % 20 <> 0),
+        | w AS (SELECT doc_id, lang, s,
+        |    list_filter(string_split_regex(lower(trim(s)), '\s+'),
+        |      x -> x <> '') AS toks FROM n),
+        | m AS (SELECT doc_id, lang, s, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(array_to_string(toks, '')) AS DOUBLE) / len(toks), 6)
+        |    END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round((CAST(len(s) - len(replace(s, '#', '')) AS DOUBLE)
+        |        + CAST(len(s) - len(replace(s, '...', '')) AS DOUBLE)/3)
+        |        / len(toks), 6)
+        |    END AS symbol_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      round(CAST(len(list_filter(toks,
+        |        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6)
+        |    END AS alpha_frac,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','be','to','of','and',
+        |      'that','have','with'))) AS BIGINT) AS n_stop
+        |  FROM w),
+        | g AS (SELECT doc_id, lang, s, toks FROM m
+        |  WHERE n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 1),
+        | d AS (SELECT doc_id, lang, s, toks, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(s)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn FROM g),
+        | dd AS (SELECT doc_id, lang, s, toks FROM d WHERE rn = 1),
+        | ct AS (SELECT doc_id, string_split_regex(lower(trim(s)), '\s+') AS tk
+        |    FROM dd),
+        | csh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 5
+        |      THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(len(tk)-4),
+        |        i -> array_to_string(list_slice(tk, i+1, i+5), ' ')) END) AS sh
+        |  FROM ct),
+        | tt AS (SELECT string_split_regex(lower(trim(nfc_normalize(text))),
+        |      '\s+') AS tk
+        |    FROM documents WHERE doc_id % 20 = 0),
+        | tsh AS (SELECT DISTINCT unnest(CASE WHEN len(tk) < 5
+        |      THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(len(tk)-4),
+        |        i -> array_to_string(list_slice(tk, i+1, i+5), ' ')) END) AS sh
+        |  FROM tt),
+        | hit AS (SELECT DISTINCT csh.doc_id FROM csh JOIN tsh USING (sh))
+        |SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+        |FROM dd
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |  AND md5(CAST(doc_id AS VARCHAR)) < 'c'
+        |ORDER BY doc_id""".stripMargin,
     "q169_script_profile" ->
       """WITH b AS (SELECT doc_id,
         |    substr(text, 1, 40) ||

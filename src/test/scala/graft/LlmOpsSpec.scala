@@ -964,6 +964,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("curate: gate, keep-first dedup, decontamination and sample compose in order") {
+    val base = "the quick brown fox jumps over the lazy dog near the old barn " +
+      "while the cat naps by the warm fire and the birds sing songs"
+    val contaminated = "the eval set has this exact secret benchmark phrase inside " +
+      "and the rest of the text is long enough to pass the quality gate today"
+    val corpus = Seq(
+      (1L, base),                    // survives
+      (3L, base),                    // exact dup of 1 → dropped (keep-first)
+      (5L, "too short"),             // gate: n_words < 20
+      (7L, contaminated),            // decon: shares a 5-gram with the eval set
+      (9L, base + " plus a tail that makes this doc distinct from one")
+    ).toDF("doc_id", "text")
+    val testSet = Seq(
+      (100L, "eval doc with this exact secret benchmark phrase inside it")
+    ).toDF("doc_id", "text")
+    def run(th: String) = CurationOps.curate(corpus, testSet,
+        "doc_id", "text", sampleThresholdHex = th)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val all = run("g") // 'g' sorts above every md5 hex digit: keep all
+    assert(all.keySet == Set(1L, 9L),
+      s"want gate/dedup/decon survivors 1 and 9, got ${all.keySet}")
+    assert(all(1L) == 26L, "n_tokens counts whitespace tokens")
+    assert(run("").isEmpty, "empty threshold keeps nothing")
+    // threshold is a lexicographic md5 compare: survivors of 'c' are
+    // exactly the all-survivors whose md5 sorts below it
+    val sampled = run("c").keySet
+    val expected = Set(1L, 9L).filter { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString < "c"
+    }
+    assert(sampled == expected)
+  }
+
   test("scriptProfile: hand-computed script counts, NFC-first, dominant tie-break") {
     val cyr = "\u043c\u0438\u0440" // мир — 3 Cyrillic
     val han = "\u4f60\u597d"       // 你好 — 2 Han
