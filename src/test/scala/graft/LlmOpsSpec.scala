@@ -505,6 +505,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(wellFormed(media).count() == 3)
   }
 
+  test("audio fingerprint: volume-invariant, noise-robust, distinct spectra far apart") {
+    import MultimodalOps._
+    def wav(tones: Seq[(Double, Double)], rate: Float = 8000f,
+        seconds: Double = 1.0): Array[Byte] = {
+      val nFrames = (rate * seconds).toInt
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val x = tones.map { case (f, a) =>
+          a * math.sin(2 * math.Pi * f * i / rate) }.sum
+        val v = (math.max(-1.0, math.min(1.0, x)) * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // a harmonic ladder with a decreasing envelope: every analysis
+    // band holds real energy, so adjacent-band signs have margin
+    val ladder = (1 to 10).map(k => (200.0 * k, 0.5 / k))
+    val a = wav(ladder)
+    val scaled = wav(ladder.map { case (f, amp) => (f, amp * 0.4) })
+    val noisy = wav(ladder :+ (1234.0 -> 0.01))
+    val rising = wav((1 to 10).map(k => (200.0 * k, 0.05 * k)))
+
+    val ha = audioFingerprint64(a).get
+    assert(audioFingerprint64(scaled).get == ha,
+      "positive gain must not change any adjacent-band energy sign")
+    val noiseDist = java.lang.Long.bitCount(ha ^ audioFingerprint64(noisy).get)
+    assert(noiseDist <= 3, s"small additive noise moved $noiseDist bits")
+    val farDist = java.lang.Long.bitCount(ha ^ audioFingerprint64(rising).get)
+    assert(farDist > 10, s"opposite spectral slope only $farDist bits away")
+    assert(audioFingerprint64(Array[Byte](9, 9, 9)).isEmpty, "corrupt -> None")
+    assert(audioFingerprint64(null).isEmpty)
+
+    // distributed near-dup join: the noisy copy pairs with the
+    // original, the rising-slope clip pairs with nothing, corrupt
+    // payloads null out instead of failing the task
+    val rows = Seq(
+      Row(1L, a, Row("audio", null, null, 8000, 1000)),
+      Row(2L, noisy, Row("audio", null, null, 8000, 1000)),
+      Row(3L, rising, Row("audio", null, null, 8000, 1000)),
+      Row(4L, Array[Byte](1, 2, 3), Row("audio", null, null, null, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), mediaSchema())
+    val pairs = nearDuplicateAudio(media, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal: AudioWavDecoder decodes a real WAV through the distributed plan") {
     import MultimodalOps._
     // synthesize a real 16-bit mono WAV in memory: 8000 Hz, 0.5s,
