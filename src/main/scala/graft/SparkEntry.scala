@@ -2012,6 +2012,15 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- IVF-cell-blocked kNN self-join: every vector's top-5
+    // neighbors, candidates never leave their cell -----
+    "q171_knn_join" -> ((s, dir) => {
+      graft.ops.SimilarityOps.knnJoin(t(s, dir, "embeddings"),
+          "vec_id", "embedding", semCentroids, k = 5)
+        .select(col("id").as("vec_id"), col("neighbor_id"),
+          col("cosine"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
     // ----- the end-to-end curation pipeline as ONE plan: normalize →
     // Gopher gate → exact-dedup keep-first → decontaminate vs the
     // eval slice → deterministic budget sample + token accounting -----
@@ -4220,6 +4229,23 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q171_knn_join" -> {
+      val scores = semCentroids
+        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
+         |a AS (SELECT vec_id, v,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
+         |  FROM sc),
+         |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+         |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id)
+         |    AS INTEGER) AS rank FROM p)
+         |SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY vec_id, rank""".stripMargin
+    },
     // the full curation chain mirrored CTE-for-CTE: gate metrics are
     // q157's fragment on the normalized text, dedup is q21's
     // fingerprint as a keep-first window, decontamination is q51's

@@ -392,6 +392,37 @@ object SimilarityOps {
       .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
   }
 
+  /** IVF-cell-blocked k-nearest-neighbor SELF-join: for every vector,
+    * its top-k most-cosine-similar neighbors — the all-neighbors
+    * retrieval shape under SemDedup's clustering, dataset-graph
+    * analysis, and kNN-classifier labeling. Same blocking contract as
+    * [[semDedup]]: candidates are same-cell pairs only (never
+    * all-pairs — the thing that cannot run at 100 TB), cross-cell
+    * true neighbors are the accepted recall loss, probe-widening
+    * buys recall back at linear cost.
+    *
+    * Shuffle profile: one exchange onto the cell key for the block
+    * join, one id exchange for the per-id top-k window — both keyed,
+    * both bounded by cell sizes, payload vectors never duplicated
+    * beyond the pair stream. Ties break on (cosine DESC 6 dp,
+    * neighbor id ASC), so ranks are engine-exact.
+    */
+  def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], k: Int): DataFrame = {
+    val assigned = Parallelism.ensure(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        ivfAssign(col("vec"), centroids).as("cell"))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-space test-set decontamination — the semantic twin of
     * [[graft.ops.DedupOps.decontaminate]]'s n-gram rule: a corpus
     * vector is contaminated when its cosine to ANY eval vector

@@ -1018,6 +1018,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("knnJoin: in-cell top-k by cosine, cross-cell neighbors excluded by design") {
+    // 2 centroids on axes 0/1; vectors cluster around each
+    val centroids = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f)),   // cell 0
+      (2L, Seq(1.0f, 0.2f, 0.0f)),   // cell 0 — closest to 1
+      (3L, Seq(1.0f, 0.0f, 0.5f)),   // cell 0 — further from 1
+      (4L, Seq(0.1f, 1.0f, 0.0f)),   // cell 1 (cosine to 1 is high-ish
+                                     //   but cross-cell → never paired)
+      (5L, Seq(0.0f, 1.0f, 0.3f))    // cell 1
+    ).toDF("vec_id", "embedding")
+    val knn = SimilarityOps.knnJoin(vecs, "vec_id", "embedding", centroids, k = 2)
+      .select($"id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).view.mapValues(
+        _.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(knn(1L) == Seq(2L, 3L), "rank order must follow cosine desc")
+    assert(knn(4L) == Seq(5L), "cell 1 only sees cell 1")
+    assert(!knn(1L).contains(4L) && !knn(4L).contains(1L),
+      "cross-cell pairs must not exist")
+    assert(knn(3L).size == 2, "k caps the neighbor list")
+  }
+
   test("curate: gate, keep-first dedup, decontamination and sample compose in order") {
     val base = "the quick brown fox jumps over the lazy dog near the old barn " +
       "while the cat naps by the warm fire and the birds sing songs"
