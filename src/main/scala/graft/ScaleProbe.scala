@@ -233,6 +233,25 @@ object ScaleProbe {
             .select(col("doc_id"),
               TextOps.tokenCount(col("text")).cast("long").as("w")),
           "doc_id", "w", nShards = 32))
+      },
+      // round-6 additions
+      "curation pipeline (q170)" -> { dir =>
+        val docs = ImportSource.table(spark, dir, "documents")
+        run(graft.ops.CurationOps.curate(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0), "doc_id", "text"))
+      },
+      "knn join (cell-blocked, k~sqrt n)" -> { dir =>
+        val base = ImportSource.table(spark, sf, "embeddings")
+        val e =
+          if (dir == sf) base
+          else (0 until 10).map(i => base.select(
+            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+            .reduce(_ unionByName _)
+        val k = if (dir == sf) 8 else 25
+        val cents = (0 until k).map(c => Seq.tabulate(64)(d =>
+          ((((c * 131L + d) * 2654435761L) % 1000L) / 500.0 - 1.0).toFloat))
+        run(graft.ops.SimilarityOps.knnJoin(e, "vec_id", "embedding", cents, 5))
       })
 
     // optional arg: case-insensitive substring filter over probe names
