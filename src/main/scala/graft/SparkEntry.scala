@@ -2012,6 +2012,26 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- contrastive pair mining: in-cell positives by cosine,
+    // deterministic md5-ranked hard negatives from the same cell -----
+    "q173_contrastive_pairs" -> ((s, dir) => {
+      graft.ops.SimilarityOps.contrastivePairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", semCentroids,
+          kPos = 2, kNeg = 3, posMin = 0.2, negMax = 0.0)
+        .select(col("id").as("vec_id"), col("other_id"), col("cosine"),
+          col("rank"), col("label"))
+        .orderBy(col("vec_id"), col("label").desc, col("rank"))
+    }),
+    // ----- chunk→document embedding pooling: element-wise mean per
+    // group (vec_id % 50 plays the document), decimal-exact sums -----
+    "q172_mean_pool" -> ((s, dir) => {
+      graft.ops.SimilarityOps.meanPool(
+          t(s, dir, "embeddings")
+            .select((col("vec_id") % 50).as("doc"), col("embedding")),
+          "doc", "embedding")
+        .select(col("g").as("doc"), col("i"), col("mean_val"))
+        .orderBy(col("doc"), col("i"))
+    }),
     // ----- IVF-cell-blocked kNN self-join: every vector's top-5
     // neighbors, candidates never leave their cell -----
     "q171_knn_join" -> ((s, dir) => {
@@ -4229,6 +4249,40 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q173_contrastive_pairs" -> {
+      val scores = semCentroids
+        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
+         |a AS (SELECT vec_id, v,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
+         |  FROM sc),
+         |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS other_id,
+         |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |pos AS (SELECT vec_id, other_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, other_id)
+         |    AS INTEGER) AS rank, 1 AS label
+         |  FROM p WHERE cosine >= 0.2),
+         |neg AS (SELECT vec_id, other_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY md5(concat_ws('|',
+         |      CAST(vec_id AS VARCHAR), CAST(other_id AS VARCHAR))), other_id)
+         |    AS INTEGER) AS rank, 0 AS label
+         |  FROM p WHERE cosine <= 0.0)
+         |SELECT vec_id, other_id, cosine, rank, label FROM pos WHERE rank <= 2
+         |UNION ALL
+         |SELECT vec_id, other_id, cosine, rank, label FROM neg WHERE rank <= 3
+         |ORDER BY vec_id, label DESC, rank""".stripMargin
+    },
+    "q172_mean_pool" ->
+      """WITH v AS (SELECT vec_id % 50 AS doc, embedding::DOUBLE[] AS e
+        |    FROM embeddings),
+        | x AS (SELECT doc, unnest(range(len(e))) AS i, e FROM v),
+        | c AS (SELECT doc, CAST(i AS INT) AS i,
+        |    CAST(e[i + 1] AS DECIMAL(28,12)) AS xv FROM x)
+        |SELECT doc, i,
+        |  round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS mean_val
+        |FROM c GROUP BY doc, i ORDER BY doc, i""".stripMargin,
     "q171_knn_join" -> {
       val scores = semCentroids
         .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")

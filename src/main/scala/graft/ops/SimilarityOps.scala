@@ -392,6 +392,28 @@ object SimilarityOps {
       .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
   }
 
+  /** Chunk→document embedding pooling: the element-wise mean of every
+    * group's vectors — how long documents embedded in chunks become
+    * one document vector. One position explode + one (group, i) keyed
+    * aggregation; sums ride DECIMAL(28,12) over double-widened floats
+    * (the q158 covariance pattern) so the pooled values are partition-
+    * and engine-exact, with ONE double division + 6 dp round at the
+    * end. Output is the exploded (group, i, mean_val) cell form —
+    * dim-sized per group, reassembly into arrays is the caller's
+    * one-line `sort_array(collect_list(...))` when needed.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(28, 12)
+    Parallelism.ensure(
+        df.select(col(groupCol).as("g"), col(vecCol).as("v")))
+      .select(col("g"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("g"), col("i"))
+      .agg(sum(col("x").cast("double").cast(d)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("i"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_val"))
+  }
+
   /** IVF-cell-blocked k-nearest-neighbor SELF-join: for every vector,
     * its top-k most-cosine-similar neighbors — the all-neighbors
     * retrieval shape under SemDedup's clustering, dataset-graph
@@ -421,6 +443,42 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Contrastive training-pair mining over the same IVF blocking as
+    * [[knnJoin]]: per anchor, up to `kPos` POSITIVES (highest-cosine
+    * in-cell neighbors at or above `posMin`) and `kNeg` HARD
+    * NEGATIVES — same-cell vectors at or below `negMax`, which is
+    * exactly what makes them hard: they share the anchor's coarse
+    * cluster but not its meaning. Negative choice is a deterministic
+    * md5 rank (not a cosine rank — taking the HIGHEST sub-threshold
+    * cosines would bias the margin), so the mined set is reproducible
+    * under any partitioning. One cell exchange + one anchor exchange,
+    * the [[knnJoin]] shuffle profile; label 1 = positive.
+    */
+  def contrastivePairs(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Float]], kPos: Int, kNeg: Int,
+      posMin: Double, negMax: Double): DataFrame = {
+    val assigned = Parallelism.ensure(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        ivfAssign(col("vec"), centroids).as("cell"))
+    val a = assigned.alias("a"); val b = assigned.alias("b")
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("other_id"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+    val wPos = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("other_id"))
+    val wNeg = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(md5(concat_ws("|", col("id"), col("other_id"))), col("other_id"))
+    val pos = pairs.where(col("cosine") >= posMin)
+      .withColumn("rank", row_number().over(wPos))
+      .where(col("rank") <= kPos).withColumn("label", lit(1))
+    val neg = pairs.where(col("cosine") <= negMax)
+      .withColumn("rank", row_number().over(wNeg))
+      .where(col("rank") <= kNeg).withColumn("label", lit(0))
+    pos.unionByName(neg)
   }
 
   /** Embedding-space test-set decontamination — the semantic twin of

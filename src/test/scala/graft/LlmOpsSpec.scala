@@ -1018,6 +1018,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("meanPool: hand-computed element means, bit-equal under repartition") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)), (1L, Seq(5.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f))
+    ).toDF("doc", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.meanPool(d, "doc", "embedding")
+        .select($"g", $"i", $"mean_val").as[(Long, Int, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = run(df)
+    assert(got == Seq((1L, 0, 3.0), (1L, 1, 2.0), (2L, 0, 0.5), (2L, 1, 0.5)))
+    assert(run(df.repartition(7)) == got, "decimal sums are order-independent")
+  }
+
+  test("contrastivePairs: in-cell positives by cosine, md5-ranked hard negatives, caps hold") {
+    val centroids = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    // cell 0: two aligned vectors + two near-orthogonal ones
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f)),
+      (2L, Seq(1.0f, 0.2f, 0.0f)),    // cos(1,2) high → positive
+      (3L, Seq(0.6f, 0.0f, -0.9f)),   // cell 0, cos(1,3) small
+      (4L, Seq(0.6f, 0.0f, 0.9f)),    // cell 0, cos(3,4) negative
+      (5L, Seq(0.0f, 1.0f, 0.0f))     // cell 1 — never paired with cell 0
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.contrastivePairs(vecs, "vec_id", "embedding",
+        centroids, kPos = 1, kNeg = 1, posMin = 0.9, negMax = 0.1)
+      .select($"id", $"other_id", $"label").as[(Long, Long, Int)]
+      .collect().toSet
+    // positives: exactly the (1,2) alignment, both directions
+    assert(out.filter(_._3 == 1) == Set((1L, 2L, 1), (2L, 1L, 1)))
+    val negs = out.filter(_._3 == 0)
+    assert(negs.forall { case (a, b, _) => a != 5L && b != 5L },
+      "cell 1 must not leak into cell 0 negatives")
+    assert(negs.groupBy(_._1).forall(_._2.size <= 1), "kNeg cap")
+    assert(negs.exists { case (a, b, _) => Set(a, b) == Set(3L, 4L) },
+      "the anti-aligned in-cell pair is a hard negative")
+  }
+
   test("knnJoin: in-cell top-k by cosine, cross-cell neighbors excluded by design") {
     // 2 centroids on axes 0/1; vectors cluster around each
     val centroids = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
