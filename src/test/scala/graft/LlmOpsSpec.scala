@@ -1018,6 +1018,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("ANN store ingests from a stream: foreachBatch appends generations, reads are latest-wins") {
+    // continuous embedding ingestion: each micro-batch becomes one
+    // generation append (gen = batchId, so replays of a batch land on
+    // the same generation), readers merge-on-read as usual
+    val src = java.nio.file.Files.createTempDirectory("graft-ann-src").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ann-ck").toString
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val c0 = v(1, 0, 0, 0); val c1 = v(0, 1, 0, 0)
+    val centroids = Seq(c0, c1)
+    val schema = Seq((0L, v(0, 0, 0, 0))).toDF("vec_id", "embedding").schema
+
+    Seq((1L, v(1, 0, 0, 0)), (2L, v(0.9, 0.1, 0, 0)), (3L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding").write.parquet(s"$src/b0")
+    val q = spark.readStream.schema(schema).parquet(s"$src/*")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        SimilarityOps.appendIvfPartitioned(
+          df, "vec_id", "embedding", centroids, store, gen = batchId)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 1: id 2 re-embedded (cell move), id 4 inserted
+      Seq((2L, v(0, 1, 0, 0)), (4L, v(0.8, 0.2, 0, 0)))
+        .toDF("vec_id", "embedding").write.parquet(s"$src/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = SimilarityOps.ivfTopKPartitioned(spark, store, "vec_id",
+        "embedding", c0, centroids, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L) == 0.0, "the stream's later generation must win for id 2")
+    assert(got(1L) == 1.0)
+  }
+
   test("meanPool: hand-computed element means, bit-equal under repartition") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)), (1L, Seq(5.0f, 0.0f)),
