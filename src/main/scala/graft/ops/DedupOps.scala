@@ -149,6 +149,90 @@ object DedupOps {
       .select(explode(col("ps")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
+  /** Persisted MinHash-LSH dedup index — dedup-at-ingest against
+    * HISTORY, the piece batch dedup (q44) cannot do: "is this new
+    * document a near-dup of anything already ingested?" without
+    * re-scanning the corpus. The store holds one row per (doc, band)
+    * — the doc's full k-long signature plus its band bucket —
+    * partitioned by band, TEXT-FREE: probes confirm on signature
+    * agreement (the unbiased MinHash Jaccard estimate), so the index
+    * is k longs per doc per band whatever the documents weigh. At
+    * 100 TB that is the difference between a signatures-sized index
+    * join and a corpus-sized one.
+    *
+    * Probe shape: new docs compute the same band buckets, join the
+    * store on (band, bucket) — only colliding signatures ever meet —
+    * and the estimate `|{i : sig_a[i] = sig_b[i]}| / k` gates at
+    * `minEstJaccard`. [[ingestDedup]] closes the loop: probe, drop
+    * hits, append the survivors' signatures, return the audit frame.
+    */
+  def writeLshStore(docs: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 4, rows: Int = 4,
+      shingleSize: Int = 3): Unit =
+    lshStoreRows(docs, idCol, textCol, bands, rows, shingleSize)
+      .write.partitionBy("band").mode("overwrite").parquet(path)
+
+  /** Append more documents' signatures to an existing store. */
+  def appendLshStore(docs: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 4, rows: Int = 4,
+      shingleSize: Int = 3): Unit =
+    lshStoreRows(docs, idCol, textCol, bands, rows, shingleSize)
+      .write.partitionBy("band").mode("append").parquet(path)
+
+  private def lshStoreRows(docs: DataFrame, idCol: String,
+      textCol: String, bands: Int, rows: Int,
+      shingleSize: Int): DataFrame =
+    minhashSignatures(docs, idCol, textCol, bands * rows, shingleSize)
+      .select(col("id"), col("sig"),
+        posexplode(lshBandHashes(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+
+  /** Probe the store with new documents: (new_id, store_id,
+    * est_jaccard) for every stored near-dup at or above
+    * `minEstJaccard`. Band/row/shingle parameters must match the
+    * store's — they define the signature family. */
+  def probeLshStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rows: Int = 4, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val q = lshStoreRows(docs, idCol, textCol, bands, rows, shingleSize)
+      .select(col("id").as("new_id"), col("sig").as("qsig"),
+        col("band"), col("bucket"))
+    val matchFrac = round(
+      size(filter(zip_with(col("qsig"), col("sig"), (a, b) => a === b),
+        x => x)).cast("double") / k, 6)
+    q.join(spark.read.parquet(path), Seq("band", "bucket"))
+      .where(col("new_id") =!= col("id"))
+      .select(col("new_id"), col("id").as("store_id"),
+        matchFrac.as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+  }
+
+  /** Dedup-at-ingest: probe, APPEND the novel documents' signatures,
+    * and return every incoming doc flagged (`is_dup`, and the matched
+    * store id when duplicate). Novelty is judged against the store as
+    * it stood BEFORE this call — batch-internal near-dups are q44's
+    * job, upstream. */
+  def ingestDedup(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rows: Int = 4, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val hits = probeLshStore(spark, path, docs, idCol, textCol,
+        bands, rows, shingleSize, minEstJaccard)
+      .groupBy(col("new_id"))
+      .agg(max_by(col("store_id"), struct(col("est_jaccard"),
+        -col("store_id"))).as("dup_of"))
+    val flagged = docs.join(
+        hits.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+    appendLshStore(flagged.where(!col("is_dup"))
+        .select(docs.columns.map(col): _*),
+      idCol, textCol, path, bands, rows, shingleSize)
+    flagged
+  }
+
   /** Token-set Jaccard similarity between two text columns. */
   def jaccard(textA: Column, textB: Column): Column = {
     val ta = array_distinct(TextOps.tokens(textA))

@@ -1018,6 +1018,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("LSH dedup store: ingest flags history near-dups, appends only novel docs") {
+    val store = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about database engines and their query plans"
+    DedupOps.writeLshStore(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", store)
+
+    // c extends a by one word (shingle Jaccard ~0.92); d is novel
+    val c = a + " tomorrow"
+    val d = "a third topic entirely with its own words such as mountains rivers"
+    val flagged = DedupOps.ingestDedup(spark, store,
+        Seq((10L, c), (11L, d)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"is_dup",
+        coalesce($"dup_of", lit(-1L)).as("dup_of"))
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, isDup, dupOf) => id -> ((isDup, dupOf)) }.toMap
+    assert(flagged(10L) == ((true, 1L)), "history near-dup flagged with its match")
+    assert(flagged(11L) == ((false, -1L)), "novel doc passes")
+
+    // the novel doc became history: its near-dup now probes as a hit
+    val hits2 = DedupOps.probeLshStore(spark, store,
+        Seq((20L, d + " forever")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"new_id", $"store_id").as[(Long, Long)].collect().toSet
+    assert(hits2 == Set((20L, 11L)))
+
+    // the DUPLICATE was not appended: re-probing c's text matches the
+    // original (1) but never the rejected copy (10)
+    val hits3 = DedupOps.probeLshStore(spark, store,
+        Seq((30L, c)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"store_id").as[Long].collect().toSet
+    assert(hits3.contains(1L) && !hits3.contains(10L))
+  }
+
   test("ANN store ingests from a stream: foreachBatch appends generations, reads are latest-wins") {
     // continuous embedding ingestion: each micro-batch becomes one
     // generation append (gen = batchId, so replays of a batch land on
