@@ -2012,6 +2012,13 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- interpolated Kneser–Ney bigram scoring: smoothed
+    // perplexity signal, continuation mass SQL-mirrored exactly -----
+    "q174_kn_bigram" -> ((s, dir) => {
+      graft.ops.TextOps.knBigramLogProb(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // ----- contrastive pair mining: in-cell positives by cosine,
     // deterministic md5-ranked hard negatives from the same cell -----
     "q173_contrastive_pairs" -> ((s, dir) => {
@@ -4249,6 +4256,39 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q174_kn_bigram" ->
+      """WITH arr AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, UNNEST(range(1, len(a))) AS t(i)
+        |  WHERE a[i] <> '' AND a[i + 1] <> ''),
+        |tf AS (
+        |  SELECT doc_id, w1, w2, count(*) AS tf
+        |  FROM big GROUP BY doc_id, w1, w2),
+        |types AS (
+        |  SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_big
+        |  FROM tf GROUP BY w1, w2),
+        |byw1 AS (
+        |  SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_first,
+        |    count(*) AS n1p_first
+        |  FROM types GROUP BY w1),
+        |byw2 AS (
+        |  SELECT w2, count(*) AS n1p_cont FROM types GROUP BY w2),
+        |tot AS (SELECT count(*) AS t_types FROM types),
+        |model AS (
+        |  SELECT types.w1, types.w2,
+        |    greatest(c_big - 0.75, 0.0) / c_first +
+        |      0.75 * n1p_first / c_first * (n1p_cont / t_types) AS p_kn
+        |  FROM types JOIN byw1 USING (w1) JOIN byw2 USING (w2), tot),
+        |wt AS (
+        |  SELECT doc_id, tf.w1, tf.w2, tf, tf * ln(p_kn) AS w
+        |  FROM tf JOIN model ON tf.w1 = model.w1 AND tf.w2 = model.w2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) / sum(tf), 6)
+        |    AS avg_logprob
+        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q173_contrastive_pairs" -> {
       val scores = semCentroids
         .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")

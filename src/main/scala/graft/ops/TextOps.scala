@@ -640,6 +640,68 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Per-document mean log-probability under an interpolated
+    * Kneser–Ney bigram model — the standard smoothing for
+    * perplexity-based quality filtering (what KenLM computes for
+    * CCNet-style pipelines), one order down so the whole model stays
+    * SQL-mirrorable:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * Unlike the MLE model ([[bigramLogProb]]), mass moves from
+    * observed counts to the CONTINUATION distribution — "how many
+    * contexts does w₂ complete" — which is what stops
+    * high-frequency-but-context-bound tokens from inflating scores.
+    *
+    * Shape at scale: the doc-bigram count table shuffles once per
+    * model statistic it joins ((w₁w₂) types, w₁ totals, w₂
+    * continuation counts — each aggregation bounded by bigram TYPE
+    * cardinality, the grand type total a 1-row broadcast), then one
+    * id aggregation for the per-doc fold. The model never
+    * broadcasts — bigram types at corpus scale are join-sized, not
+    * driver-sized. The probability is ONE fixed-association double
+    * expression over integer counts, so scores are engine-identical;
+    * the per-doc mean rides the DECIMAL(28,12) estimator contract.
+    */
+  def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = filter(
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w1") =!= "" && p.getField("w2") =!= "")
+    val tf = Parallelism.ensureKeyed(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(bigrams).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val types = tf.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("c_big"))
+    val byW1 = types.groupBy(col("w1"))
+      .agg(sum(col("c_big")).as("c_first"),
+        count(lit(1)).as("n1p_first"))
+    val byW2 = types.groupBy(col("w2")).agg(count(lit(1)).as("n1p_cont"))
+    val totalTypes = broadcast(
+      types.groupBy().agg(count(lit(1)).as("t_types")))
+    val model = types.join(byW1, "w1").join(byW2, "w2")
+      .crossJoin(totalTypes)
+      .select(col("w1"), col("w2"),
+        (greatest(col("c_big") - discount, lit(0.0)) / col("c_first") +
+          lit(discount) * col("n1p_first") / col("c_first") *
+            (col("n1p_cont") / col("t_types"))).as("p_kn"))
+    tf.join(model, Seq("w1", "w2"))
+      .withColumn("w", col("tf") * log(col("p_kn")))
+      .groupBy(col(idCol))
+      .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("_wsum"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_wsum").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Per-document token (Shannon) entropy in nats — the
     * repetitiveness signal orthogonal to [[repetitionStats]]: low
     * entropy = few distinct tokens dominate. H = −Σ (tf/n)·ln(tf/n).

@@ -1018,6 +1018,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("knBigramLogProb: hand-computed Kneser-Ney probabilities, partition-invariant") {
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // types: (a,b) c=2, (b,a) c=1, (a,c) c=1; c(a.)=3 N1+(a.)=2;
+    // c(b.)=1 N1+(b.)=1; N1+(.b)=N1+(.a)=N1+(.c)=1; T=3
+    def p(c: Long, cf: Long, n1f: Long, n1c: Long, t: Long): Double =
+      math.max(c - 0.75, 0.0) / cf + 0.75 * n1f / cf * (n1c.toDouble / t)
+    val pBA = p(2, 3, 2, 1, 3) // P(b|a)
+    val pAB = p(1, 1, 1, 1, 3) // P(a|b)
+    val pCA = p(1, 3, 2, 1, 3) // P(c|a)
+    val want1 = BigDecimal((2 * math.log(pBA) + math.log(pAB)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = BigDecimal(math.log(pCA))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.knBigramLogProb(d, "doc_id", "text")
+        .select($"doc_id", $"n_bigrams", $"avg_logprob")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val got = run(df)
+    assert(got == Seq((1L, 3L, want1), (2L, 1L, want2)), got.toString)
+    assert(run(df.repartition(5)) == got, "decimal fold is partition-invariant")
+    // interpolation moves mass to continuations: smoothed P(b|a) sits
+    // strictly below the MLE 2/3 and above the discounted floor
+    assert(pBA < 2.0 / 3 && pBA > 1.25 / 3)
+  }
+
   test("LSH dedup store: ingest flags history near-dups, appends only novel docs") {
     val store = java.nio.file.Files.createTempDirectory("graft-lsh").toString
     val a = "the quick brown fox jumps over the lazy dog again and again today"
