@@ -2012,6 +2012,12 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- shuffle-skew diagnostic: how uneven would a partitioning
+    // on this key be, and which keys need salting -----
+    "q175_skew_report" -> ((s, dir) => {
+      graft.ops.StatsOps.skewReport(t(s, dir, "lineitem"), "l_suppkey")
+        .orderBy(col("n_key").desc, col("key"))
+    }),
     // ----- interpolated Kneser–Ney bigram scoring: smoothed
     // perplexity signal, continuation mass SQL-mirrored exactly -----
     "q174_kn_bigram" -> ((s, dir) => {
@@ -4256,6 +4262,22 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q175_skew_report" ->
+      """WITH b AS (SELECT
+        |    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))
+        |      ::UBIGINT::BIGINT % 32 AS bkt
+        |  FROM lineitem),
+        | pb AS (SELECT bkt, count(*) AS n FROM b GROUP BY bkt),
+        | st AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(max(n) AS BIGINT) AS max_bucket FROM pb),
+        | hk AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |    count(*) AS n_key
+        |  FROM lineitem GROUP BY 1 ORDER BY n_key DESC, key LIMIT 5)
+        |SELECT key, n_key, n_total,
+        |  round(CAST(n_key AS DOUBLE) / n_total, 6) AS key_share,
+        |  round(CAST(max_bucket AS DOUBLE) * 32 / n_total, 6) AS bucket_skew
+        |FROM hk CROSS JOIN st
+        |ORDER BY n_key DESC, key""".stripMargin,
     "q174_kn_bigram" ->
       """WITH arr AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a

@@ -484,4 +484,36 @@ object StatsOps {
     df.where(col(vecCol).isNotNull)
       .select(col(idCol), array(proj: _*).as("pc"))
   }
+
+  /** Shuffle-skew diagnostic for a prospective partitioning key — the
+    * question to ask BEFORE a 100 TB `groupBy(key)`/`join(key)`:
+    * how uneven would the hash partitions be, and which keys are the
+    * hot ones that need salting (q33/q78's cure; this is the
+    * measurement that says whether to pay for it).
+    *
+    * One pass each over two small aggregations: md5-hash buckets
+    * (engine-portable — the hashUnit family) sized `buckets`, and the
+    * top-`topK` heavy keys. `bucket_skew` is max-bucket over the
+    * uniform expectation — 1.0 is perfectly even, the number is the
+    * straggler multiplier a shuffle on this key would pay.
+    */
+  def skewReport(df: DataFrame, keyCol: String, buckets: Int = 32,
+      topK: Int = 5): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val bucket =
+      conv(substring(md5(key), 1, 8), 16, 10).cast("long") % buckets
+    val perBucket = df.select(bucket.as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val stats = broadcast(perBucket.groupBy()
+      .agg(sum(col("n")).as("n_total"), max(col("n")).as("max_bucket")))
+    df.select(key.as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("n_key"))
+      .orderBy(col("n_key").desc, col("key")).limit(topK)
+      .crossJoin(stats)
+      .select(col("key"), col("n_key"), col("n_total"),
+        round(col("n_key").cast("double") / col("n_total"), 6)
+          .as("key_share"),
+        round(col("max_bucket").cast("double") * buckets / col("n_total"), 6)
+          .as("bucket_skew"))
+  }
 }

@@ -26,15 +26,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BucketedStore {
 
   /** Write `df` as a bucketed, in-bucket-sorted catalog table.
-    * Overwrites any existing definition. */
+    * Overwrites any existing definition — including a MANAGED-TABLE
+    * LOCATION left behind by a session whose in-memory catalog died
+    * without dropping it (Spark refuses to create over such an
+    * orphan; overwrite semantics own it). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = new java.io.File(wh, table.toLowerCase)
+    if (orphan.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(orphan)
+    }
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (the catalog carries the layout). */
   def table(spark: SparkSession, name: String): DataFrame =

@@ -25,7 +25,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q70_edit_distance",                            // all-pairs of 10 sources
     "q145_nb_classify",                             // docs × |labels| scoring: build side is the label model (a handful of rows), bounded by class count not data
     "q159_token_mi",                                // 1-row (N, N1) totals joined to the vocab cells
-    "q165_zipf_slope")                              // 1-row fit × 1-row corpus totals
+    "q165_zipf_slope",                              // 1-row fit × 1-row corpus totals
+    "q174_kn_bigram",                               // 1-row bigram-type grand total joined to the type model
+    "q175_skew_report")                             // 1-row (n_total, max_bucket) stats joined to the top-k keys
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)

@@ -218,7 +218,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("bloom prefilter: getbit probe filters the fact scan before the join") {
+  test("bloom prefilter: the native probe filters the fact scan before the join") {
     val li = ImportSource.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
     val urgent = ImportSource.table(spark, sf, "orders")
@@ -226,7 +226,7 @@ class PlanSpec extends AnyFunSuite {
     val joined = SketchOps.bloomPrefilterJoin(
       li, urgent, "l_orderkey", "o_orderkey", 1 << 12, 4)
     val s = planString(joined)
-    val filterAt = s.indexOf("getbit")
+    val filterAt = s.indexOf("bloom_might_contain")
     val joinAt = math.max(s.indexOf("Join"), s.indexOf("join"))
     assert(filterAt >= 0, s"bloom probe missing from plan:\n$s")
     // executed plans print top-down: the probe filter must sit BELOW
