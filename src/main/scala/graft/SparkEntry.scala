@@ -2012,6 +2012,33 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- UT1-style domain blocklist gate: suffix match on label
+    // boundaries, map-side literals, audit column not a silent drop -----
+    "q176_domain_gate" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://www."))
+          .otherwise(lit("http://cdn.")),
+        col("source"), lit(".example"),
+        when(col("doc_id") % 3 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id"))
+      graft.ops.TextOps.domainGate(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "url", Seq("src3.example", "src7.example"))
+        .select(col("doc_id"), col("blocked_by"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- crawl-frontier URL dedup: one row per canonical URL,
+    // latest fetch wins deterministically -----
+    "q177_url_dedup" -> ((s, dir) => {
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example/p/"), col("doc_id") % 7)
+      graft.ops.TextOps.urlDedup(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            (col("doc_id") % 97).as("fetch_seq")),
+          "doc_id", "url", "fetch_seq")
+        .select(col("canonical_url"), col("doc_id"), col("n_fetches"))
+        .orderBy(col("canonical_url"))
+    }),
     // ----- shuffle-skew diagnostic: how uneven would a partitioning
     // on this key be, and which keys need salting -----
     "q175_skew_report" -> ((s, dir) => {
@@ -4262,6 +4289,43 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q176_domain_gate" ->
+      """WITH u AS (SELECT doc_id,
+        |    concat(CASE WHEN doc_id % 2 = 0 THEN 'https://www.'
+        |        ELSE 'http://cdn.' END,
+        |      source, '.example',
+        |      CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END,
+        |      '/p/', CAST(doc_id AS VARCHAR)) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS host FROM u)
+        |SELECT doc_id,
+        |  CASE WHEN host = 'src3.example' OR host LIKE '%.src3.example'
+        |      THEN 'src3.example'
+        |    WHEN host = 'src7.example' OR host LIKE '%.src7.example'
+        |      THEN 'src7.example'
+        |    END AS blocked_by
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q177_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    concat('https://www.', source, '.example/p/',
+        |      CAST(doc_id % 7 AS VARCHAR)) AS url,
+        |    doc_id % 97 AS fetch_seq FROM documents),
+        |c AS (SELECT doc_id, fetch_seq, concat_ws('/',
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', ''),
+        |    regexp_replace(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1),
+        |      '/+$', '', 'g')) AS canonical_url FROM u),
+        |r AS (SELECT doc_id, canonical_url,
+        |    row_number() OVER (PARTITION BY canonical_url
+        |      ORDER BY fetch_seq DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY canonical_url) AS n_fetches
+        |  FROM c)
+        |SELECT canonical_url, doc_id, CAST(n_fetches AS BIGINT) AS n_fetches
+        |FROM r WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
     "q175_skew_report" ->
       """WITH b AS (SELECT
         |    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))

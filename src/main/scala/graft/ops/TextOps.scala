@@ -175,6 +175,57 @@ object TextOps {
   def registeredDomain(url: Column): Column =
     regexp_extract(urlHost(url), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
 
+  /** UT1-blocklist-style domain gate: a row passes unless its URL's
+    * normalized host IS a blocked domain or sits UNDER one
+    * (`ads.example.com` is blocked by `example.com` — suffix match on
+    * label boundaries, never substring: `notexample.com` is not).
+    * The blocklist compiles to a map-side OR chain of literals — no
+    * join, no shuffle, prunes at the scan; the right shape while the
+    * list is literal-sized (the web-filter lists are tens of
+    * thousands of domains — still an in-task structure, but past a
+    * few hundred switch to a broadcast semi-join on
+    * [[registeredDomain]]).
+    *
+    * Returns the input plus `blocked_by` (NULL = clean); filtering is
+    * the caller's one-liner, keeping the audit trail first-class.
+    */
+  def domainGate(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val host = urlHost(col(urlCol))
+    val hit = blocked.map(_.toLowerCase).sorted.foldLeft(
+        lit(null).cast("string")) { (acc, b) =>
+      coalesce(acc,
+        when(host === b || host.endsWith("." + b), lit(b)))
+    }
+    df.withColumn("blocked_by", hit)
+  }
+
+  /** Crawl-frontier URL dedup: ONE row per canonical URL, the LATEST
+    * fetch winning — stage zero of every web pipeline (the same page
+    * is fetched many times; only the newest body matters). Canonical
+    * key = normalized host + path-with-query-stripped; one window
+    * over the key, ordered (fetch ts DESC, id ASC) for a
+    * deterministic winner. Returns winners with `n_fetches`.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String,
+      tsCol: String): DataFrame = {
+    val canon = concat_ws("/", urlHost(col(urlCol)),
+      regexp_replace(
+        regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1),
+        "/+$", ""))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_canon"))
+      .orderBy(col(tsCol).desc, col(idCol))
+    df.withColumn("_canon", canon)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_fetches",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_canon"))))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+      .withColumnRenamed("_canon", "canonical_url")
+  }
+
   /** Per-document repetition statistics — the Gopher/C4-style
     * repetitiousness filters:
     *  - `dup_token_ratio`: 1 − distinct/total tokens (1 ⇒ one token

@@ -1018,6 +1018,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("domainGate: label-boundary suffix match, first blocked domain wins, clean rows null") {
+    val df = Seq(
+      (1L, "https://ads.example.com/banner"),   // under example.com
+      (2L, "http://example.com/"),              // exact
+      (3L, "https://notexample.com/x"),         // NOT a label match
+      (4L, "https://www.other.org/y"),          // clean
+      (5L, "http://user:pw@sub.tracker.net:8080/z") // under tracker.net
+    ).toDF("doc_id", "url")
+    val got = TextOps.domainGate(df, "url", Seq("tracker.net", "example.com"))
+      .select($"doc_id", $"blocked_by").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L).contains("example.com"))
+    assert(got(2L).contains("example.com"))
+    assert(got(3L).isEmpty, "substring must not match across label boundaries")
+    assert(got(4L).isEmpty)
+    assert(got(5L).contains("tracker.net"), "userinfo/port must not hide the host")
+  }
+
+  test("urlDedup: one row per canonical URL, latest fetch wins, ids break ties") {
+    val df = Seq(
+      (1L, "https://www.a.example/p/1?utm=x", 10L), // same canonical as 2/3
+      (2L, "http://a.example/p/1", 30L),            // latest → winner
+      (3L, "https://a.example/p/1#frag", 30L),      // ts tie with 2 → larger id loses
+      (4L, "https://b.example/p/2", 5L)             // singleton
+    ).toDF("doc_id", "url", "ts")
+    val got = TextOps.urlDedup(df, "doc_id", "url", "ts")
+      .select($"canonical_url", $"doc_id", $"n_fetches")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a.example//p/1", 2L, 3L),
+      ("b.example//p/2", 4L, 1L)), got.toString)
+  }
+
   test("knBigramLogProb: hand-computed Kneser-Ney probabilities, partition-invariant") {
     val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // types: (a,b) c=2, (b,a) c=1, (a,c) c=1; c(a.)=3 N1+(a.)=2;
