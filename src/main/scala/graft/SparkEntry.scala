@@ -2012,6 +2012,29 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- BPE-ish regex token budget vs whitespace count (one
+    // lookahead-free pattern, identical under Java regex and RE2) -----
+    "q178_bpeish_tokens" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 120),
+        lit(" it's 2024, #tag-42!"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(filter(graft.ops.TextOps.tokens(raw), x => x =!= ""))
+            .cast("long").as("n_ws"),
+          graft.ops.TextOps.bpeishTokenCount(raw).as("n_bpeish"))
+        .withColumn("ratio",
+          round(col("n_bpeish").cast("double") / col("n_ws"), 6))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- regular-grid resampling with forward fill: irregular
+    // events onto an hourly grid, last observation carried forward -----
+    "q179_resample_ffill" -> ((s, dir) => {
+      graft.ops.ChangelogOps.resampleFfill(
+          t(s, dir, "events").where(col("user_id") < 200),
+          "user_id", "ts", "value", stepSeconds = 3600)
+        .select(col("user_id"), col("grid_us"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"), col("grid_us"))
+    }),
     // ----- UT1-style domain blocklist gate: suffix match on label
     // boundaries, map-side literals, audit column not a silent drop -----
     "q176_domain_gate" -> ((s, dir) => {
@@ -4289,6 +4312,36 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q178_bpeish_tokens" ->
+      """WITH b AS (SELECT doc_id,
+        |    substr(text, 1, 120) || ' it''s 2024, #tag-42!' AS raw
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(raw)), '\s+'),
+        |      x -> x <> '')) AS n_ws,
+        |    len(regexp_extract_all(lower(raw),
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+'))
+        |      AS n_bpeish
+        |  FROM b)
+        |SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws,
+        |  CAST(n_bpeish AS BIGINT) AS n_bpeish,
+        |  round(CAST(n_bpeish AS DOUBLE) / n_ws, 6) AS ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q179_resample_ffill" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS v
+        |    FROM events WHERE user_id < 200 GROUP BY user_id, epoch_us(ts)),
+        |g AS (SELECT user_id,
+        |    CAST(ceil(CAST(min(tsu) AS DOUBLE) / 3600000000) * 3600000000
+        |      AS BIGINT) AS lo,
+        |    max(tsu) AS hi
+        |  FROM o GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    unnest(range(lo, hi + 1, 3600000000)) AS grid_us
+        |  FROM g WHERE lo <= hi)
+        |SELECT grid.user_id AS user_id, grid_us, round(o.v, 6) AS value
+        |FROM grid ASOF JOIN o
+        |  ON grid.user_id = o.user_id AND grid.grid_us >= o.tsu
+        |ORDER BY grid.user_id, grid_us""".stripMargin,
     "q176_domain_gate" ->
       """WITH u AS (SELECT doc_id,
         |    concat(CASE WHEN doc_id % 2 = 0 THEN 'https://www.'

@@ -473,4 +473,41 @@ object ChangelogOps {
     * so NTZ wall-clock == UTC instant). */
   private def epochSeconds(ts: Column): Column =
     ts.cast("timestamp").cast("double")
+
+  /** Regular-grid resampling with forward fill — irregular per-key
+    * observations onto a fixed `stepSeconds` grid, each grid instant
+    * carrying the LAST observation at or before it (LOCF). The
+    * feature-engineering shape for event streams: models want aligned
+    * time series, events arrive whenever they arrive.
+    *
+    * The grid generates per key from its own [min, max] span
+    * (`sequence` — no cross join against a global calendar, so a
+    * short-lived key costs its own span only), aligned DOWN to the
+    * step so grid instants are comparable across keys; the fill is
+    * the existing [[TemporalJoins.asOfJoin]] on epoch seconds — one
+    * union + one keyed window, no per-grid-point probe. Every grid
+    * row has a value by construction (the first grid instant is >=
+    * the key's first observation).
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, stepSeconds: Long): DataFrame = {
+    // simultaneous observations collapse to their max BEFORE the fill:
+    // "the last observation" must be deterministic, and an as-of tie
+    // would otherwise resolve differently per engine/partitioning
+    val obs = df.select(col(keyCol).as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsu"),
+        col(valCol).as("v"))
+      .groupBy(col("k"), col("tsu")).agg(max(col("v")).as("v"))
+    val stepUs = stepSeconds * 1000000L
+    val gridStart = ceil(col("lo").cast("double") / stepUs).cast("long") * stepUs
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("tsu")).as("lo"), max(col("tsu")).as("hi"))
+      // a key whose whole span falls between two grid instants has no
+      // grid rows (sequence would reject start > stop)
+      .where(gridStart <= col("hi"))
+      .select(col("k"), explode(sequence(gridStart, col("hi"), lit(stepUs)))
+        .as("grid_us"))
+    TemporalJoins.asOfJoin(grid, obs, "k", "k", "grid_us", "tsu", Seq("v"))
+      .select(col("k").as(keyCol), col("grid_us"), col("v").as(valCol))
+  }
 }

@@ -691,6 +691,24 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** BPE-ish pre-tokenizer pattern — the GPT-2 shape (contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace) WITHOUT the trailing-space lookahead, so one
+    * pattern runs identically under Java regex (Spark) and RE2
+    * (DuckDB, which rejects lookahead). Alternation order is the
+    * semantics: both engines take the first branch that matches.
+    */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+
+  /** Token count under [[BpeishPattern]] — the budget a BPE-family
+    * tokenizer would charge, vs the whitespace count every quality
+    * heuristic uses. Map-side `regexp_extract_all`; the ratio of the
+    * two is the punctuation/number-density signal. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+      .cast("long")
+
   /** Per-document mean log-probability under an interpolated
     * Kneser–Ney bigram model — the standard smoothing for
     * perplexity-based quality filtering (what KenLM computes for

@@ -1018,6 +1018,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("bpeishTokenCount: every branch of the pattern, hand-tokenized") {
+    val got = Seq((1L, "it's 2024, #tag-42!"), (2L, "plain words here"),
+        (3L, ""))
+      .toDF("id", "s")
+      .select($"id", TextOps.bpeishTokenCount($"s").as("n"))
+      .as[(Long, Long)].collect().toMap
+    // it|'s| 2024|,| #|tag|-|42|! → 9
+    assert(got(1L) == 9L, got.toString)
+    assert(got(2L) == 3L) // plain| words| here
+    assert(got(3L) == 0L)
+  }
+
+  test("resampleFfill: grid carries the last observation; ties collapse; short spans drop") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, at("2024-01-01 10:05:00"), 1.0),
+      (1L, at("2024-01-01 10:20:00"), 2.0),
+      (1L, at("2024-01-01 10:20:00"), 5.0), // simultaneous → max wins
+      (1L, at("2024-01-01 12:10:00"), 3.0),
+      (2L, at("2024-01-01 10:40:00"), 9.0), // span inside one step
+      (2L, at("2024-01-01 10:50:00"), 8.0)
+    ).toDF("user_id", "ts", "value")
+    val got = ChangelogOps.resampleFfill(df, "user_id", "ts", "value", 3600L)
+      .select($"user_id", $"grid_us", $"value")
+      .as[(Long, Long, Double)].collect().toSet
+    def us(s: String) = at(s).getTime * 1000L
+    assert(got == Set(
+      (1L, us("2024-01-01 11:00:00"), 5.0), // LOCF from the 10:20 tie-max
+      (1L, us("2024-01-01 12:00:00"), 5.0)),
+      s"got $got")
+  }
+
   test("domainGate: label-boundary suffix match, first blocked domain wins, clean rows null") {
     val df = Seq(
       (1L, "https://ads.example.com/banner"),   // under example.com
