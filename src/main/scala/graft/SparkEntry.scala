@@ -2012,6 +2012,26 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- probability-calibration report: per-bin predicted vs
+    // observed rates + ECE over a deterministic scorer -----
+    "q180_calibration" -> ((s, dir) => {
+      val prob = round(lit(1.0) /
+        (lit(1.0) + exp(-(col("n_chars") - 250).cast("double") / 100)), 6)
+      graft.ops.ClassifierOps.calibrationReport(
+          t(s, dir, "documents").select(
+            prob.as("prob"),
+            (col("lang") === "en").cast("int").as("is_en")),
+          "prob", "is_en", bins = 10)
+        .orderBy(col("bin"))
+    }),
+    // ----- Johnson–Lindenstrauss sign projection: stateless
+    // dimensionality reduction, identical on any cluster -----
+    "q181_jl_project" -> ((s, dir) => {
+      graft.ops.SimilarityOps.jlProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 16)
+        .select(col("id").as("vec_id"), col("j"), col("value"))
+        .orderBy(col("vec_id"), col("j"))
+    }),
     // ----- BPE-ish regex token budget vs whitespace count (one
     // lookahead-free pattern, identical under Java regex and RE2) -----
     "q178_bpeish_tokens" -> ((s, dir) => {
@@ -4312,6 +4332,40 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q180_calibration" ->
+      """WITH s AS (SELECT
+        |    round(1.0 / (1.0 + exp(-(CAST(n_chars - 250 AS DOUBLE)) / 100)), 6)
+        |      AS prob,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+        |    prob, y FROM s),
+        |pb AS (SELECT bin, count(*) AS n,
+        |    round(CAST(sum(CAST(prob AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS mean_pred,
+        |    round(CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS obs_rate
+        |  FROM b GROUP BY bin),
+        |g AS (SELECT bin, n, mean_pred, obs_rate,
+        |    round(abs(mean_pred - obs_rate), 6) AS abs_gap FROM pb),
+        |e AS (SELECT round(CAST(sum(CAST(CAST(n AS DOUBLE) * abs_gap
+        |      AS DECIMAL(28,12))) AS DOUBLE) / sum(n), 6) AS ece FROM g)
+        |SELECT bin, n, mean_pred, obs_rate, abs_gap, ece
+        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin,
+    "q181_jl_project" -> {
+      val dims = 64
+      val scale = 1.0 / math.sqrt(16.0)
+      val terms = (0 until 16).map { j =>
+        val s = duckList(
+          graft.ops.SimilarityOps.jlSigns(j, dims).map(_.toFloat))
+        s"round(list_aggregate(list_transform(range(len(v)), d -> v[d+1] * $s[d+1]), 'sum') * $scale, 6)"
+      }.mkString("[\n", ",\n", "\n]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, $terms AS pr FROM e)
+         |SELECT vec_id, CAST(j AS INT) AS j, pr[CAST(j AS INT) + 1] AS value
+         |FROM p, UNNEST(range(len(pr))) AS t(j)
+         |ORDER BY vec_id, j""".stripMargin
+    },
     "q178_bpeish_tokens" ->
       """WITH b AS (SELECT doc_id,
         |    substr(text, 1, 120) || ' it''s 2024, #tag-42!' AS raw

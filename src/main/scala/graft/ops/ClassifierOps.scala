@@ -364,6 +364,37 @@ object ClassifierOps {
     * engines see the same operands; zero-denominator cells are NULL,
     * not 0 (absence of evidence, not a zero score).
     */
+  /** Probability-calibration report — the companion to [[evalReport]]
+    * for SCORED classifiers: equal-width probability bins, each with
+    * its count, mean predicted probability, observed positive rate,
+    * and |gap|, plus the expected calibration error (the bin-weighted
+    * gap sum — the one number that says whether a quality
+    * classifier's 0.9 means 90%). Bin-sized aggregates only; the ECE
+    * rides a 1-row cross join (the corpus-stat idiom). Rounding
+    * discipline: mean/rate round to 6 dp and the gap/ECE compute FROM
+    * the rounded values, so the report is engine-exact.
+    */
+  def calibrationReport(df: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    val bin = least(floor(col(probCol) * bins).cast("int"), lit(bins - 1))
+    val perBin = df.select(bin.as("bin"), col(probCol).as("p"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6).as("mean_pred"),
+        round(sum(col("y").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6).as("obs_rate"))
+      .withColumn("abs_gap",
+        round(abs(col("mean_pred") - col("obs_rate")), 6))
+    val ece = broadcast(perBin.groupBy()
+      .agg(round(
+        sum((col("n").cast("double") * col("abs_gap"))
+          .cast(DecimalType(28, 12))).cast("double") / sum(col("n")), 6)
+        .as("ece")))
+    perBin.crossJoin(ece)
+  }
+
   def evalReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val cells = df
       .select(col(labelCol).as("_label"), col(predCol).as("_pred"))

@@ -392,6 +392,38 @@ object SimilarityOps {
       .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
   }
 
+  /** Johnson–Lindenstrauss sign projection — dimensionality reduction
+    * to `outDim` via a deterministic ±1 matrix (Achlioptas 2001: the
+    * database-friendly JL construction; pairwise distances survive to
+    * within the JL bound). Where [[graft.ops.StatsOps.pcaProject]]
+    * LEARNS directions from a covariance pass, this needs NO pass
+    * over the data at all: the matrix derives from a public integer
+    * hash, so any two runs — any two CLUSTERS — project identically
+    * without sharing state. Map-side only: `outDim` native dots
+    * against literal sign vectors, no shuffle, no UDF.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      round(graft.functions.VectorExpressions.dot(col("vec"),
+        typedLit[Seq[Double]](jlSigns(j, dims))) * scale, 6)
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"),
+        posexplode(array(comps: _*)).as(Seq("j", "value")))
+  }
+
+  /** Row `j` of the deterministic ±1 JL matrix: the parity of a
+    * public integer hash of (j, i) — reproducible everywhere, no
+    * state, no seed file. */
+  def jlSigns(j: Int, dims: Int): Seq[Double] =
+    Seq.tabulate(dims) { i =>
+      if ((((j * 1000003L + i) * 2654435761L >>> 15) & 1L) == 0L) 1.0
+      else -1.0
+    }
+
   /** Chunk→document embedding pooling: the element-wise mean of every
     * group's vectors — how long documents embedded in chunks become
     * one document vector. One position explode + one (group, i) keyed

@@ -1018,6 +1018,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("calibrationReport: hand-computed bins and ECE") {
+    // bin 2 (p=0.25 ×4, 1 positive → gap |0.25-0.25|=0) and
+    // bin 9 (p=0.95 ×2, 1 positive → gap |0.95-0.5|=0.45)
+    val df = Seq(
+      (0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+      (0.95, 1), (0.95, 0)
+    ).toDF("prob", "y")
+    val got = ClassifierOps.calibrationReport(df, "prob", "y", bins = 10)
+      .select($"bin", $"n", $"mean_pred", $"obs_rate", $"abs_gap", $"ece")
+      .as[(Int, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2, 4L, 0.25, 0.25, 0.0, 0.15),
+      (9, 2L, 0.95, 0.5, 0.45, 0.15)), got.toString)
+    // ece = (4*0 + 2*0.45)/6 = 0.15
+  }
+
+  test("jlProject: deterministic, engine-free reproducible, distances roughly preserved") {
+    val vecs = Seq(
+      (1L, Seq.tabulate(64)(i => (i % 7).toFloat)),
+      (2L, Seq.tabulate(64)(i => (i % 7).toFloat)), // identical to 1
+      (3L, Seq.tabulate(64)(i => ((i * 3) % 11).toFloat))
+    ).toDF("vec_id", "embedding")
+    val proj = SimilarityOps.jlProject(vecs, "vec_id", "embedding", 16)
+      .select($"id", $"j", $"value").as[(Long, Int, Double)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(proj(1L) == proj(2L), "identical vectors project identically")
+    assert(proj(1L).size == 16)
+    // hand-check component 0 against the driver-side dot
+    val signs = SimilarityOps.jlSigns(0, 64)
+    val v = Seq.tabulate(64)(i => (i % 7).toDouble)
+    val want = BigDecimal(v.zip(signs).map { case (a, b) => a * b }.sum / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(proj(1L).head - want) < 1e-9)
+    // JL bound sanity: the projected distance of the distinct pair is
+    // within a loose factor of the original
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = dist(v, Seq.tabulate(64)(i => ((i * 3) % 11).toDouble))
+    val pd = dist(proj(1L), proj(3L))
+    assert(pd > orig * 0.5 && pd < orig * 2.0, s"orig $orig proj $pd")
+  }
+
   test("bpeishTokenCount: every branch of the pattern, hand-tokenized") {
     val got = Seq((1L, "it's 2024, #tag-42!"), (2L, "plain words here"),
         (3L, ""))
