@@ -746,6 +746,12 @@ object TextOps {
       .select(col(idCol), explode(bigrams).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      // four consumers (the scoring join + three model statistics)
+      // would otherwise each re-run the tokenize+explode corpus scan —
+      // measured 4x the corpus CPU at sf0.1; the checkpoint
+      // materializes the compact count table once (lazy: the query's
+      // own first pass is the materializing one)
+      .localCheckpoint(false)
     val types = tf.groupBy(col("w1"), col("w2"))
       .agg(sum(col("tf")).as("c_big"))
     val byW1 = types.groupBy(col("w1"))
