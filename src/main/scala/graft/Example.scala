@@ -222,6 +222,33 @@ object Example {
       s"${gated.count()} | dup spans: ${spans.count()} | " +
       s"kmeans sizes: $clusters | top MI: $features | " +
       s"logreg is-en accuracy: $enAcc/${labeled.count()} | pc1 sd: $pcSpread")
+
+    // ---- round-6 surface: the one-plan curation chain, the
+    // persisted LSH dedup index taking a second day's batch, kNN
+    // retrieval + contrastive mining on IVF cells, and the
+    // stateless JL projection ----
+    import graft.ops.{CurationOps, DedupOps}
+    val curated = CurationOps.curate(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0), "doc_id", "text",
+      minWords = 20)
+    val lshDir = java.nio.file.Files
+      .createTempDirectory("graft-ex-lsh").toString
+    DedupOps.writeLshStore(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", lshDir)
+    val day2 = DedupOps.ingestDedup(spark, lshDir,
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    val cents = (0 until 4).map(c =>
+      Seq.tabulate(64)(d => if (d == c) 1.0f else 0.0f))
+    val knn = SimilarityOps.knnJoin(emb, "vec_id", "embedding", cents, 3)
+    val pairsMined = SimilarityOps.contrastivePairs(emb, "vec_id",
+      "embedding", cents, 2, 2, 0.2, 0.0)
+    val jl = SimilarityOps.jlProject(emb, "vec_id", "embedding", 16)
+    println(s"curated: ${curated.count()} survivors | " +
+      s"lsh day-2 dups: ${day2.where(col("is_dup")).count()}/" +
+      s"${day2.count()} | knn pairs: ${knn.count()} | " +
+      s"contrastive (pos+neg): ${pairsMined.count()} | " +
+      s"jl cells: ${jl.count()}")
     spark.stop()
   }
 }
