@@ -1185,6 +1185,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits3.contains(1L) && !hits3.contains(10L))
   }
 
+  test("LSH dedup store ingests from a stream: per-batch dedup against all prior batches") {
+    // continuous dedup-at-ingest: each micro-batch probes the store as
+    // of the batches before it, then appends its survivors
+    val src = java.nio.file.Files.createTempDirectory("graft-lshs-src").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-lshs-store").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-lshs-ck").toString
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about database engines and their query plans"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    DedupOps.writeLshStore(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text", store)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    Seq((10L, a + " tomorrow"), (11L, b)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b0")
+    val q = spark.readStream.schema(schema).parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = DedupOps.ingestDedup(spark, store, df, "doc_id", "text")
+          .select(col("doc_id"), col("is_dup"))
+          .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+        seen.synchronized { seen ++= flagged }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch 1's NOVEL doc must now be caught
+      Seq((20L, b + " forever")).toDF("doc_id", "text")
+        .write.parquet(s"$src/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = seen.toMap
+    assert(byId(10L), "near-dup of the pre-stream store flagged")
+    assert(!byId(11L), "novel doc passes")
+    assert(byId(20L), "batch 2 deduped against batch 1's survivor")
+  }
+
   test("ANN store ingests from a stream: foreachBatch appends generations, reads are latest-wins") {
     // continuous embedding ingestion: each micro-batch becomes one
     // generation append (gen = batchId, so replays of a batch land on

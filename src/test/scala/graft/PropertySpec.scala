@@ -304,6 +304,75 @@ class PropertySpec extends AnyFunSuite {
     assert(Mp4Decoder.parse(full).exists(_.video.nonEmpty)) // sanity: fixture parses whole
   }
 
+  test("urlDedup: winner matches the brute-force pick under any partitioning") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val genRow = for {
+      id <- Gen.chooseNum(1L, 40L)
+      host <- Gen.oneOf("a.example", "b.example")
+      path <- Gen.oneOf("/p/1", "/p/2", "/p/1/")
+      scheme <- Gen.oneOf("https://www.", "http://")
+      q <- Gen.oneOf("", "?utm=1", "#f")
+      ts <- Gen.chooseNum(0L, 5L)
+    } yield (id, s"$scheme$host$path$q", ts)
+    val prop = Prop.forAllNoShrink(
+        Gen.nonEmptyListOf(genRow), Gen.chooseNum(1, 7)) { (rows0, parts) =>
+      // ids must be unique (they are the dedup tie-break)
+      val rows = rows0.groupBy(_._1).map(_._2.head).toList
+      val df = rows.toDF("doc_id", "url", "ts").repartition(parts)
+      val got = graft.ops.TextOps.urlDedup(df, "doc_id", "url", "ts")
+        .select(col("canonical_url"), col("doc_id"), col("n_fetches"))
+        .as[(String, Long, Long)].collect().toSet
+      def canon(u: String): String = {
+        val host = u.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*://", "")
+          .takeWhile(c => c != '/' && c != '?' && c != '#')
+          .toLowerCase.replaceFirst("^www\\.", "")
+        val rest = u.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+          .takeWhile(c => c != '?' && c != '#')
+        host + "/" + rest.reverse.dropWhile(_ == '/').reverse
+      }
+      val want = rows.groupBy(r => canon(r._2)).map { case (c, rs) =>
+        val win = rs.minBy(r => (-r._3, r._1))
+        (c, win._1, rs.size.toLong)
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("curate: the sampled output is exactly the threshold-filtered unsampled output") {
+    // semantics-first stage order: sampling LAST means a sampled run
+    // equals the keep-all run filtered by the id threshold — the
+    // winner of a dup cluster and the contamination verdict cannot
+    // depend on the sample
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog near the old barn " +
+      "while the cat naps by the warm fire and the birds sing songs"
+    val gen = Gen.listOfN(12, Gen.chooseNum(1L, 30L)).map(_.distinct)
+    val prop = Prop.forAllNoShrink(gen.suchThat(_.nonEmpty)) { ids =>
+      val corpus = ids.map(i => (i, base + " doc " + (i % 3))).toDF("doc_id", "text")
+      val testSet = Seq((100L, "eval only phrase nothing shared here with corpus text")
+        ).toDF("doc_id", "text")
+      def run(th: String) = graft.ops.CurationOps
+        .curate(corpus, testSet, "doc_id", "text", sampleThresholdHex = th)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val all = run("g")
+      val sampled = run("8")
+      val wantSampled = all.filter { id =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString < "8"
+      }
+      sampled == wantSampled
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("duplicateSpans equals the brute-force island merge on random corpora") {
     val spark = SparkTestSession.spark
     import spark.implicits._
