@@ -2012,6 +2012,41 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- KMV sketch set algebra: corpus-overlap estimates from two
+    // k-double summaries, never the sets -----
+    "q183_kmv_algebra" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.SketchOps.kmvSetAlgebra(
+        li.where(col("l_orderkey") % 2 === 0).select(col("l_partkey")),
+        li.where(col("l_orderkey") % 2 === 1).select(col("l_partkey")),
+        "l_partkey", k = 256)
+    }),
+    // ----- TPC-H Q21 shape: correlated EXISTS + NOT EXISTS self-joins
+    // on the fact table (the sole-blamed-supplier pattern) -----
+    "q182_waiting_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("ok2"),
+        col("l_suppkey").as("sk2"))
+      val l3 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1.join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")
+            .join(broadcast(t(s, dir, "nation"))
+              .where(col("n_name") === "NATION_3"),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
     // ----- probability-calibration report: per-bin predicted vs
     // observed rates + ECE over a deterministic scorer -----
     "q180_calibration" -> ((s, dir) => {
@@ -4332,6 +4367,48 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q183_kmv_algebra" ->
+      """WITH ha AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |      ::UBIGINT::DOUBLE / 4294967296.0 AS h
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |hb AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |      ::UBIGINT::DOUBLE / 4294967296.0 AS h
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |sa AS (SELECT list_slice(list_sort(list(h)), 1, 256) AS s FROM ha),
+        |sb AS (SELECT list_slice(list_sort(list(h)), 1, 256) AS s FROM hb),
+        |m AS (SELECT sa.s AS a, sb.s AS b,
+        |    list_slice(list_sort(list_distinct(list_concat(sa.s, sb.s))),
+        |      1, 256) AS m
+        |  FROM sa CROSS JOIN sb),
+        |c AS (SELECT
+        |    CASE WHEN len(m) < 256 THEN CAST(len(m) AS DOUBLE)
+        |      ELSE 255.0 / m[256] END AS u,
+        |    CAST(len(list_filter(m, x -> list_contains(a, x)
+        |      AND list_contains(b, x))) AS DOUBLE)
+        |      / greatest(len(m), 1) AS rho
+        |  FROM m)
+        |SELECT round(u, 6) AS union_est,
+        |  round(rho * u, 6) AS intersect_est,
+        |  round(rho, 6) AS jaccard_est
+        |FROM c""".stripMargin,
+    "q182_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q180_calibration" ->
       """WITH s AS (SELECT
         |    round(1.0 / (1.0 + exp(-(CAST(n_chars - 250 AS DOUBLE)) / 100)), 6)

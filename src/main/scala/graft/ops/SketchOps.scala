@@ -42,6 +42,48 @@ object SketchOps {
           .as("approx_distinct"))
   }
 
+  /** KMV sketch SET ALGEBRA — the mergeable-summary payoff: union,
+    * intersection, and Jaccard estimates for two sets from their
+    * k-minimum-value sketches alone, never the sets. This is how
+    * corpus-overlap questions ("how much of crawl B is already in
+    * crawl A?") get answered at 100 TB: each side reduces to k
+    * doubles, the combine is list arithmetic on 2k values.
+    *
+    *   union    ≈ (k−1)/h_k over the merged k smallest
+    *   ρ        = fraction of those k present in BOTH sketches
+    *   intersect≈ ρ · union,  Jaccard ≈ ρ      (Beyer et al. 2007)
+    *
+    * Deterministic end-to-end (md5-based hashes, sorted merges), so
+    * the estimates — not just the exact answers — are oracle-exact
+    * cross-engine. Small-set regime (fewer than k distinct values
+    * observed) falls back to exact counts by construction.
+    */
+  def kmvSetAlgebra(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(new KMinValuesAggregator(k))
+    def sketch(df: DataFrame, out: String) =
+      df.select(SampleOps.hashUnit(col(valueCol)).as("_h"))
+        .where(col("_h").isNotNull)
+        .agg(agg(col("_h")).as(out))
+    val merged = slice(array_sort(array_distinct(
+      concat(col("sa"), col("sb")))), 1, k)
+    sketch(a, "sa").crossJoin(sketch(b, "sb"))
+      .select(col("sa"), col("sb"), merged.as("m"))
+      .select(
+        size(col("m")).as("_mn"),
+        when(size(col("m")) < k, size(col("m")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("m"), k))
+          .as("_union"),
+        (size(filter(col("m"), x =>
+          array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+          .cast("double") /
+          greatest(size(col("m")), lit(1)).cast("double")).as("_rho"))
+      .select(
+        round(col("_union"), 6).as("union_est"),
+        round(col("_rho") * col("_union"), 6).as("intersect_est"),
+        round(col("_rho"), 6).as("jaccard_est"))
+  }
+
   /** Exact heavy hitters (frequency > n/k) found in two bounded
     * passes: a Misra-Gries sketch pass whose per-partition state is
     * ≤ k−1 counters (see [[graft.functions.MisraGriesAggregator]])

@@ -1018,6 +1018,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("kmvSetAlgebra: exact in the small-set regime, close on real overlap") {
+    import graft.ops.SketchOps
+    // small-set regime: fewer distinct values than k → exact counts
+    val a = (1L to 30L).toDF("v")
+    val b = (21L to 50L).toDF("v")
+    val small = SketchOps.kmvSetAlgebra(a, b, "v", k = 256)
+      .select($"union_est", $"intersect_est", $"jaccard_est")
+      .as[(Double, Double, Double)].head()
+    assert(small._1 == 50.0 && small._2 == 10.0)
+    assert(math.abs(small._3 - 0.2) < 1e-9)
+    // estimation regime: 2000 ∪ 2000 with 1000 shared → union 3000,
+    // intersect 1000, jaccard 1/3; k=256 keeps relative error modest
+    val bigA = (1L to 2000L).toDF("v")
+    val bigB = (1001L to 3000L).toDF("v")
+    val est = SketchOps.kmvSetAlgebra(bigA, bigB, "v", k = 256)
+      .select($"union_est", $"intersect_est", $"jaccard_est")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(est._1 - 3000) / 3000 < 0.25, est.toString)
+    assert(math.abs(est._3 - 1.0 / 3) < 0.12, est.toString)
+  }
+
   test("calibrationReport: hand-computed bins and ECE") {
     // bin 2 (p=0.25 ×4, 1 positive → gap |0.25-0.25|=0) and
     // bin 9 (p=0.95 ×2, 1 positive → gap |0.95-0.5|=0.45)

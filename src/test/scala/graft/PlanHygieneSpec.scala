@@ -27,7 +27,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q159_token_mi",                                // 1-row (N, N1) totals joined to the vocab cells
     "q165_zipf_slope",                              // 1-row fit × 1-row corpus totals
     "q174_kn_bigram",                               // 1-row bigram-type grand total joined to the type model
-    "q175_skew_report")                             // 1-row (n_total, max_bucket) stats joined to the top-k keys
+    "q175_skew_report",                             // 1-row (n_total, max_bucket) stats joined to the top-k keys
+    "q180_calibration",                             // 1-row ECE joined to the ≤bins rows
+    "q183_kmv_algebra")                             // 1-row sketch × 1-row sketch combine
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)
