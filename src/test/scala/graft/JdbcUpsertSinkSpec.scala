@@ -40,11 +40,12 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
       Envelope.schemaFor(payload))
   }
 
-  private def stateOf(table: String = "public_acct"): Map[Long, (String, Long)] = {
+  private def stateOf(table: String = "public_acct",
+      valueCol: String = "msg"): Map[Long, (String, Long)] = {
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement().executeQuery(
-        s"""SELECT "id", "msg", "_lsn" FROM "$table"""")
+        s"""SELECT "id", "$valueCol", "_lsn" FROM "$table"""")
       val b = Map.newBuilder[Long, (String, Long)]
       while (rs.next()) b += rs.getLong(1) -> ((rs.getString(2), rs.getLong(3)))
       b.result()
@@ -86,6 +87,48 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     sink.truncate(schema, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"),
       Some(200L), None)
     assert(stateOf() == Map.empty)
+  }
+
+  test("binary CDC frames stream end-to-end into the live database") {
+    import graft.sources._
+    import graft.sources.PgOutput._
+    import graft.streaming.{CdcPipeline, FrameStreamPipeline}
+    def tmp() = java.nio.file.Files.createTempDirectory("graft-jdbc-pipe").toString
+    val rel = Relation(1L, "public", "pets", 'd'.toByte, Seq(
+      RelationColumn(key = true, "id", PgTypes.Int8, -1),
+      RelationColumn(key = false, "name", PgTypes.Text, -1)))
+    def cell(v: String) = Element('t'.toByte, Some(v.getBytes("UTF-8")))
+    def ins(id: Long, name: String) =
+      encodeInsert(Insert(1L, TupleData(Seq(cell(id.toString), cell(name)))))
+    def upd(id: Long, name: String) =
+      encodeUpdate(Update(1L, Some('K'.toByte),
+        Some(TupleData(Seq(cell(id.toString), Element('n'.toByte, None)))),
+        TupleData(Seq(cell(id.toString), cell(name)))))
+    def del(id: Long) =
+      encodeDelete(Delete(1L, 'K'.toByte,
+        TupleData(Seq(cell(id.toString), Element('n'.toByte, None)))))
+
+    val frameDir = tmp(); val ckpt = tmp()
+    val sink = new JdbcUpsertSink(url)
+    val wm = new CdcPipeline.AckWatermark
+    PgOutputFrameLog.append(frameDir, "seg-000",
+      Seq(encodeBegin(Begin(100L, 0L, 1L)), encodeRelation(rel),
+        ins(1L, "rex"), ins(2L, "whiskers"),
+        encodeCommit(Commit(0, 100L, 101L, 0L))))
+    val q1 = FrameStreamPipeline.start(spark, frameDir, sink, wm, ckpt, "1 seconds")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(stateOf("public_pets", "name").view.mapValues(_._1).toMap ==
+      Map(1L -> "rex", 2L -> "whiskers"))
+
+    // epoch 2: update + delete through a restarted query
+    PgOutputFrameLog.append(frameDir, "seg-001",
+      Seq(encodeBegin(Begin(200L, 0L, 2L)), encodeRelation(rel),
+        upd(1L, "rex II"), del(2L),
+        encodeCommit(Commit(0, 200L, 201L, 0L))))
+    val q2 = FrameStreamPipeline.start(spark, frameDir, sink, wm, ckpt, "1 seconds")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(stateOf("public_pets", "name").view.mapValues(_._1).toMap ==
+      Map(1L -> "rex II"))
   }
 
   test("schema evolution adds the new column to the live table") {
