@@ -20,13 +20,24 @@ final class KMinValuesAggregator(k: Int)
     extends Aggregator[Double, List[Double], Seq[Double]] {
   require(k >= 2, "KMV needs k >= 2")
 
+  // Buffer invariant: DESCENDING order, so the current k-th smallest
+  // (the reject threshold) is the HEAD — a saturated sketch rejects
+  // each non-candidate in O(1). The first form kept the list
+  // ascending and re-sorted on every row: O(k log k) per input
+  // (measured: 4.2s for one sketch pair at k=256 over 600k rows —
+  // the sketch cost more than the scan). Accepted inserts — O(log n)
+  // of them once saturated — pay the O(k) splice; everything else is
+  // one comparison. finish() reverses to the ascending contract.
   override def zero: List[Double] = Nil
 
   private def insert(mins: List[Double], v: Double): List[Double] =
-    if (mins.contains(v)) mins
-    else {
-      val merged = (v :: mins).sorted
-      if (merged.size > k) merged.init else merged
+    mins match {
+      case h :: _ if mins.sizeIs >= k && v >= h => mins // saturated reject
+      case _ if mins.contains(v) => mins
+      case _ =>
+        val (bigger, smaller) = mins.span(_ > v)
+        val merged = bigger ::: (v :: smaller)
+        if (merged.sizeIs > k) merged.tail else merged
     }
 
   override def reduce(mins: List[Double], v: Double): List[Double] =
@@ -35,7 +46,7 @@ final class KMinValuesAggregator(k: Int)
   override def merge(a: List[Double], b: List[Double]): List[Double] =
     b.foldLeft(a)(insert)
 
-  override def finish(mins: List[Double]): Seq[Double] = mins
+  override def finish(mins: List[Double]): Seq[Double] = mins.reverse
 
   override def bufferEncoder: Encoder[List[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Double]]()
