@@ -2012,6 +2012,18 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- diversity-quota retrieval: top-k by cosine, at most 3 per
+    // IVF cell -----
+    "q184_diverse_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      graft.ops.SimilarityOps.diverseTopK(emb,
+          "vec_id", "embedding", q, semCentroids, k = 10, perCell = 3)
+        .select(col("id").as("vec_id"), col("cell"), col("cosine"),
+          col("cell_rank"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
     // ----- KMV sketch set algebra: corpus-overlap estimates from two
     // k-double summaries, never the sets -----
     "q183_kmv_algebra" -> ((s, dir) => {
@@ -4367,6 +4379,23 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q184_diverse_topk" -> {
+      val scores = semCentroids
+        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
+         |a AS (SELECT vec_id,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell,
+         |    round(${duckCosine("v", "q")}, 6) AS cosine
+         |  FROM sc, qv),
+         |r AS (SELECT vec_id, cell, cosine, CAST(row_number() OVER (
+         |    PARTITION BY cell ORDER BY cosine DESC, vec_id)
+         |    AS INTEGER) AS cell_rank FROM a)
+         |SELECT vec_id, cell, cosine, cell_rank FROM r
+         |WHERE cell_rank <= 3
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
     "q183_kmv_algebra" ->
       """WITH ha AS (SELECT DISTINCT
         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))

@@ -392,6 +392,84 @@ object SimilarityOps {
       .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
   }
 
+  /** Diversity-quota top-k retrieval: the k most query-similar
+    * vectors subject to AT MOST `perCell` per IVF cell — the
+    * production form of "don't return twenty copies of the same
+    * cluster". One map-side score + cell assignment, a per-cell rank
+    * window, then a global TakeOrdered over the quota survivors;
+    * deterministic ties ((cosine DESC 6 dp, id)) at both ranks.
+    * Contrast with greedy MMR ([[mmrSelect]]): this is one plan and
+    * scales like a scan; MMR is the exact sequential objective at k
+    * driver rounds.
+    */
+  def diverseTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], centroids: Seq[Seq[Float]], k: Int,
+      perCell: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val scored = Parallelism.ensure(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), ivfAssign(col("vec"), centroids).as("cell"),
+        round(cosine(col("vec"), q), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("cell_rank", row_number().over(w))
+      .where(col("cell_rank") <= perCell)
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Greedy maximal-marginal-relevance selection — the EXACT
+    * sequential objective: each round picks the candidate maximizing
+    * `λ·rel − (1−λ)·max_sim_to_selected`. Inherently k sequential
+    * decisions, so this is the bounded trainer-state pattern: the
+    * selected set (k vectors) lives on the driver, each round is ONE
+    * distributed pass scoring every remaining candidate against the
+    * newest pick only (the running max-sim column folds in place —
+    * O(n) per round, not O(n·k)). Use for the final re-rank over a
+    * candidate pool that [[diverseTopK]] or [[cosineTopK]] already
+    * cut to thousands; ties break (score DESC 6 dp, id).
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, lambda: Double): Seq[Long] = {
+    val spark = candidates.sparkSession
+    val q = lit(query.toArray)
+    var pool = Parallelism.ensure(
+        candidates.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        round(cosine(col("vec"), q), 6).as("rel"),
+        lit(0.0).as("maxSim"))
+      .localCheckpoint()
+    val picked = Seq.newBuilder[Long]
+    var n = 0
+    while (n < k) {
+      val best = pool
+        .select(col("id"), col("vec"),
+          round(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("maxSim"), 6).as("mmr"))
+        .orderBy(col("mmr").desc, col("id")).limit(1)
+        .collect()
+      if (best.isEmpty) n = k
+      else {
+        val id = best.head.getLong(0)
+        val vec = best.head.getSeq[Float](1)
+        picked += id
+        val prev = pool
+        pool = pool.where(col("id") =!= id)
+          .select(col("id"), col("vec"), col("rel"),
+            greatest(col("maxSim"),
+              round(cosine(col("vec"), lit(vec.toArray)), 6)).as("maxSim"))
+          .localCheckpoint()
+        prev.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        n += 1
+      }
+    }
+    picked.result()
+  }
+
   /** Johnson–Lindenstrauss sign projection — dimensionality reduction
     * to `outDim` via a deterministic ±1 matrix (Achlioptas 2001: the
     * database-friendly JL construction; pairwise distances survive to

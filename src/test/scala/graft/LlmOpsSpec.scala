@@ -1018,6 +1018,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("diverseTopK: cell quota caps a dominant cluster; order stays global") {
+    val centroids = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    // cell 0 holds the four most-relevant vectors; quota 2 forces two
+    // cell-1 vectors into the top-4
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.00f, 0.0f)),
+      (2L, Seq(1.0f, 0.05f, 0.0f)),
+      (3L, Seq(1.0f, 0.10f, 0.0f)),
+      (4L, Seq(1.0f, 0.15f, 0.0f)),
+      (5L, Seq(0.4f, 1.00f, 0.0f)),
+      (6L, Seq(0.3f, 1.00f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.diverseTopK(vecs, "vec_id", "embedding",
+        q, centroids, k = 4, perCell = 2)
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 5L, 6L), got.toString)
+  }
+
+  test("mmrSelect: lambda=1 is pure relevance; lower lambda trades for diversity") {
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.0f)),   // most relevant
+      (2L, Seq(1.0f, 0.25f, 0.0f)),  // near-duplicate of 1
+      (3L, Seq(0.8f, 0.0f, 0.6f))    // less relevant, diverse
+    ).toDF("vec_id", "embedding")
+    assert(SimilarityOps.mmrSelect(vecs, "vec_id", "embedding", q,
+      k = 2, lambda = 1.0) == Seq(1L, 2L))
+    // λ=0.5: pick 1 first; then 2's redundancy (sim≈0.98 to 1)
+    // outweighs its relevance edge over 3
+    assert(SimilarityOps.mmrSelect(vecs, "vec_id", "embedding", q,
+      k = 2, lambda = 0.5) == Seq(1L, 3L))
+    // k larger than the pool returns everyone once
+    assert(SimilarityOps.mmrSelect(vecs, "vec_id", "embedding", q,
+      k = 5, lambda = 0.5).toSet == Set(1L, 2L, 3L))
+  }
+
   test("kmvSetAlgebra: exact in the small-set regime, close on real overlap") {
     import graft.ops.SketchOps
     // small-set regime: fewer distinct values than k → exact counts
