@@ -2012,6 +2012,18 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- operating-point sweep: confusion + P/R/F1 per candidate
+    // gate threshold, histogram-first -----
+    "q185_threshold_sweep" -> ((s, dir) => {
+      val prob = round(lit(1.0) /
+        (lit(1.0) + exp(-(col("n_chars") - 250).cast("double") / 100)), 6)
+      graft.ops.ClassifierOps.thresholdSweep(
+          t(s, dir, "documents").select(
+            prob.as("prob"),
+            (col("lang") === "en").cast("int").as("is_en")),
+          "prob", "is_en", (1 to 9).map(_ / 10.0))
+        .orderBy(col("threshold"))
+    }),
     // ----- diversity-quota retrieval: top-k by cosine, at most 3 per
     // IVF cell -----
     "q184_diverse_topk" -> ((s, dir) => {
@@ -4379,6 +4391,38 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q185_threshold_sweep" ->
+      """WITH s AS (SELECT
+        |    round(1.0 / (1.0 + exp(-(CAST(n_chars - 250 AS DOUBLE)) / 100)), 6)
+        |      AS prob,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |c AS (SELECT CAST(floor(prob * 1000) AS INT) AS pbin, y,
+        |    count(*) AS n FROM s GROUP BY pbin, y),
+        |sw AS (SELECT t, pbin, y, n FROM c,
+        |  UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS th(t)),
+        |conf AS (SELECT t,
+        |    CAST(coalesce(sum(CASE WHEN pbin >= CAST(round(t*1000) AS INT) AND y = 1
+        |      THEN n END), 0) AS BIGINT) AS tp,
+        |    CAST(coalesce(sum(CASE WHEN pbin >= CAST(round(t*1000) AS INT) AND y = 0
+        |      THEN n END), 0) AS BIGINT) AS fp,
+        |    CAST(coalesce(sum(CASE WHEN pbin < CAST(round(t*1000) AS INT) AND y = 1
+        |      THEN n END), 0) AS BIGINT) AS fn,
+        |    CAST(coalesce(sum(CASE WHEN pbin < CAST(round(t*1000) AS INT) AND y = 0
+        |      THEN n END), 0) AS BIGINT) AS tn
+        |  FROM sw GROUP BY t),
+        |m AS (SELECT t, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp = 0 THEN NULL
+        |      ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |    CASE WHEN tp + fn = 0 THEN NULL
+        |      ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+        |  FROM conf)
+        |SELECT round(t, 6) AS threshold, tp, fp, fn, tn, precision, recall,
+        |  CASE WHEN precision IS NULL OR recall IS NULL
+        |      OR precision + recall = 0 THEN NULL
+        |    ELSE round(2.0 * precision * recall / (precision + recall), 6)
+        |  END AS f1
+        |FROM m ORDER BY threshold""".stripMargin,
     "q184_diverse_topk" -> {
       val scores = semCentroids
         .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")

@@ -395,6 +395,52 @@ object ClassifierOps {
     perBin.crossJoin(ece)
   }
 
+  /** Operating-point sweep for a scored binary classifier: one row
+    * per candidate threshold with the full confusion (tp/fp/fn/tn),
+    * precision, recall and F1 — how a pipeline actually CHOOSES its
+    * gate threshold. The scale shape is histogram-first: probabilities
+    * floor-bin to 1e-3 (exact for any threshold that is a multiple of
+    * 0.001 — `p >= t ⟺ floor(p·1000) >= t·1000`), the corpus reduces
+    * to ≤ 2·1001 (bin, label) cells in ONE pass, and the sweep is
+    * arithmetic over that bounded table × the threshold list — adding
+    * thresholds costs nothing more from the data. Zero-denominator
+    * points go NULL (the [[evalReport]] discipline); F1 computes from
+    * the 6 dp-rounded P/R so the report is engine-exact.
+    */
+  def thresholdSweep(df: DataFrame, probCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.forall(t =>
+        math.abs(t * 1000 - math.round(t * 1000)) < 1e-6),
+      "thresholds must be multiples of 0.001 (the histogram grain)")
+    val cells = df.select(
+        floor(col(probCol) * 1000).cast("int").as("pbin"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy(col("pbin"), col("y")).agg(count(lit(1)).as("n"))
+    val sweep = cells.select(col("*"),
+      explode(typedLit(thresholds.sorted)).as("t"))
+    // ROUND before the int cast: 0.3*1000 is 299.99999… in doubles,
+    // and a truncating cast would shift the bin edge (engines also
+    // disagree on double→int casts — truncate vs round)
+    val tb = round(col("t") * 1000).cast("int")
+    def cnt(cond: org.apache.spark.sql.Column) =
+      coalesce(sum(when(cond, col("n"))), lit(0L))
+    val conf = sweep.groupBy(col("t"))
+      .agg(cnt(col("pbin") >= tb && col("y") === 1).as("tp"),
+        cnt(col("pbin") >= tb && col("y") === 0).as("fp"),
+        cnt(col("pbin") < tb && col("y") === 1).as("fn"),
+        cnt(col("pbin") < tb && col("y") === 0).as("tn"))
+    val p = col("precision"); val r = col("recall")
+    conf
+      .withColumn("precision", when(col("tp") + col("fp") === 0, lit(null))
+        .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") === 0, lit(null))
+        .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+      .withColumn("f1", when(p.isNull || r.isNull || (p + r === 0), lit(null))
+        .otherwise(round(lit(2.0) * p * r / (p + r), 6)))
+      .select(round(col("t"), 6).as("threshold"), col("tp"), col("fp"),
+        col("fn"), col("tn"), p, r, col("f1"))
+  }
+
   def evalReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val cells = df
       .select(col(labelCol).as("_label"), col(predCol).as("_pred"))

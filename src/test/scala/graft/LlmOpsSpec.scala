@@ -1018,6 +1018,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(out.head.fieldIndex("zipf_slope")))
   }
 
+  test("thresholdSweep: hand-computed confusions per operating point, boundary inclusive") {
+    val df = Seq((0.95, 1), (0.85, 0), (0.5, 1), (0.1, 0)).toDF("prob", "y")
+    val got = ClassifierOps.thresholdSweep(df, "prob", "y", Seq(0.5, 0.9))
+      .orderBy($"threshold")
+      .select($"threshold", $"tp", $"fp", $"fn", $"tn", $"f1")
+      .as[(Double, Long, Long, Long, Long, Double)].collect().toSeq
+    // p=0.5 at t=0.5 is INCLUSIVE (p >= t)
+    assert(got == Seq(
+      (0.5, 2L, 1L, 0L, 1L, 0.8),
+      (0.9, 1L, 0L, 1L, 2L, 0.666667)), got.toString)
+  }
+
   test("diverseTopK: cell quota caps a dominant cluster; order stays global") {
     val centroids = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
     val q = Seq(1.0f, 0.0f, 0.0f)
