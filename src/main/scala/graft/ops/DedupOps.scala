@@ -187,6 +187,35 @@ object DedupOps {
         posexplode(lshBandHashes(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
 
+  /** Fold the LSH store's append log into one file set per band —
+    * the small-files counterpart of the ANN store's compaction:
+    * every [[ingestDedup]] batch appends its own part files per band
+    * partition, and after N batches a probe opens N files per band.
+    * Rows are immutable (signatures of accepted docs — no
+    * latest-wins to resolve), so compaction is a pure rewrite:
+    * read, repartition by band, two-rename swap with a recovery
+    * window identical to the ANN stores'.
+    */
+  def compactLshStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tmpDir = path + ".compact-tmp"
+    val oldDir = path + ".compact-old"
+    spark.read.parquet(path)
+      .repartition(col("band"))
+      .write.partitionBy("band").mode("overwrite").parquet(tmpDir)
+    val fs = new java.io.File(path)
+    val old = new java.io.File(oldDir)
+    if (old.exists()) sys.error(s"unfinished compaction at $oldDir")
+    require(fs.renameTo(old), s"swap-out failed for $path")
+    require(new java.io.File(tmpDir).renameTo(fs),
+      s"swap-in failed for $path (recover: move $oldDir back)")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+  }
+
   /** Probe the store with new documents: (new_id, store_id,
     * est_jaccard) for every stored near-dup at or above
     * `minEstJaccard`. Band/row/shingle parameters must match the

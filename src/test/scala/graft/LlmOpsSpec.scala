@@ -1255,6 +1255,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits3.contains(1L) && !hits3.contains(10L))
   }
 
+  test("compactLshStore folds the append log; probes answer identically") {
+    val store = java.nio.file.Files.createTempDirectory("graft-lshc").toString
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about database engines and their query plans"
+    DedupOps.writeLshStore(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text", store)
+    DedupOps.appendLshStore(
+      Seq((2L, b)).toDF("doc_id", "text"), "doc_id", "text", store)
+    DedupOps.appendLshStore(
+      Seq((3L, b + " third")).toDF("doc_id", "text"), "doc_id", "text", store)
+    def probe() = DedupOps.probeLshStore(spark, store,
+        Seq((10L, a + " tomorrow")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"store_id").as[Long].collect().toSet
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = probe()
+    val filesBefore = parquetFiles()
+    DedupOps.compactLshStore(spark, store)
+    assert(probe() == before, "compaction must not change probe answers")
+    assert(before == Set(1L))
+    assert(parquetFiles() < filesBefore,
+      s"expected fewer files after compaction ($filesBefore)")
+    assert(spark.read.parquet(store).select($"id").distinct().count() == 3)
+  }
+
   test("LSH dedup store ingests from a stream: per-batch dedup against all prior batches") {
     // continuous dedup-at-ingest: each micro-batch probes the store as
     // of the batches before it, then appends its survivors

@@ -188,6 +188,45 @@ class StatefulSessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessions survive a query restart from the checkpoint") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = Files.createTempDirectory("graft-tws-restart").toString
+      val ck = Files.createTempDirectory("graft-tws-restart-ck").toString
+      val out = Files.createTempDirectory("graft-tws-restart-out").toString
+      val slices = slicesOf(2)
+      def start() = StatefulSessions.sessionsTws(
+          spark.readStream.schema(schema).parquet(s"$src/*"), gap, "60 seconds")
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", out).start()
+
+      drop(src, 0, slices(0))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val afterRun1 = spark.read.parquet(out).count()
+
+      drop(src, 1, slices(1))
+      drop(src, 2, Seq(Row(-1L, sentinelTs, 0.0)))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val got = spark.read.parquet(out).collect().toSeq
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assertMatches(got)
+      assert(afterRun1 > 0, "run 1 closed no sessions — restart not exercised")
+      assert(afterRun1 < got.length, "run 2 emitted nothing — state did not resume")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessions survive a query restart from the checkpoint") {
     // stop the query between drops and restart it against the same
     // checkpoint: open sessions must resume, no session emits twice
