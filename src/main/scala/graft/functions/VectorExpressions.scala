@@ -222,6 +222,10 @@ object VectorExpressions {
       "graft_hash_unit(id) - deterministic uniform [0,1) hash of an id (sampling threshold)") {
       es => graft.ops.SampleOps.hashUnit(es(0))
     },
+    composed("graft_bpeish_count",
+      "graft_bpeish_count(text) - BPE-family token budget (lookahead-free GPT-2-shape pre-tokenizer)") {
+      es => graft.ops.TextOps.bpeishTokenCount(es(0))
+    },
     composed("graft_zvalue",
       "graft_zvalue(x, y) - 16-bit Morton/Z-order interleave for two-dimensional layout") {
       es => graft.ops.LayoutOps.zValue(es(0), es(1), 16)

@@ -166,6 +166,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.where(col("c") > 0.99).count() > 0) // executes through codegen
   }
 
+  test("graft_bpeish_count SQL spelling matches the Scala op") {
+    GraftSparkExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_bpeish_count(\"it's 2024, #tag-42!\") AS n")
+      .collect().head.getLong(0)
+    assert(viaSql == 9L) // it|'s| 2024|,| #|tag|-|42|!
+  }
+
   test("nfc_normalize composes combining marks; NFC input passes through; SQL-callable") {
     GraftSparkExtensions.register(spark)
     val decomposed = "café ô x" // e + U+0301, o + U+0302
