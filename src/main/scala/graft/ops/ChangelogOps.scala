@@ -292,6 +292,68 @@ object ChangelogOps {
       .drop("_new_session")
   }
 
+  /** Incremental BATCH sessionization — the daily-delta form of the
+    * gap rule, for pipelines that close sessions once a day instead
+    * of holding a streaming state store: fold TODAY's events into
+    * yesterday's carried-over OPEN sessions, emit every session the
+    * gap rule (or the day boundary) closes, and hand the still-open
+    * tail to tomorrow. The law this must satisfy (spec-enforced, the
+    * same one the streaming sessionizer carries): processing a corpus
+    * in ANY day-split yields exactly the sessions of one whole-corpus
+    * [[sessionize]] pass, with the final opens flushed at the end.
+    *
+    * State is [[graft.streaming.StatefulSessions.OpenSession]]-shaped
+    * — one (key, startUs, lastUs, n, sum) row per ACTIVE key, a
+    * bounded table that replaces the streaming state store. One
+    * union + one keyed window per day; `closeBeforeUs` (typically
+    * today's cutoff minus the gap) decides which tail sessions are
+    * CLOSED by time rather than carried.
+    *
+    * Returns (closed, open): closed = (key, startUs, endUs, n_events,
+    * sum_value); open = same shape, to persist for tomorrow.
+    */
+  def sessionizeIncremental(prevOpen: DataFrame, events: DataFrame,
+      keyCol: String, tsCol: String, valCol: String, gapSeconds: Long,
+      closeBeforeUs: Long): (DataFrame, DataFrame) = {
+    val gapUs = gapSeconds * 1000000L
+    // carried opens re-enter as pseudo-events holding their fold so
+    // far; the window fold below then treats them like any run prefix
+    val carried = prevOpen.select(col(keyCol).as("k"),
+      col("startUs").as("su"), col("lastUs").as("ts_us"),
+      col("n_events").as("n0"), col("sum_value").as("v0"))
+    val todays = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+      col(valCol).cast("double").as("v"))
+    val unioned = carried
+      .select(col("k"), col("ts_us"), col("su"), col("n0"), col("v0"),
+        lit(null).cast("double").as("v"))
+      .unionByName(todays.select(col("k"), col("ts_us"),
+        lit(null).cast("long").as("su"), lit(null).cast("long").as("n0"),
+        lit(null).cast("double").as("v0"), col("v")))
+    val w = Window.partitionBy(col("k"))
+      // carried rows sort BEFORE a real event at the same instant
+      .orderBy(col("ts_us"), col("su").isNull.cast("int"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSess = unioned
+      .withColumn("_gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("_new", when(col("_gap").isNull ||
+        col("_gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(run))
+    val sessions = withSess.groupBy(col("k"), col("_sid"))
+      .agg(
+        // a carried row contributes its ORIGINAL start
+        min(coalesce(col("su"), col("ts_us"))).as("startUs"),
+        max(col("ts_us")).as("lastUs"),
+        sum(coalesce(col("n0"), lit(1L))).as("n_events"),
+        sum(coalesce(col("v0"), col("v"), lit(0.0))).as("sum_value"))
+    val shaped = sessions.select(col("k").as(keyCol), col("startUs"),
+      col("lastUs").as("endUs"), col("n_events"), col("sum_value"))
+    val closed = shaped.where(col("endUs") + gapUs < closeBeforeUs)
+    val open = shaped.where(col("endUs") + gapUs >= closeBeforeUs)
+      .withColumnRenamed("endUs", "lastUs")
+    (closed, open)
+  }
+
   /** Interval-union coverage per key (gaps-and-islands): each event
     * opens an interval [ts, ts + durationSeconds); overlapping or
     * touching intervals merge into islands; the output is one row per

@@ -99,6 +99,46 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assertMatches(got)
   }
 
+  test("incremental batch sessionization: any day-split equals the one-pass sessionize") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+    val openSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("startUs", LongType),
+      StructField("lastUs", LongType), StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    def emptyOpen = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], openSchema)
+    def emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    for (k <- Seq(2, 3)) {
+      var open = emptyOpen
+      val closedAll = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+      def drain(df: DataFrame): Unit =
+        closedAll ++= df
+          .select($"user_id", $"startUs", $"endUs", $"n_events", $"sum_value")
+          .as[(Long, Long, Long, Long, Double)].collect()
+      slicesOf(k).foreach { rows =>
+        val day = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        // sessions that cannot reach the NEXT day (slices are
+        // ts-ordered) close now; the rest carry
+        val cutoffUs = rows.map(_.getTimestamp(1).getTime).max * 1000L
+        val (closed, newOpen) = ChangelogOps.sessionizeIncremental(
+          open, day, "user_id", "ts", "value", gap, cutoffUs)
+        drain(closed)
+        // persist the (bounded) state table like a real daily job
+        open = spark.createDataFrame(
+          spark.sparkContext.parallelize(newOpen.collect().toSeq, 1),
+          newOpen.schema)
+      }
+      // end of history: flush every remaining open session
+      val (lastClosed, rest) = ChangelogOps.sessionizeIncremental(
+        open, emptyEvents, "user_id", "ts", "value", gap, Long.MaxValue)
+      drain(lastClosed)
+      assert(rest.count() == 0)
+      assertMatches(closedAll.result())
+    }
+  }
+
   test("transformWithState sessionization matches batch sessionize across micro-batches") {
     // TWS requires the RocksDB state store provider — which is the
     // at-scale posture anyway; scope it to this query and restore
