@@ -2012,6 +2012,30 @@ object SparkEntry {
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
     }),
+    // ----- incremental batch sessionization: two daily deltas with
+    // carried open-session state equal the one-pass fold -----
+    "q186_incremental_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+      val splitUs = 1705363200000000L // 2024-01-16T00:00:00Z
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val emptyOpen = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("startUs", LongType), StructField("lastUs", LongType),
+          StructField("n_events", LongType),
+          StructField("sum_value", DoubleType))))
+      val (c1, o1) = graft.ops.ChangelogOps.sessionizeIncremental(
+        emptyOpen, ev.where(tsUs < splitUs),
+        "user_id", "ts", "value", 1800L, splitUs)
+      val (c2, o2) = graft.ops.ChangelogOps.sessionizeIncremental(
+        o1, ev.where(tsUs >= splitUs),
+        "user_id", "ts", "value", 1800L, Long.MaxValue)
+      c1.unionByName(c2)
+        .select(col("user_id"), col("startUs"), col("endUs"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("startUs"))
+    }),
     // ----- operating-point sweep: confusion + P/R/F1 per candidate
     // gate threshold, histogram-first -----
     "q185_threshold_sweep" -> ((s, dir) => {
@@ -4391,6 +4415,46 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
         |  md5(nfc_normalize(raw)) AS nfc_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q186_incremental_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |g1 AS (SELECT user_id, ts_us, value, sum(nw) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (SELECT user_id, ts_us, value,
+        |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |          IS NULL
+        |        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |          > 1800000000 THEN 1 ELSE 0 END AS nw
+        |    FROM ev WHERE ts_us < 1705363200000000)),
+        |a1 AS (SELECT user_id, min(ts_us) AS startUs, max(ts_us) AS endUs,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sum_value
+        |  FROM g1 GROUP BY user_id, sid),
+        |c1 AS (SELECT * FROM a1 WHERE endUs + 1800000000 < 1705363200000000),
+        |o1 AS (SELECT * FROM a1 WHERE endUs + 1800000000 >= 1705363200000000),
+        |u2 AS (SELECT user_id, endUs AS ts_us, startUs AS su,
+        |    n_events AS n0, sum_value AS v0, NULL::DOUBLE AS value FROM o1
+        |  UNION ALL
+        |  SELECT user_id, ts_us, NULL, NULL, NULL, value FROM ev
+        |  WHERE ts_us >= 1705363200000000),
+        |g2 AS (SELECT user_id, ts_us, su, n0, v0, value, sum(nw) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, (su IS NULL)
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (SELECT *,
+        |      CASE WHEN lag(ts_us) OVER w2 IS NULL
+        |        OR ts_us - lag(ts_us) OVER w2 > 1800000000
+        |        THEN 1 ELSE 0 END AS nw
+        |    FROM u2
+        |    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, (su IS NULL)))),
+        |a2 AS (SELECT user_id,
+        |    min(coalesce(su, ts_us)) AS startUs, max(ts_us) AS endUs,
+        |    CAST(sum(coalesce(n0, 1)) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(coalesce(v0, value, 0.0) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS sum_value
+        |  FROM g2 GROUP BY user_id, sid)
+        |SELECT user_id, startUs, endUs, n_events,
+        |  round(sum_value, 6) AS sum_value
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM a2)
+        |ORDER BY user_id, startUs""".stripMargin,
     "q185_threshold_sweep" ->
       """WITH s AS (SELECT
         |    round(1.0 / (1.0 + exp(-(CAST(n_chars - 250 AS DOUBLE)) / 100)), 6)

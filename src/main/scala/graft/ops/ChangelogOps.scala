@@ -345,7 +345,11 @@ object ChangelogOps {
         min(coalesce(col("su"), col("ts_us"))).as("startUs"),
         max(col("ts_us")).as("lastUs"),
         sum(coalesce(col("n0"), lit(1L))).as("n_events"),
-        sum(coalesce(col("v0"), col("v"), lit(0.0))).as("sum_value"))
+        // decimal-exact: order-independent across partitions AND
+        // engine-identical when a carried sum re-enters tomorrow's fold
+        sum(coalesce(col("v0"), col("v"), lit(0.0))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("sum_value"))
     val shaped = sessions.select(col("k").as(keyCol), col("startUs"),
       col("lastUs").as("endUs"), col("n_events"), col("sum_value"))
     val closed = shaped.where(col("endUs") + gapUs < closeBeforeUs)
