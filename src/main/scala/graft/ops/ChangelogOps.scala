@@ -548,8 +548,9 @@ object ChangelogOps {
     *
     * The grid generates per key from its own [min, max] span
     * (`sequence` — no cross join against a global calendar, so a
-    * short-lived key costs its own span only), aligned DOWN to the
-    * step so grid instants are comparable across keys; the fill is
+    * short-lived key costs its own span only), aligned UP to the next
+    * step multiple so grid instants are comparable across keys and
+    * every grid row has an observation at or before it; the fill is
     * the existing [[TemporalJoins.asOfJoin]] on epoch seconds — one
     * union + one keyed window, no per-grid-point probe. Every grid
     * row has a value by construction (the first grid instant is >=

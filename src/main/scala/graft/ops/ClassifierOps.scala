@@ -349,21 +349,6 @@ object ClassifierOps {
       .limit(topK)
   }
 
-  /** Classifier evaluation report: per-class precision / recall / F1
-    * from (gold label, predicted label) pairs — the measurement half
-    * of the classifier stack (a quality gate is only as good as its
-    * measured precision on held-out labels). The class set is the
-    * UNION of gold and predicted values (a class the model invents,
-    * like `unknown`, shows up with n_true = 0 rather than vanishing).
-    *
-    * One (label, pred) count aggregation — confusion-matrix-sized,
-    * tiny whatever the corpus — then class-keyed re-aggregations and
-    * a full-outer stitch, all on catalog-sized frames. Ratios are
-    * single IEEE divisions of exact integers (engine-identical),
-    * F1 computed FROM the 6-dp-rounded precision/recall so both
-    * engines see the same operands; zero-denominator cells are NULL,
-    * not 0 (absence of evidence, not a zero score).
-    */
   /** Probability-calibration report — the companion to [[evalReport]]
     * for SCORED classifiers: equal-width probability bins, each with
     * its count, mean predicted probability, observed positive rate,
@@ -441,6 +426,21 @@ object ClassifierOps {
         col("fn"), col("tn"), p, r, col("f1"))
   }
 
+  /** Classifier evaluation report: per-class precision / recall / F1
+    * from (gold label, predicted label) pairs — the measurement half
+    * of the classifier stack (a quality gate is only as good as its
+    * measured precision on held-out labels). The class set is the
+    * UNION of gold and predicted values (a class the model invents,
+    * like `unknown`, shows up with n_true = 0 rather than vanishing).
+    *
+    * One (label, pred) count aggregation — confusion-matrix-sized,
+    * tiny whatever the corpus — then class-keyed re-aggregations and
+    * a full-outer stitch, all on catalog-sized frames. Ratios are
+    * single IEEE divisions of exact integers (engine-identical),
+    * F1 computed FROM the 6-dp-rounded precision/recall so both
+    * engines see the same operands; zero-denominator cells are NULL,
+    * not 0 (absence of evidence, not a zero score).
+    */
   def evalReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
     val cells = df
       .select(col(labelCol).as("_label"), col(predCol).as("_pred"))

@@ -428,9 +428,17 @@ object SimilarityOps {
     * O(n) per round, not O(n·k)). Use for the final re-rank over a
     * candidate pool that [[diverseTopK]] or [[cosineTopK]] already
     * cut to thousands; ties break (score DESC 6 dp, id).
+    *
+    * The pool bound is ENFORCED, not advisory: k sequential
+    * full-pool scans pointed at a corpus would run k corpus jobs and
+    * checkpoint-chain corpus-sized state. `maxPool` (default 100k)
+    * fails loudly before the first round; raise it only for a pool a
+    * single executor can re-scan k times, or pre-cut with
+    * [[cosineTopK]]/[[diverseTopK]] and batch the re-rank.
     */
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, lambda: Double): Seq[Long] = {
+      query: Seq[Float], k: Int, lambda: Double,
+      maxPool: Long = 100000L): Seq[Long] = {
     val spark = candidates.sparkSession
     val q = lit(query.toArray)
     var pool = Parallelism.ensure(
@@ -439,6 +447,12 @@ object SimilarityOps {
         round(cosine(col("vec"), q), 6).as("rel"),
         lit(0.0).as("maxSim"))
       .localCheckpoint()
+    // count reads the blocks the rounds need anyway — one cheap job
+    val poolN = pool.count()
+    require(poolN <= maxPool,
+      s"mmrSelect: candidate pool has $poolN rows (> maxPool=$maxPool). " +
+        "MMR is k sequential full-pool re-scans — cut the pool first " +
+        "(cosineTopK/diverseTopK) or raise maxPool deliberately.")
     val picked = Seq.newBuilder[Long]
     var n = 0
     while (n < k) {
@@ -482,7 +496,14 @@ object SimilarityOps {
     */
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int): DataFrame = {
-    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    // empty corpus: same (id, j, value) shape, zero rows — the
+    // empty-input acceptance the rest of the operator surface holds
+    // to (first() would throw NoSuchElementException here)
+    val probe = df.select(size(col(vecCol)).as("_d")).head(1)
+    if (probe.isEmpty)
+      return df.select(col(idCol).as("id"), lit(0).as("j"),
+        lit(0.0).as("value")).where(lit(false))
+    val dims = probe.head.getInt(0)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val comps = (0 until outDim).map { j =>
       round(graft.functions.VectorExpressions.dot(col("vec"),

@@ -33,16 +33,35 @@ object BucketedStore {
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val orphan = new java.io.File(wh, table.toLowerCase)
-    if (orphan.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // quote qualified names PER PART: a single-backtick wrap of
+    // `db.tbl` would name one table with a dot in it, not db.tbl
+    val quoted = (ident.database.toSeq :+ ident.table)
+      .map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
+    // orphan cleanup: derive the candidate path from the CATALOG's
+    // default location for this identifier (handles db-qualified
+    // names and a relocated warehouse), never string concatenation,
+    // and only delete when no surviving catalog table owns that
+    // location — a blind recursive delete could destroy data that
+    // happens to share the directory name.
+    val orphanUri = catalog.defaultTablePath(ident)
+    if (orphanUri.getScheme == null || orphanUri.getScheme == "file") {
+      val orphan = new java.io.File(orphanUri.getPath)
+      val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+      val owned = catalog.databaseExists(db) &&
+        catalog.listTables(db).exists { t =>
+          scala.util.Try(catalog.getTableMetadata(t).location == orphanUri)
+            .getOrElse(false)
+        }
+      if (orphan.exists() && !owned) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(orphan)
       }
-      rm(orphan)
     }
     df.write
       .mode("overwrite")

@@ -189,21 +189,44 @@ object JdbcUpsertSink {
         } finally upd.close()
       if (updated == 0) {
         // either the key is absent (insert) or a NEWER version holds
-        // the row (the guard failed — then the insert must not fire
-        // either, which the duplicate-key catch below guarantees)
-        val ins = conn.prepareStatement(
-          s"""INSERT INTO $tbl (${cols.map(c => s""""$c"""").mkString(", ")},
-             | "_lsn") VALUES (${cols.map(_ => "?").mkString(", ")}, ?)"""
-            .stripMargin)
-        try {
-          cols.zipWithIndex.foreach { case (c, i) =>
-            ins.setObject(i + 1, r.get(2 + cols.indexOf(c)))
-          }
-          ins.setLong(cols.size + 1, lsn)
-          ins.executeUpdate(); ()
-        } catch {
-          case _: java.sql.SQLIntegrityConstraintViolationException => ()
-        } finally ins.close()
+        // the row (the guard failed — then the insert must not fire).
+        // Distinguish with a SELECT in the SAME transaction before
+        // inserting: Postgres aborts the open transaction on a failed
+        // INSERT, so the old insert-then-swallow-duplicate-key path
+        // would kill the whole partition transaction on the one DB
+        // family this sink is modeled after. The duplicate-key catch
+        // below remains as a backstop for the residual race (a
+        // concurrent writer landing between SELECT and INSERT) and
+        // matches SQLState — 23505 (Postgres/Derby unique violation)
+        // or the 23xxx integrity class (MySQL/Oracle report 23000) —
+        // because drivers like PostgreSQL's PSQLException are plain
+        // SQLException subclasses, invisible to a class match.
+        val present = {
+          val sel = conn.prepareStatement(
+            s"""SELECT 1 FROM $tbl WHERE "$pk" = ?""")
+          try {
+            sel.setObject(1, r.get(pkIdx))
+            val rs = sel.executeQuery()
+            try rs.next() finally rs.close()
+          } finally sel.close()
+        }
+        if (!present) {
+          val ins = conn.prepareStatement(
+            s"""INSERT INTO $tbl (${cols.map(c => s""""$c"""").mkString(", ")},
+               | "_lsn") VALUES (${cols.map(_ => "?").mkString(", ")}, ?)"""
+              .stripMargin)
+          try {
+            cols.zipWithIndex.foreach { case (c, i) =>
+              ins.setObject(i + 1, r.get(2 + cols.indexOf(c)))
+            }
+            ins.setLong(cols.size + 1, lsn)
+            ins.executeUpdate(); ()
+          } catch {
+            case e: java.sql.SQLException
+                if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+              ()
+          } finally ins.close()
+        }
       }
     }
   }

@@ -126,4 +126,12 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     // zipfSlope's well-defined 1-row empty answer is pinned in LlmOpsSpec
   }
+
+  test("round-7: jlProject accepts an empty corpus") {
+    val emb0 = graft.sources.ImportSource.table(spark, sf, "embeddings")
+      .where(lit(false))
+    val proj = graft.ops.SimilarityOps.jlProject(emb0, "vec_id", "embedding", 8)
+    assert(proj.columns.toSeq == Seq("id", "j", "value"))
+    assert(proj.count() == 0)
+  }
 }

@@ -1067,6 +1067,19 @@ class LlmOpsSpec extends AnyFunSuite {
       k = 5, lambda = 0.5).toSet == Set(1L, 2L, 3L))
   }
 
+  test("mmrSelect: an oversized pool fails loudly before the first round") {
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    val vecs = spark.range(10)
+      .select($"id".as("vec_id"),
+        typedLit(Seq(1.0f, 0.0f, 0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.mmrSelect(vecs, "vec_id", "embedding", q,
+        k = 2, lambda = 0.5, maxPool = 5L)
+    }
+    assert(e.getMessage.contains("maxPool"), e.getMessage)
+    assert(e.getMessage.contains("cosineTopK"), e.getMessage)
+  }
+
   test("kmvSetAlgebra: exact in the small-set regime, close on real overlap") {
     import graft.ops.SketchOps
     // small-set regime: fewer distinct values than k → exact counts
