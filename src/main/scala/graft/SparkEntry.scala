@@ -748,14 +748,11 @@ object SparkEntry {
     }),
     // ----- LLM ops: distributed BPE encoding under a fixed merge
     // table (map-side, memoized; the train->encode->pack chain's
-    // middle stage). The greedy merge loop is not SQL-expressible,
-    // so no oracle entry — the driver records a rows-only check; the
-    // algebra is pinned by ClassifierOpsSpec/LlmOpsSpec parity with
-    // the reference encoder -----
+    // middle stage). The greedy merge loop is imperative per word on
+    // the Spark side; the oracle expresses the SAME fold as delimited
+    // string algebra (see bpeEncodeOracleSql) -----
     "q148_bpe_encode" -> ((s, dir) => {
-      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n",
-        "o" -> "n", "e" -> "r", "r" -> "e", "an" -> "d")
-      TextOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text", merges)
+      TextOps.bpeEncode(t(s, dir, "documents"), "doc_id", "text", q148Merges)
         .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
           concat_ws(" ", slice(col("subwords"), 1, 5)).as("head"))
         .orderBy(col("doc_id"))
@@ -2257,9 +2254,52 @@ object SparkEntry {
     * loops); every addition needs a ScalaTest spec pinning the
     * algebra instead.
     */
-  val rowsOnly: Set[String] = Set(
-    "q148_bpe_encode" // greedy merge loop; parity pinned in LlmOpsSpec
-  )
+  val rowsOnly: Set[String] = Set.empty
+
+  /** q148's fixed merge table — shared by the Spark query and its
+    * oracle generator so the two sides can never drift. */
+  private val q148Merges = Seq("t" -> "h", "th" -> "e", "a" -> "n",
+    "i" -> "n", "o" -> "n", "e" -> "r", "r" -> "e", "an" -> "d")
+
+  /** The greedy BPE merge fold as pure DuckDB string algebra — the
+    * oracle for q148. Each word becomes a chr(31)-delimited symbol
+    * string (chr(2) marks word boundaries so merges cannot cross
+    * them); one merge rule (a,b) is applied as TWO leftmost-non-
+    * overlapping `replace` passes of "␟a␟b␟" → "␟ab␟". Two passes ARE
+    * the greedy left-to-right fold here: with a ≠ b for every rule
+    * (required below), a rule's occurrences are symbol-disjoint and
+    * greedy merges every one of them; the only occurrences pass 1 can
+    * miss are those whose leading delimiter was consumed by the
+    * immediately preceding replacement — pairwise non-adjacent by
+    * construction, so pass 2 merges them all. Merged symbols never
+    * re-form a rule's left side (ab = a needs an empty b), so extra
+    * passes would be no-ops. Validated row-identical to
+    * [[graft.ops.TextOps.bpeEncode]] on the sf0.01 corpus; the
+    * general algebra is pinned in LlmOpsSpec.
+    */
+  private def bpeEncodeOracleSql(merges: Seq[(String, String)]): String = {
+    require(merges.forall { case (a, b) => a != b },
+      "bpe oracle: two replace passes equal the greedy fold only for " +
+        "rules with distinct sides (a = b overlaps in the symbol stream)")
+    val d = "chr(31)"
+    val bnd = "chr(2)"
+    val base = s"$d || regexp_replace(regexp_replace(" +
+      s"coalesce(lower(trim(text)),''), '\\s+', $bnd, 'g'), " +
+      s"'(.)', '\\1' || $d, 'g')"
+    val folded = merges.foldLeft(base) { case (e, (a, b)) =>
+      val pat = s"$d || '$a' || $d || '$b' || $d"
+      val rep = s"$d || '$a$b' || $d"
+      s"replace(replace($e,\n  $pat, $rep),\n  $pat, $rep)"
+    }
+    s"""WITH enc AS (
+       |  SELECT doc_id, list_filter(string_split($folded, chr(31)),
+       |    x -> x <> '' AND x <> chr(2)) AS subwords
+       |  FROM documents
+       |)
+       |SELECT doc_id, len(subwords) AS n_subwords,
+       |  array_to_string(subwords[1:5], ' ') AS head
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB-dialect oracle for each query (driver compares hashes at
     * sf0.01; see Verify). Column names/aliases match the Spark side
@@ -2813,6 +2853,7 @@ object SparkEntry {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |  FROM documents)
         |ORDER BY "column"""".stripMargin,
+    "q148_bpe_encode" -> bpeEncodeOracleSql(q148Merges),
     "q62_vocab" ->
       """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents),
