@@ -19,14 +19,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   * Scale shape: the only corpus-sized shuffle is the doc-keyed
   * exchange every Text op pays; scoring joins the model BROADCAST
   * against per-document token counts, adding no token-sized exchange.
-  * The model itself is (vocab × labels) rows — corpus-size-
-  * independent, and small enough to broadcast BY DESIGN (a model too
-  * big to broadcast could not be shipped to executors either way).
-  * That design bound is what licenses the collect: the class counts
-  * come back to the driver in one action, the smoothed log-
-  * likelihoods are computed there with the same double arithmetic
+  * The model is (features × labels) rows with the feature count
+  * ENFORCED ≤ `maxFeatures` (raw web-scale vocabularies grow with the
+  * corpus — billions of tokens at 100 TB would kill any driver
+  * collect or executor broadcast; the cap cuts to the top-k tokens by
+  * corpus frequency, ties to the smaller token, and out-of-cap tokens
+  * score through the unseen-token term like any token absent from a
+  * class). That enforced bound is what licenses the collect: the
+  * class counts come back to the driver in one action, the smoothed
+  * log-likelihoods are computed there with the same double arithmetic
   * Catalyst would use, and the finished model re-enters the plan as a
-  * LocalRelation whose broadcast costs no job.
+  * LocalRelation whose broadcast costs no job. With vocab ≤
+  * maxFeatures the cap is a no-op and results are unchanged.
   *
   * Why this shape: the previous version kept the model distributed
   * and chained five broadcast builds (class totals → vocab → token
@@ -59,8 +63,9 @@ object ClassifierOps {
     * across the driver↔executor boundary the model crosses).
     */
   def nbClassify(
-      df: DataFrame, idCol: String, labelCol: String, textCol: String)
-      : DataFrame = {
+      df: DataFrame, idCol: String, labelCol: String, textCol: String,
+      maxFeatures: Int = 1 << 18): DataFrame = {
+    require(maxFeatures >= 1, "nbClassify: the feature cap must be positive")
     val spark = df.sparkSession
     val d = DecimalType(28, 12)
     // ONE tokenize, ZERO raw-token shuffles: the doc-keyed exchange
@@ -90,13 +95,23 @@ object ClassifierOps {
       .localCheckpoint(false)
     val tok = dt.where(col("token").isNotNull)
     val tf = tok.select(col(idCol), col("token"), col("tf"))
-    // Model collect, ONE action: class-conditional counts (vocab ×
+    // Model collect, ONE action: class-conditional counts (features ×
     // labels rows, map-side partially aggregated before the model-
     // sized exchange) unioned with per-label document counts. Both
     // branches read the checkpoint blocks — no second corpus pass.
+    // The feature cap rides the SAME action as a broadcast top-k
+    // subquery (TakeOrderedAndProject over token totals) applied
+    // AFTER the class-count aggregation, so the join prunes
+    // model-sized rows, not corpus-sized ones, and the driver never
+    // sees more than maxFeatures × labels rows.
     val labelAsString = col(labelCol).cast(StringType)
+    val keepTokens = tok.groupBy(col("token"))
+      .agg(sum(col("tf")).as("_cf"))
+      .orderBy(col("_cf").desc, col("token")).limit(maxFeatures)
+      .select(col("token"))
     val modelRows = tok.groupBy(col(labelCol), col("token"))
       .agg(sum(col("tf")).as("c"))
+      .join(broadcast(keepTokens), Seq("token"))
       .select(lit("ct").as("_src"), labelAsString.as("_l"), col("token"),
         col("c"))
       .unionByName(dt
@@ -179,12 +194,19 @@ object ClassifierOps {
     * corpus).
     *
     * Topology per step is ONE job: the current weights enter as a
-    * broadcast LocalRelation (vocab-sized — broadcastable by design,
-    * like the NB model), the doc-keyed partitioning carries z-sums,
-    * sigmoid residuals and the join back to the token counts without
-    * an exchange, and the collected gradient is vocab-sized whatever
-    * the corpus. Driver state is the (token → weight) map + bias —
-    * the bounded trainer-state pattern.
+    * broadcast LocalRelation, the doc-keyed partitioning carries
+    * z-sums, sigmoid residuals and the join back to the token counts
+    * without an exchange, and the collected gradient is bounded by
+    * `maxFeatures` whatever the corpus. Driver state is the
+    * (token → weight) map + bias — the bounded trainer-state pattern,
+    * with the bound ENFORCED: raw web-scale vocabularies grow with
+    * the corpus (billions of tokens at 100 TB), so the feature space
+    * is cut to the top-`maxFeatures` tokens by corpus frequency
+    * (ties to the lexicographically smaller token) INSIDE the step-1
+    * gradient action — the driver never materializes more than the
+    * cap, and later steps restrict the gradient to the fixed feature
+    * set before aggregating. With vocab ≤ maxFeatures the cap is a
+    * no-op and results are unchanged.
     *
     * Engine-exact contract: z-sums and gradients accumulate as
     * DECIMAL(28,12) (order-independent); probabilities round to
@@ -199,10 +221,15 @@ object ClassifierOps {
     */
   def logregTrainScore(
       df: DataFrame, idCol: String, labelCol: String, textCol: String,
-      steps: Int = 2, lr: Double = 0.5): DataFrame = {
+      steps: Int = 2, lr: Double = 0.5,
+      maxFeatures: Int = 1 << 18): DataFrame = {
     require(steps >= 1, "logreg: at least one gradient step")
+    require(maxFeatures >= 1, "logreg: the feature cap must be positive")
     val spark = df.sparkSession
     val d = DecimalType(28, 12)
+    // LAZY checkpoint: the step-1 gradient is the first action anyway
+    // — an eager checkpoint would pay a whole extra corpus job just to
+    // materialize blocks that action is about to produce
     val dt = Parallelism.ensureKeyed(
         df.select(col(idCol), col(labelCol).cast(DoubleType).as("_y"),
           col(textCol)), col(idCol))
@@ -211,7 +238,7 @@ object ClassifierOps {
           .as("token"))
       .groupBy(col(idCol), col("_y"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tok = dt.where(col("token").isNotNull)
     val docs = dt.select(col(idCol), col("_y")).distinct()
 
@@ -252,35 +279,54 @@ object ClassifierOps {
     var step = 0
     var nDocs = 0.0
     while (step < steps) {
-      // one action: per-token gradient rows ∪ the (bias gradient, N)
-      // row — the residual join stays on the id partitioning. With
-      // real weights the doc-sized score table is checkpointed first
-      // so the union's two branches read materialized rows instead
-      // of re-running the z-sum join stack per branch; step 1's
-      // constant projection is cheaper to re-evaluate than the
-      // checkpoint barrier it would save
-      val sc0 = scored(w, b)
-      val sc = if (w.isEmpty) sc0 else sc0.localCheckpoint()
-      // with no weights yet the score is the CONSTANT sigmoid(b), so
-      // the per-token residual is a pure function of tok's own label
-      // — skip the doc-keyed residual join entirely on step 1
-      val tokResid =
-        if (w.isEmpty) {
-          val p0 = round12(1.0 / (1.0 + math.exp(-b)))
-          tok.withColumn("_r", lit(p0) - col("_y"))
-        } else
-          tok.join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
+      // one action per step: per-token gradient rows ∪ the
+      // (bias gradient, N) row — the residual join stays on the id
+      // partitioning and the collect is bounded by maxFeatures
+      val gRows = if (w.isEmpty) {
+        // step 1: the score is the CONSTANT sigmoid(b), so the
+        // per-token residual is a pure function of tok's own label —
+        // no doc-keyed join — and the FEATURE CAP fuses into the same
+        // action: order the per-token rows by corpus frequency and
+        // cut to maxFeatures before they reach the driver
+        // (TakeOrderedAndProject: top-k per partition, k-row merge)
+        val p0 = round12(1.0 / (1.0 + math.exp(-b)))
+        tok.groupBy(col("token"))
+          .agg(sum(col("tf")).as("_cf"),
+            sum(((lit(p0) - col("_y")) * col("tf")).cast(d)).as("_g"))
+          .orderBy(col("_cf").desc, col("token")).limit(maxFeatures)
+          .select(col("token"), col("_g"), lit(0L).as("_n"))
+          .unionByName(docs.agg(
+              sum((lit(p0) - col("_y")).cast(d)).as("_g"),
+              count(lit(1)).as("_n"))
+            .select(lit(null).cast(StringType).as("token"), col("_g"),
+              col("_n")))
+          .collect()
+      } else {
+        // steps 2+: the feature set is FIXED (the weight map's keys,
+        // already ≤ maxFeatures), so the gradient restricts to it
+        // BEFORE aggregating — out-of-cap tokens never reach the
+        // collect. The score subplan is NOT checkpointed: both union
+        // branches re-read dt's materialized blocks through one
+        // broadcast join, which costs less than the extra doc-sized
+        // checkpoint JOB a shared materialization would schedule
+        // (measured on q156: 3 actions total vs 5, ~0.4s saved at
+        // sf0.1; at cluster scale the saving is a whole stage round)
+        val sc = scored(w, b)
+        val tokResid = tok
+          .join(broadcast(wRelation(w).select(col("token"))), Seq("token"))
+          .join(sc.select(col(idCol), (col("_p") - col("_y")).as("_r")),
             Seq(idCol))
-      val gRows = tokResid
-        .groupBy(col("token"))
-        .agg(sum((col("_r") * col("tf")).cast(d)).as("_g"),
-          lit(0L).as("_n"))
-        .unionByName(sc.agg(
-            sum((col("_p") - col("_y")).cast(d)).as("_g"),
-            count(lit(1)).as("_n"))
-          .select(lit(null).cast(StringType).as("token"), col("_g"),
-            col("_n")))
-        .collect()
+        tokResid
+          .groupBy(col("token"))
+          .agg(sum((col("_r") * col("tf")).cast(d)).as("_g"),
+            lit(0L).as("_n"))
+          .unionByName(sc.agg(
+              sum((col("_p") - col("_y")).cast(d)).as("_g"),
+              count(lit(1)).as("_n"))
+            .select(lit(null).cast(StringType).as("token"), col("_g"),
+              col("_n")))
+          .collect()
+      }
       val bias = gRows.find(_.isNullAt(0)).get
       nDocs = bias.getLong(2).toDouble
       if (nDocs == 0)

@@ -123,6 +123,77 @@ class ClassifierOpsSpec extends AnyFunSuite {
     assert(got == List(("a", 2L, miA), ("c", 1L, miC), ("b", 2L, 0.0)))
   }
 
+  // 20 docs, 44 distinct tokens: 4 frequent separating tokens (10
+  // occurrences each) + 2 unique rare tokens per doc — an adversarial
+  // vocab for a cap of 4 (ties at the frequency cut break to the
+  // lexicographically smaller token; here the top 4 are exactly the
+  // separating tokens: def < fox < import < the).
+  private lazy val cappedCorpus = (1L to 20L).map { i =>
+    val label = if (i % 2 == 0) "code" else "prose"
+    val common = if (i % 2 == 0) "def import" else "the fox"
+    (i, label, s"$common rare${i}a rare${i}b")
+  }
+
+  test("nbClassify feature cap: no-op when vocab fits, bounded model when it doesn't") {
+    val df = cappedCorpus.toDF("doc_id", "lang", "text")
+    val full = ClassifierOps.nbClassify(df, "doc_id", "lang", "text")
+      .as[(Long, String, Double)].collect().toSet
+    // cap ≥ vocab (44): bit-identical to the default
+    val roomy = ClassifierOps.nbClassify(df, "doc_id", "lang", "text",
+      maxFeatures = 1000).as[(Long, String, Double)].collect().toSet
+    assert(full == roomy)
+    // vocab (44) ≫ cap (4): the model keeps only the 4 most frequent
+    // tokens; every doc still classifies, correctly (the cap kept the
+    // separating features), and the capped score matches the hand
+    // computation under V=4
+    val tiny = ClassifierOps.nbClassify(df, "doc_id", "lang", "text",
+      maxFeatures = 4).as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(tiny.length == 20)
+    assert(tiny.forall { case (id, pred, _) =>
+      pred == (if (id % 2 == 0) "code" else "prose")
+    })
+    // doc 2 ("def import rare2a rare2b", code): V=4, T_code=20;
+    // matched def+import at ln(11/24) each, 2 out-of-cap tokens at
+    // the unseen term ln(1/24), prior ln(1/2)
+    val s = math.log(0.5) + 2 * math.log(11.0 / 24) + 2 * math.log(1.0 / 24)
+    val s6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(math.abs(tiny(1)._3 - s6) < 2e-6, s"${tiny(1)._3} vs $s6")
+  }
+
+  test("logreg feature cap: capped training equals training on the capped vocabulary") {
+    val df = cappedCorpus
+      .map { case (i, l, t) => (i, if (l == "code") 1 else 0, t) }
+      .toDF("doc_id", "y", "text")
+    val full = ClassifierOps
+      .logregTrainScore(df, "doc_id", "y", "text", steps = 2)
+      .as[(Long, Double, Int)].collect().toSet
+    val roomy = ClassifierOps
+      .logregTrainScore(df, "doc_id", "y", "text", steps = 2,
+        maxFeatures = 1000)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(full == roomy)
+    // cap = 4 ≪ vocab = 44: out-of-cap tokens never earn weights, so
+    // the capped run is BIT-IDENTICAL to uncapped training on texts
+    // with the rare tokens stripped — the strongest statement that
+    // the cap restricts the feature space and changes nothing else
+    val tiny = ClassifierOps
+      .logregTrainScore(df, "doc_id", "y", "text", steps = 2,
+        maxFeatures = 4)
+      .as[(Long, Double, Int)].collect().toSet
+    val strippedDf = cappedCorpus
+      .map { case (i, l, _) =>
+        (i, if (l == "code") 1 else 0,
+          if (l == "code") "def import" else "the fox")
+      }
+      .toDF("doc_id", "y", "text")
+    val stripped = ClassifierOps
+      .logregTrainScore(strippedDf, "doc_id", "y", "text", steps = 2)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(tiny == stripped)
+    assert(tiny.size == 20)
+  }
+
   test("evalReport: hand-computed confusion, union class set, null zero-denominators") {
     import spark.implicits._
     // gold en,en,en,de / pred en,en,de,xx:
