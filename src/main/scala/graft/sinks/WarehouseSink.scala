@@ -154,6 +154,22 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
     latestView(table).createOrReplaceTempView(table.name)
   }
 
+  /** The latest-row view as SQL TEXT — the DDL form the reference
+    * pins as golden files (pkg/sinks/bigquery/testdata/
+    * view.example.sql / view.dogs.sql, checked by
+    * schema_builders_test.go). [[latestView]] stays the executable,
+    * compaction/truncate/TOAST-aware form; this emits the plain
+    * CREATE VIEW over the registered `<name>_raw` view — the
+    * reference's view is exactly this simple shape — so DDL drift
+    * shows up as a golden-file diff, not a runtime surprise. The
+    * column list is explicit and name-sorted (payloadStruct order)
+    * and the dedup ordering spells out the engine's full tiebreak
+    * (timestamp, lsn, sequence — imports carry null lsn/sequence and
+    * must lose to any stream row at the same instant, hence NULLS
+    * LAST): deterministic text, byte-level pinnable. */
+  def latestViewDdl(table: TableSchema): String =
+    WarehouseSink.latestViewDdl(table)
+
   /** Time travel: table state as of an instant — the reason the
     * reference time-partitions its raw table ("drop old data …
     * time-travelling", schema_builders.go:103-106). The `_date`
@@ -378,5 +394,40 @@ final class WarehouseSink(spark: SparkSession, root: String) extends Sink {
             baseEnv.unionByName(tail, allowMissingColumns = true),
             truncateMarker(table, upTo = upTo, past = Some((wmLsn, wmTs)))),
           table.primaryKeys)
+  }
+}
+
+object WarehouseSink {
+
+  /** Pure DDL generator behind [[WarehouseSink.latestViewDdl]] —
+    * schema in, SQL text out, no SparkSession — so the golden test
+    * pins the emitted text without standing up a sink. */
+  def latestViewDdl(table: graft.model.TableSchema): String = {
+    import graft.model.Envelope
+    val img = s"coalesce(`${Envelope.AfterCol}`, `${Envelope.BeforeCol}`)"
+    // the PARTITION BY repeats the coalesce expression rather than
+    // referencing the `img` alias: Spark SQL rejects lateral column
+    // aliases inside window expressions (UNSUPPORTED_FEATURE.
+    // LATERAL_COLUMN_ALIAS_IN_WINDOW)
+    val pks = table.primaryKeys
+      .map(k => s"      $img.`$k`").mkString(",\n")
+    val cols = table.payloadStruct.fields
+      .map(f => s"  img.`${f.name}` AS `${f.name}`").mkString(",\n")
+    s"""CREATE OR REPLACE TEMPORARY VIEW `${table.name}` AS
+       |SELECT
+       |$cols
+       |FROM (
+       |  SELECT $img AS img, `${Envelope.OperationCol}`, row_number() OVER (
+       |    PARTITION BY
+       |$pks
+       |    ORDER BY `${Envelope.TimestampCol}` DESC,
+       |      `${Envelope.LsnCol}` DESC NULLS LAST,
+       |      `${Envelope.SequenceCol}` DESC NULLS LAST
+       |  ) AS row_number
+       |  FROM `${table.name}_raw`
+       |)
+       |WHERE row_number = 1
+       |  AND `${Envelope.OperationCol}` != 'DELETE'
+       |""".stripMargin
   }
 }
