@@ -23,6 +23,14 @@ object PackOps {
   /** Adds `cum` = inclusive prefix sum of `valueCol` over the total
     * order given by `orderCol` (must be unique). */
   def globalPrefixSum(
+      df: DataFrame, orderCol: String, valueCol: Column): DataFrame =
+    prefixSummed(df, orderCol, valueCol).drop("_v")
+
+  /** [[globalPrefixSum]] keeping the evaluated `_v` value column —
+    * callers whose value expression is expensive (a tokenizing regex)
+    * read the materialized `_v` from the checkpoint instead of
+    * re-evaluating the expression per downstream use. */
+  private def prefixSummed(
       df: DataFrame, orderCol: String, valueCol: Column): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df
@@ -49,7 +57,7 @@ object PackOps {
     val offsetDf = totals.map(_._1).zip(offsets).toSeq.toDF("_pid", "_off")
     local.join(broadcast(offsetDf), "_pid")
       .withColumn("cum", col("_local") + col("_off"))
-      .drop("_v", "_pid", "_local", "_off")
+      .drop("_pid", "_local", "_off")
   }
 
   /** Chunk layout of the concatenated corpus: for each document (in
@@ -92,14 +100,20 @@ object PackOps {
       df: DataFrame, orderCol: String, tokenCountCol: Column,
       chunkTokens: Long): DataFrame = {
     require(chunkTokens > 0)
-    val withCum = globalPrefixSum(df, orderCol, tokenCountCol)
-    val start = col("cum") - tokenCountCol.cast("long")
+    // read the token count back from the prefix pass's materialized
+    // `_v` — re-evaluating tokenCountCol here would re-run its
+    // (typically regex-tokenizing) expression twice more per row on
+    // top of the checkpointed scan
+    val withCum = prefixSummed(df, orderCol, tokenCountCol)
+    val tc = col("_v")
+    val start = col("cum") - tc
     withCum
       .withColumn("start_offset", start)
       .withColumn("chunk_id", floor(start / chunkTokens.toDouble).cast("long"))
       .withColumn("n_chunks",
-        when(tokenCountCol === 0, 0L).otherwise(
+        when(tc === 0, 0L).otherwise(
           floor((col("cum") - 1) / chunkTokens.toDouble).cast("long")
             - col("chunk_id") + 1))
+      .drop("_v")
   }
 }
