@@ -124,6 +124,72 @@ object Bench {
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // ---- 10x scale sweep: the same 186 queries against a replica of
+    // the bench data with 10x the rows AND 10x the key cardinality
+    // (Scale10x shifts keys per replica). The sf0.1 sweep is floor-
+    // dominated (~0.05s/query scheduling cost), so per-query 1x→10x
+    // ratios are the scale evidence the totals can't provide: a
+    // shuffle-bound plan reads ~linear (ratio ≲ 10 plus constant
+    // floors), a quadratic or driver-bound one jumps out immediately.
+    // Disable with SPARK_GRAFT_SCALE10=0 (dev iteration).
+    val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") != "0"
+    val results10: Seq[(String, Double)] = if (!scale10) Seq.empty else {
+      val bigDir = Scale10x.ensure(spark, sfDir)
+      hygiene()
+      // Per-run watchdog: a query whose plan degrades super-linearly
+      // must not hang the sweep — cancel its job group at the limit
+      // and record the -2.0 timeout sentinel (distinct from -1.0
+      // failure) so the regression is DATA in the ratio table, not a
+      // driver-killed round.
+      def bounded(name: String, limitSec: Int)(fn: => Unit): Double = {
+        val group = s"tenx-$name"
+        val deadline = System.currentTimeMillis + limitSec * 1000L
+        @volatile var finished = false
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val watchdog = new Thread(() => {
+          while (!finished && System.currentTimeMillis < deadline)
+            Thread.sleep(100)
+          if (!finished) spark.sparkContext.cancelJobGroup(group)
+        })
+        watchdog.setDaemon(true)
+        watchdog.start()
+        try { val t = time(fn); finished = true; t }
+        catch { case _: Throwable =>
+          finished = true
+          if (System.currentTimeMillis >= deadline) -2.0 else -1.0
+        } finally spark.sparkContext.clearJobGroup()
+      }
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val v = {
+          val cold = bounded(name, 150)(run(fn(spark, bigDir)))
+          if (cold < 0) cold
+          else {
+            hygiene()
+            val w1 = bounded(name, 150)(run(fn(spark, bigDir)))
+            // cold > 30s: one warm run bounds sweep wall time; the
+            // JIT-vs-engine split the third run buys is noise at that
+            // magnitude
+            if (w1 < 0) cold
+            else if (w1 < 0.8 || cold > 30) w1
+            else {
+              hygiene()
+              val w2 = bounded(name, 150)(run(fn(spark, bigDir)))
+              if (w2 < 0) w1 else math.min(w1, w2)
+            }
+          }
+        }
+        hygiene()
+        name -> v
+      }
+    }
+    val byName1 = results.toMap
+    val ratios10: Seq[(String, Double)] = results10.flatMap { case (n, t10) =>
+      byName1.get(n) match {
+        case Some(t1) if t1 > 0 && t10 > 0 => Some(n -> t10 / t1)
+        case _ => None
+      }
+    }
     // Failed queries hold a -1.0 sentinel and are excluded from the
     // total; report the split so a reader can't mistake a partial
     // sweep for a full one (the r4 verdict compared a 149-query Spark
@@ -147,12 +213,32 @@ object Bench {
     // full-plan noop-sink execution — totals are NOT comparable to
     // r1-r3 numbers; this field makes the change machine-visible.
     val protocol = "noop-full-plan,min3warm"
+    // Compact scale10x summary for the stdout line (the full table
+    // would blow the driver's ~2000-char tail capture); the complete
+    // per-query 10x timings and ratios go to BENCH_DETAIL.json.
+    val scaleSummary: String = if (results10.isEmpty) "" else {
+      val rs = ratios10.map(_._2).sorted
+      def pct(p: Double): Double =
+        if (rs.isEmpty) 0.0 else rs(math.min(rs.size - 1, (p * rs.size).toInt))
+      val total10 = results10.map(_._2).filter(_ >= 0).sum
+      val worst = ratios10.sortBy(-_._2).take(3)
+        .map { case (n, r) => "\"" + n + "\":" + fmt(r) }.mkString("{", ",", "}")
+      s""","scale10x":{"total":${fmt(total10)},""" +
+        s""""n_timeout":${results10.count(_._2 == -2.0)},""" +
+        s""""n_failed":${results10.count(_._2 == -1.0)},""" +
+        s""""ratio_p50":${fmt(pct(0.50))},"ratio_p90":${fmt(pct(0.90))},""" +
+        s""""ratio_max":${fmt(pct(1.0))},"worst":$worst}"""
+    }
     // full detail to a file (driver tail capture would truncate it)
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
       s""""overhead_floor":${fmt(floor)},""" +
       s""""protocol":"$protocol",""" +
-      s""""queries":${jsonOf(results)},"sf":"$sfDir"}"""
+      s""""queries":${jsonOf(results)}""" +
+      (if (results10.isEmpty) ""
+       else s""","queries_10x":${jsonOf(results10)}""" +
+         s""","ratios_10x":${jsonOf(ratios10)}""") +
+      s""","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     val byName = results.toMap
@@ -165,7 +251,8 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
       s""""overhead_floor":${fmt(floor)},""" +
-      s""""protocol":"$protocol","detail":"BENCH_DETAIL.json",""" +
-      s""""queries":${jsonOf(head)},"sf":"$sfDir"}""")
+      s""""protocol":"$protocol","detail":"BENCH_DETAIL.json"""" +
+      scaleSummary +
+      s""","queries":${jsonOf(head)},"sf":"$sfDir"}""")
   }
 }
