@@ -953,8 +953,15 @@ object TextOps {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
       minStopwords: Int = 2): DataFrame = {
-    val (n, meanLen, symRatio, alphaFrac, nStop) = gopherMetrics(col(textCol))
-    df.select(col(idCol), n.cast("long").as("n_words"),
+    // tokenize ONCE in a producer projection: four of the five
+    // metrics consume the word array, and CollapseProject keeps the
+    // two projections apart when a non-cheap producer expression has
+    // multiple consumers — without this the regex tokenizer runs
+    // 4x per row
+    val (n, meanLen, symRatio, alphaFrac, nStop) =
+      gopherMetricsFrom(col(textCol), col("_w"))
+    df.select(col(idCol), col(textCol), gopherWords(col(textCol)).as("_w"))
+      .select(col(idCol), n.cast("long").as("n_words"),
         meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
         alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"))
       .withColumn("keep",
@@ -980,17 +987,34 @@ object TextOps {
       nStop >= minStopwords, 1).otherwise(0)
   }
 
+  /** The non-empty word array the Gopher metrics are computed over. */
+  private def gopherWords(text: Column): Column =
+    filter(tokens(text), x => x =!= "")
+
   private def gopherMetrics(text: Column)
+      : (Column, Column, Column, Column, Column) =
+    gopherMetricsFrom(text, gopherWords(text))
+
+  /** [[gopherMetrics]] over a pre-computed word array `w` — lets
+    * DataFrame-level callers project the tokenization once instead of
+    * re-evaluating it inside every metric. `gopherKeep` stays on the
+    * single-expression form (it is registered as a scalar SQL
+    * function, so it has no projection to share). */
+  private def gopherMetricsFrom(text: Column, w: Column)
       : (Column, Column, Column, Column, Column) = {
-    val w = filter(tokens(text), x => x =!= "")
     val n = size(w)
     val nd = n.cast("double")
     val hashes = (length(text) - length(regexp_replace(text, "#", "")))
       .cast("double")
     val ellipses = (length(text) -
       length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / lit(3)
+    // sum of token lengths via a fold — concat_ws("", w) computes the
+    // same number but materializes the full concatenated document per
+    // row just to take its length
     val meanLen = when(n === 0, 0.0)
-      .otherwise(round(length(concat_ws("", w)).cast("double") / nd, 6))
+      .otherwise(round(
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nd,
+        6))
     val symRatio = when(n === 0, 0.0)
       .otherwise(round((hashes + ellipses) / nd, 6))
     val alphaFrac = when(n === 0, 0.0)
