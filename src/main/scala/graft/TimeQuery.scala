@@ -52,6 +52,14 @@ object TimeQuery {
       val fn = SparkEntry.queries(name)
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")
+      // the static plan above hides AQE's runtime decisions (stage
+      // reuse, skew splits, coalesce) — print the FINAL adaptive plan
+      // after an execution when asked
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FINAL")) {
+        val df = fn(spark, sfDir)
+        df.collect()
+        df.explain("formatted")
+      }
       (1 to 5).foreach { i =>
         val t0 = System.nanoTime()
         // the bench's protocol: execute the FULL plan through the noop
