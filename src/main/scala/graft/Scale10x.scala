@@ -36,10 +36,11 @@ object Scale10x {
     "embeddings" -> Map("vec_id" -> 1000000L))
   private val fixed = Seq("region", "nation")
 
-  /** Ensures the 10x replica of `sfDir` exists; returns its path. */
+  /** Ensures the 10x replica of `sfDir` exists; returns its path.
+    * (`_v2` generation: replica CONTENT is made distinct, see below.) */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val name = new java.io.File(sfDir).getName
-    val out = s"/tmp/graft_10x_$name"
+    val out = s"/tmp/graft_10x_${name}_v2"
     val marker = new java.io.File(s"$out/_complete")
     if (!marker.exists()) {
       shifted.foreach { case (table, shifts) =>
@@ -48,8 +49,40 @@ object Scale10x {
           spark.range(10).select(col("id").as("_rep")))
         val shiftedDf = shifts.foldLeft(r) { case (df, (c, span)) =>
           df.withColumn(c, col(c) + col("_rep") * span)
-        }.drop("_rep")
-        shiftedDf.write.mode("overwrite").parquet(s"$out/$table.parquet")
+        }
+        // Content must scale like ORGANIC growth, not carbon copies.
+        // Ten textually identical replicas give every document ten
+        // exact twins, so near-duplicate DENSITY grows 10x and every
+        // pair-emitting operator's TRUE answer grows ~100x — the
+        // first sweep measured q44 at 101x for exactly this reason,
+        // with the extra time spent emitting the genuinely quadratic
+        // pair list. Tagging each word with its replica id keeps the
+        // token count and length distribution while making every
+        // shingle replica-distinct (vocabulary grows with the corpus,
+        // as organic text does); flipping a replica-keyed subset of
+        // embedding dimensions keeps norms and within-replica
+        // structure while pushing cross-replica cosine far below
+        // near-dup thresholds.
+        // replica 0 stays byte-identical to the base corpus; 1-9 get
+        // replica-distinct content (a hash-keyed ~1/3 dimension flip
+        // puts any two replicas' copies of a vector ~2/3·2 apart in
+        // flipped mass — far outside cosine near-dup range — and a
+        // modulo pattern would alias replicas onto each other)
+        val distinct = table match {
+          case "documents" => shiftedDf.withColumn("text",
+            when(col("_rep") === 0, col("text")).otherwise(
+              array_join(transform(split(col("text"), " "),
+                w => concat(lit("r"), col("_rep"), w)), " ")))
+          case "embeddings" => shiftedDf.withColumn("embedding",
+            when(col("_rep") === 0, col("embedding")).otherwise(
+              zip_with(col("embedding"),
+                sequence(lit(0), size(col("embedding")) - 1),
+                (v, d) => when(pmod(hash(d, col("_rep")), lit(3)) === 0, -v)
+                  .otherwise(v))))
+          case _ => shiftedDf
+        }
+        distinct.drop("_rep")
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
       }
       fixed.foreach { table =>
         ImportSource.table(spark, sfDir, table)
