@@ -23,8 +23,12 @@ def main(sf_dir, oracle_path):
     oracle = json.loads(Path(oracle_path).read_text())
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single-file tables; Spark-written replicas
+        # (e.g. the bench's 10x dir) are part-file DIRECTORIES
+        path = Path(sf_dir) / f"{t}.parquet"
+        pattern = f"{path}/*.parquet" if path.is_dir() else str(path)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     timings = {}
     for name in sorted(oracle):
         t0 = time.time()
