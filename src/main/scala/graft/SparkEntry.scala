@@ -2033,6 +2033,16 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy(col("user_id"), col("startUs"))
     }),
+    // ----- ANN recall@k: the IVF probe path graded against the
+    // exact scan, per query — what tunes (centroids, nprobe) -----
+    "q187_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.ops.SimilarityOps.annRecall(emb, "vec_id", "embedding",
+          queries, "qid", "embedding", semCentroids, k = 10, nprobe = 2)
+        .orderBy(col("qid"))
+    }),
     // ----- operating-point sweep: confusion + P/R/F1 per candidate
     // gate threshold, histogram-first -----
     "q185_threshold_sweep" -> ((s, dir) => {
@@ -4496,6 +4506,36 @@ object SparkEntry {
         |  round(sum_value, 6) AS sum_value
         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM a2)
         |ORDER BY user_id, startUs""".stripMargin,
+    "q187_ann_recall" -> {
+      // the centroid table is generated from the SAME semCentroids
+      // value the Spark query bakes in — the two sides cannot drift
+      val cents = semCentroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(_.toDouble).mkString(",")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT * FROM (VALUES $cents) t(cell, cv)),
+         |scored AS (SELECT vec_id, v,
+         |  (SELECT cell FROM cents ORDER BY ${duckCosine("v", "cv")} DESC,
+         |   cell LIMIT 1) AS cell FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |probes AS (SELECT qid, qv,
+         |  (SELECT list(cell ORDER BY ${duckCosine("qv", "cv")} DESC, cell)
+         |   FROM cents)[1:2] AS probe FROM q),
+         |pairs AS (SELECT p.qid, s.vec_id, s.cell, p.probe,
+         |    round(${duckCosine("s.v", "p.qv")}, 6) AS c
+         |  FROM scored s CROSS JOIN probes p),
+         |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+         |  FROM pairs) WHERE r <= 10),
+         |ivf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+         |  FROM pairs WHERE list_contains(probe, cell)) WHERE r <= 10)
+         |SELECT x.qid, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+         |  round(count(i.vec_id) / 10.0, 6) AS recall
+         |FROM exact x LEFT JOIN ivf i
+         |  ON x.qid = i.qid AND x.vec_id = i.vec_id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+    },
     "q185_threshold_sweep" ->
       """WITH s AS (SELECT
         |    round(1.0 / (1.0 + exp(-(CAST(n_chars - 250 AS DOUBLE)) / 100)), 6)

@@ -156,6 +156,59 @@ object SimilarityOps {
   def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
     argmax(centroids.map(c => cosine(vec, lit(c.toArray))))
 
+  /** Recall@k of the IVF probe path against the exact scan, per
+    * query — the measurement that tunes (centroids, nprobe) before
+    * anyone trusts an ANN store. For each query: the exact cosine
+    * top-k over the whole corpus, the top-k restricted to the query's
+    * `nprobe` nearest cells (exactly [[ivfTopK]]'s candidate rule),
+    * and `recall = |exact ∩ probed| / k`.
+    *
+    * One corpus pass: every (query, vector) pair is scored ONCE
+    * (query side broadcast — a recall evaluation runs on a bounded
+    * query sample, never the corpus against itself), the probe-side
+    * membership is a map-side array_contains on the pair, and both
+    * rankings come from the same qid-keyed exchange. Ranking uses the
+    * 6-dp rounded cosine with id tie-break, so ranks — and therefore
+    * the recall numbers — are engine-exact.
+    */
+  def annRecall(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: Seq[Seq[Float]], k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0, "annRecall: k and nprobe must be positive")
+    val corpus = Parallelism.ensure(
+        embeddings.select(col(idCol), col(vecCol)))
+      .withColumn("_cell", ivfAssign(col(vecCol), centroids))
+    // per-query probe set as one expression: (-cosine, cell) structs
+    // sort ascending = cosine descending with lower-cell tie-break —
+    // the columnar twin of ivfCellOf's driver-side ranking
+    val probeCells = transform(
+      slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct((-cosine(col(qvecCol), lit(c.toArray))).as("ns"),
+          lit(i).as("c"))
+      }: _*)), 1, nprobe),
+      x => x.getField("c"))
+    val qside = broadcast(queries.select(col(qidCol).as("_qid"),
+      col(qvecCol).as("_qv"), probeCells.as("_probe")))
+    val pairs = corpus.crossJoin(qside)
+      .select(col("_qid"), col(idCol),
+        round(cosine(col(vecCol), col("_qv")), 6).as("_cos"),
+        array_contains(col("_probe"), col("_cell")).as("_probed"))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy(col("_qid"))
+      .orderBy(col("_cos").desc, col(idCol))
+    val exact = pairs.withColumn("_r", row_number().over(byQ))
+      .where(col("_r") <= k).select(col("_qid"), col(idCol))
+    val probed = pairs.where(col("_probed"))
+      .withColumn("_r", row_number().over(byQ))
+      .where(col("_r") <= k).select(col("_qid"), col(idCol).as("_pid"))
+    exact.join(probed,
+        exact("_qid") === probed("_qid") && col(idCol) === col("_pid"),
+        "left")
+      .groupBy(exact("_qid").as("qid"))
+      .agg(count(col("_pid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** Flat argmax over score expressions: each score is evaluated
     * exactly once, then `array_position(scores, array_max(scores))`
     * picks the winner (ties to the lower index, -1 when every score

@@ -155,6 +155,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < centroids.size))
   }
 
+  test("annRecall agrees with the model: hand-computed exact∩probed per query") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val centroids = Seq(0L, 100L, 200L, 300L).map(all(_))
+    val queries = embeddings.where($"vec_id" % 150 === 0)
+      .select($"vec_id".as("qid"), $"embedding")
+    val got = SimilarityOps.annRecall(embeddings, "vec_id", "embedding",
+        queries, "qid", "embedding", centroids, k = 10, nprobe = 2)
+      .orderBy($"qid")
+      .as[(Long, Long, Double)].collect()
+    // model: ranks on the 6-dp rounded cosine with id tie-break, the
+    // same rule the operator documents
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cellOf = all.map { case (id, v) =>
+      id -> centroids.zipWithIndex.maxBy { case (c, i) => (cos(v, c), -i) }._2
+    }
+    got.foreach { case (qid, nHits, recall) =>
+      val qv = all(qid)
+      val ranked = all.toSeq
+        .map { case (id, v) => (id, r6(cos(v, qv))) }
+        .sortBy { case (id, c) => (-c, id) }
+      val exact = ranked.take(10).map(_._1).toSet
+      val probe = centroids.indices
+        .sortBy(i => (-cos(qv, centroids(i)), i)).take(2).toSet
+      val probed = ranked.filter(p => probe(cellOf(p._1))).take(10)
+        .map(_._1).toSet
+      assert(nHits == (exact intersect probed).size.toLong, s"qid $qid")
+      assert(recall == r6(nHits / 10.0))
+    }
+    // with nprobe = all cells the probe side IS the exact scan
+    val full = SimilarityOps.annRecall(embeddings, "vec_id", "embedding",
+        queries, "qid", "embedding", centroids, k = 10,
+        nprobe = centroids.size)
+      .as[(Long, Long, Double)].collect()
+    assert(full.forall(_._3 == 1.0))
+  }
+
   test("IVF-partitioned store: pruned read equals in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
     val all = embeddings.select($"vec_id", $"embedding")
