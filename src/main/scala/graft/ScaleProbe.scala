@@ -18,7 +18,6 @@ import graft.sources.ImportSource
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sf = "/root/testdata/sf0.1"
-    val big = "/tmp/graft_scaleprobe"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -29,24 +28,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftSparkExtensions.register(spark)
+    val big = Scale10x.ensure(spark, sf)
 
-    // 10x replicas: key columns shift per replica so cardinalities
-    // scale with the data (10x users, 10x orders), as real growth would
-    def replicate(t: String, keyShifts: Map[String, Long]): Unit = {
-      val base = ImportSource.table(spark, sf, t)
-      val out = s"$big/$t.parquet"
-      if (!new java.io.File(out).exists()) {
-        val r = base.crossJoin(spark.range(10).select(col("id").as("_rep")))
-        val shifted = keyShifts.foldLeft(r) { case (df, (c, span)) =>
-          df.withColumn(c, col(c) + col("_rep") * span)
-        }.drop("_rep")
-        shifted.write.mode("overwrite").parquet(out)
-      }
-    }
-    replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
-    replicate("documents", Map("doc_id" -> 1000000L))
-    replicate("lineitem", Map("l_orderkey" -> 10000000L))
-    replicate("orders", Map("o_orderkey" -> 10000000L))
+    // shared 10x replica (Scale10x): keys shift per replica so
+    // cardinalities scale with the data, and replica CONTENT is made
+    // distinct (word-tagged text, dimension-flipped embeddings) so
+    // near-duplicate DENSITY stays constant, as organic growth
+    // behaves — identical copies made every pair-emitting probe's
+    // true answer quadratic (see SCALING.md round-7 notes)
 
     def events(dir: String) = ImportSource.table(spark, dir, "events")
     // noop-sink execution: .count() lets the optimizer prune aggregate
@@ -153,14 +142,8 @@ object ScaleProbe {
           ImportSource.table(spark, dir, "documents"), "doc_id", "text"))
       },
       "semdedup (cell-blocked)" -> { dir =>
-        // embeddings are not key-replicated; scale the corpus by
-        // unioning shifted ids so cells grow with the data
-        val base = ImportSource.table(spark, sf, "embeddings")
-        val e =
-          if (dir == sf) base
-          else (0 until 10).map(i => base.select(
-            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
-            .reduce(_ unionByName _)
+        val e = ImportSource.table(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         // k ≈ √n: cell-blocked all-pairs costs O(n·k) assignment +
         // O(n²/k) pair verification, minimized at k = √n → O(n^1.5)
         // total. Fixed k degrades to quadratic pairs; k ∝ n degrades
@@ -200,12 +183,8 @@ object ScaleProbe {
       },
       // round-5 additions
       "kmeans (2 rounds, k~sqrt n)" -> { dir =>
-        val base = ImportSource.table(spark, sf, "embeddings")
-        val e =
-          if (dir == sf) base
-          else (0 until 10).map(i => base.select(
-            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
-            .reduce(_ unionByName _)
+        val e = ImportSource.table(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         run(graft.ops.ClusterOps.kmeans(e, "vec_id", "embedding",
           k = if (dir == sf) 8 else 25, rounds = 2))
       },
@@ -242,12 +221,8 @@ object ScaleProbe {
           docs.where(col("doc_id") % 20 === 0), "doc_id", "text"))
       },
       "knn join (cell-blocked, k~sqrt n)" -> { dir =>
-        val base = ImportSource.table(spark, sf, "embeddings")
-        val e =
-          if (dir == sf) base
-          else (0 until 10).map(i => base.select(
-            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
-            .reduce(_ unionByName _)
+        val e = ImportSource.table(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val k = if (dir == sf) 8 else 25
         val cents = (0 until k).map(c => Seq.tabulate(64)(d =>
           ((((c * 131L + d) * 2654435761L) % 1000L) / 500.0 - 1.0).toFloat))
