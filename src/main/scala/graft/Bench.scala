@@ -167,11 +167,13 @@ object Bench {
           else {
             hygiene()
             val w1 = bounded(name, 150)(run(fn(spark, bigDir)))
-            // cold > 30s: one warm run bounds sweep wall time; the
-            // JIT-vs-engine split the third run buys is noise at that
-            // magnitude
+            // the 10x sweep reads TRENDS (is the ratio ~linear?), not
+            // records, so one warm run suffices for most queries — a
+            // second only for the heavy rows (>= 5s) where a stray GC
+            // pause would move the worst-ratio table, and not for
+            // >30s colds where wall-time cost outweighs the noise
             if (w1 < 0) cold
-            else if (w1 < 0.8 || cold > 30) w1
+            else if (w1 < 5.0 || cold > 30) w1
             else {
               hygiene()
               val w2 = bounded(name, 150)(run(fn(spark, bigDir)))
