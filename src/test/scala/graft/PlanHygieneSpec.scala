@@ -29,7 +29,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q174_kn_bigram",                               // 1-row bigram-type grand total joined to the type model
     "q175_skew_report",                             // 1-row (n_total, max_bucket) stats joined to the top-k keys
     "q180_calibration",                             // 1-row ECE joined to the ≤bins rows
-    "q183_kmv_algebra")                             // 1-row sketch × 1-row sketch combine
+    "q183_kmv_algebra",                             // 1-row sketch × 1-row sketch combine
+    "q187_ann_recall")                              // corpus × bounded query SAMPLE (annRecall's documented contract), query side broadcast
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)
@@ -43,5 +44,26 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"nested-loop/cartesian plans outside the allowlist: $offenders")
+  }
+
+  test("no query windows over an unpartitioned frame on unbounded input") {
+    graft.functions.GraftSparkExtensions.register(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, Window}
+    // a single-partition window is fine ONLY when its input is
+    // already contracted to a bounded row count by a limit below it
+    // (the postLimitRank pattern: rank the top-k AFTER TakeOrdered)
+    def boundedBelow(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => () }.isDefined
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = try fn(spark, sf).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val bad = plan.collect {
+        case w: Window if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }
+      if (bad.nonEmpty) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input: $offenders")
   }
 }
