@@ -134,6 +134,7 @@ object Bench {
     // floors), a quadratic or driver-bound one jumps out immediately.
     // Disable with SPARK_GRAFT_SCALE10=0 (dev iteration).
     val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") != "0"
+    val byName1 = results.toMap
     val results10: Seq[(String, Double)] = if (!scale10) Seq.empty else {
       val bigDir = Scale10x.ensure(spark, sfDir)
       hygiene()
@@ -168,12 +169,18 @@ object Bench {
             hygiene()
             val w1 = bounded(name, 150)(run(fn(spark, bigDir)))
             // the 10x sweep reads TRENDS (is the ratio ~linear?), not
-            // records, so one warm run suffices for most queries — a
-            // second only for the heavy rows (>= 5s) where a stray GC
-            // pause would move the worst-ratio table, and not for
-            // >30s colds where wall-time cost outweighs the noise
+            // records, so one warm run suffices for most queries. A
+            // second warm run fires exactly when the single reading
+            // would MOVE the table: heavy rows (>= 5s), and rows whose
+            // implied ratio exceeds 8x their own 1x time — either a
+            // genuine super-linearity (the re-run confirms it) or a
+            // neighbor's GC landing in the timed window (the re-run
+            // corrects it; measured: q21 read 4.4s in sweep context
+            // vs 0.9s isolated under the single-warm protocol).
+            val t1 = byName1.getOrElse(name, 0.0)
+            val suspicious = t1 > 0 && w1 > math.max(8 * t1, 1.0)
             if (w1 < 0) cold
-            else if (w1 < 5.0 || cold > 30) w1
+            else if ((w1 < 5.0 && !suspicious) || cold > 30) w1
             else {
               hygiene()
               val w2 = bounded(name, 150)(run(fn(spark, bigDir)))
@@ -185,7 +192,6 @@ object Bench {
         name -> v
       }
     }
-    val byName1 = results.toMap
     val ratios10: Seq[(String, Double)] = results10.flatMap { case (n, t10) =>
       byName1.get(n) match {
         case Some(t1) if t1 > 0 && t10 > 0 => Some(n -> t10 / t1)

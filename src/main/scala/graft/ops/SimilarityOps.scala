@@ -197,13 +197,18 @@ object SimilarityOps {
       .orderBy(col("_cos").desc, col(idCol))
     val exact = pairs.withColumn("_r", row_number().over(byQ))
       .where(col("_r") <= k).select(col("_qid"), col(idCol))
+    // both top-k frames descend from `pairs`, so rename the probe
+    // side's columns BEFORE the join — an attribute-equality condition
+    // between two lineage-shared frames leans on Spark's self-join
+    // disambiguation and warns about a trivially-true predicate
     val probed = pairs.where(col("_probed"))
       .withColumn("_r", row_number().over(byQ))
-      .where(col("_r") <= k).select(col("_qid"), col(idCol).as("_pid"))
+      .where(col("_r") <= k)
+      .select(col("_qid").as("_pqid"), col(idCol).as("_pid"))
     exact.join(probed,
-        exact("_qid") === probed("_qid") && col(idCol) === col("_pid"),
+        col("_qid") === col("_pqid") && col(idCol) === col("_pid"),
         "left")
-      .groupBy(exact("_qid").as("qid"))
+      .groupBy(col("_qid").as("qid"))
       .agg(count(col("_pid")).as("n_hits"))
       .select(col("qid"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 6).as("recall"))
