@@ -24,11 +24,64 @@ object SparkEntry {
     * stamps NOW(); see Envelope.importEnvelope). */
   private val asOf = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
 
-  /** One-hot literal centroids shared by q141's Spark plan and its
-    * DuckDB oracle (both sides are generated from this one value, so
-    * the constants are identical by construction). */
+  /** One-hot literal centroids for the FIXED-cell IVF surfaces —
+    * the store layout (q142), the broadcast decontaminate (q150),
+    * the quota/probe reads (q184/q187) — where cell count is an
+    * index-layout choice, not a pair-count bound. The SELF-JOIN
+    * surfaces (q141/q171/q173) instead derive k ≈ √n seeds from the
+    * data ([[sqrtCents]]) so their in-cell pair streams stay
+    * O(n^1.5) under corpus growth. */
   private val semCentroids: Seq[Seq[Float]] =
     (0 until 4).map(c => Seq.tabulate(64)(d => if (d == c) 1.0f else 0.0f))
+
+  /** Corpus-derived √n IVF seeds shared by q141/q171/q173 and their
+    * oracles: k = ⌈√count⌉, seeds = the k smallest-md5(vec_id)
+    * embeddings (SimilarityOps.sqrtSeedCentroids). Count, hash rank
+    * and seed set are pure functions of the data, so the DuckDB
+    * oracle re-derives the IDENTICAL centroid set from the same
+    * parquet — no literals to template — and k grows as √n with the
+    * data (by COUNT, not id domain — the 10× replicas offset ids by
+    * millions), keeping the cell-blocked self-joins at O(n·√n)
+    * instead of the quadratic a fixed k degrades to. Driver state:
+    * O(√n · 64) floats, capped. */
+  private def sqrtCents(s: SparkSession, dir: String): Seq[Seq[Float]] =
+    SimilarityOps.sqrtSeedCentroids(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Oracle-side twin of [[sqrtCents]] + ivfAssign: CTEs `e`
+    * (vec_id, v), `cent` (cid, cv — row_number over the
+    * (md5(vec_id), vec_id)-ranked ⌈√count⌉-seed prefix, same cap as
+    * sqrtSeedCentroids, normalized to unit length exactly like
+    * ivfAssign's driver-side prenorm), and `a` (vec_id, v, cell)
+    * where cell is the raw-double argmax of dot(v, ĉ) with ties to
+    * the lower cid — bit-for-bit the arithmetic and tie-break of
+    * SimilarityOps.ivfAssign (array_position picks the FIRST
+    * maximal score). */
+  private def duckSqrtAssign: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT cid, CASE
+       |      WHEN sqrt(list_aggregate(list_transform(cv, x -> x*x), 'sum')) = 0
+       |        THEN cv
+       |      ELSE list_transform(cv, x -> x /
+       |        sqrt(list_aggregate(list_transform(cv, y -> y*y), 'sum')))
+       |    END AS cv
+       |  FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+       |      v AS cv
+       |    FROM e
+       |    QUALIFY row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |      <= least(CAST(ceil(sqrt((SELECT count(*) FROM e))) AS BIGINT),
+       |        4096))),
+       |asg AS (SELECT vec_id, v, cid, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY list_aggregate(list_transform(range(len(v)),
+       |      d -> v[d+1] * cv[d+1]), 'sum') DESC, cid) AS rn
+       |  FROM e CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, CAST(cid AS INTEGER) AS cell
+       |  FROM asg WHERE rn = 1)""".stripMargin
 
   /** DuckDB cosine over two DOUBLE[] expressions — the exact
     * arithmetic of the native VectorCosine (double products in index
@@ -1766,13 +1819,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("host"))
     }),
-    // ----- SemDedup: cluster-then-threshold semantic dedup — nearest
-    // literal centroid (IVF cell) blocks the candidate pairs; any
-    // vector with a >=threshold-cosine smaller-id neighbor in its
-    // cell is dropped -----
+    // ----- SemDedup: cluster-then-threshold semantic dedup — the
+    // nearest of √n corpus-derived seed centroids (IVF cell) blocks
+    // the candidate pairs, so pair work stays O(n^1.5) as the corpus
+    // grows; any vector with a >=threshold-cosine smaller-id
+    // neighbor in its cell is dropped -----
     "q141_semdedup" -> ((s, dir) => {
       SimilarityOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          semCentroids, threshold = 0.3)
+          sqrtCents(s, dir), threshold = 0.3)
         .select(col("id").as("vec_id"), col("cell"),
           col("kept").cast("int").as("kept"))
         .orderBy(col("vec_id"))
@@ -2186,10 +2240,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // ----- contrastive pair mining: in-cell positives by cosine,
-    // deterministic md5-ranked hard negatives from the same cell -----
+    // deterministic md5-ranked hard negatives from the same cell;
+    // cells are the √n data-derived seeds (pair stream O(n^1.5)) -----
     "q173_contrastive_pairs" -> ((s, dir) => {
       graft.ops.SimilarityOps.contrastivePairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", semCentroids,
+          "vec_id", "embedding", sqrtCents(s, dir),
           kPos = 2, kNeg = 3, posMin = 0.2, negMax = 0.0)
         .select(col("id").as("vec_id"), col("other_id"), col("cosine"),
           col("rank"), col("label"))
@@ -2206,10 +2261,11 @@ object SparkEntry {
         .orderBy(col("doc"), col("i"))
     }),
     // ----- IVF-cell-blocked kNN self-join: every vector's top-5
-    // neighbors, candidates never leave their cell -----
+    // neighbors, candidates never leave their cell; √n data-derived
+    // cells keep the candidate stream O(n^1.5) under growth -----
     "q171_knn_join" -> ((s, dir) => {
       graft.ops.SimilarityOps.knnJoin(t(s, dir, "embeddings"),
-          "vec_id", "embedding", semCentroids, k = 5)
+          "vec_id", "embedding", sqrtCents(s, dir), k = 5)
         .select(col("id").as("vec_id"), col("neighbor_id"),
           col("cosine"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
@@ -3818,13 +3874,7 @@ object SparkEntry {
         |SELECT doc_id, source FROM r WHERE rn <= 10
         |ORDER BY doc_id""".stripMargin,
     "q141_semdedup" -> {
-      val scores = semCentroids
-        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
-         |a AS (SELECT vec_id, v,
-         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
-         |  FROM sc),
+      s"""WITH $duckSqrtAssign,
          |p AS (SELECT y.vec_id AS dup_id,
          |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
          |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
@@ -4778,13 +4828,7 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q173_contrastive_pairs" -> {
-      val scores = semCentroids
-        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
-         |a AS (SELECT vec_id, v,
-         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
-         |  FROM sc),
+      s"""WITH $duckSqrtAssign,
          |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS other_id,
          |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
          |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
@@ -4812,13 +4856,7 @@ object SparkEntry {
         |  round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS mean_val
         |FROM c GROUP BY doc, i ORDER BY doc, i""".stripMargin,
     "q171_knn_join" -> {
-      val scores = semCentroids
-        .map(c => duckCosine("v", duckList(c))).mkString("[\n", ",\n", "\n]")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sc AS (SELECT vec_id, v, $scores AS scores FROM e),
-         |a AS (SELECT vec_id, v,
-         |    CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cell
-         |  FROM sc),
+      s"""WITH $duckSqrtAssign,
          |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
          |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
          |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),

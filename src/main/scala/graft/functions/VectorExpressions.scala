@@ -2,9 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -169,6 +171,115 @@ case class VectorCosine(left: Expression, right: Expression)
     })
 }
 
+/** IVF cell assignment as ONE expression: argmax over dot(vec, ĉⱼ)
+  * against a k×d matrix held in the expression — under codegen the
+  * matrix travels in the `references` array and the generated code
+  * is one doubly-nested loop whose SIZE IS CONSTANT IN k. The
+  * composed form (array_position over array(k VectorDots)) emits
+  * O(k·d) bytecode, which at k ≈ √n centroids blows past the JVM's
+  * huge-method JIT threshold and drops the hot loop into the
+  * bytecode interpreter — measured 123 µs per 64-dim dot at k=142
+  * on the 10× sweep (three ~350 s-CPU stages) vs ~0.1 µs compiled.
+  *
+  * Contract — identical to the composed coalesce(array_position(
+  * scores, array_max(scores))−1, −1) on real data: per-centroid
+  * scores accumulate left-to-right in double ((double) elem ·
+  * matrix[j][i], index order); the FIRST maximal score wins (strict
+  * >); −1 for a null vector, any null element, no length-matching
+  * centroid, or an empty matrix (length-mismatched centroids are
+  * skipped exactly like array_max skips their null dots). Known
+  * divergence: a NaN score never wins here, while array_max ranks
+  * NaN greatest — embeddings are finite by schema contract.
+  */
+case class VectorArgmaxDot(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "vector_argmax_dot"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorArgmaxDot = copy(child = newChild)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.catalogString}")
+  }
+
+  /** Seq (structural equality → plan canonicalization and exchange
+    * reuse work) in the tree; primitive arrays for the hot loop. */
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return -1
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return -1; i += 1 }
+    val f = isFloat
+    var best = Double.NegativeInfinity
+    var bi = -1
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      if (row.length == n) {
+        var d = 0.0
+        var k = 0
+        while (k < n) {
+          d += (if (f) a.getFloat(k).toDouble else a.getDouble(k)) * row(k)
+          k += 1
+        }
+        if (bi < 0 || d > best) { best = d; bi = j }
+      }
+      j += 1
+    }
+    bi
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val m = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val k = ctx.freshName("k"); val d = ctx.freshName("dotv")
+    val best = ctx.freshName("best"); val bi = ctx.freshName("bestIdx")
+    val anyNull = ctx.freshName("anyNull"); val row = ctx.freshName("cent")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val block = code"""
+      ${childGen.code}
+      int $bi = -1;
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+        final int $n = $a.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { $anyNull = true; break; }
+        }
+        if (!$anyNull) {
+          double $best = Double.NEGATIVE_INFINITY;
+          for (int $j = 0; $j < $m.length; $j++) {
+            final double[] $row = $m[$j];
+            if ($row.length != $n) continue;
+            double $d = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              $d += (double) $a.$get($k) * $row[$k];
+            }
+            if ($bi < 0 || $d > $best) { $best = $d; $bi = $j; }
+          }
+        }
+      }
+      final int ${ev.value} = $bi;
+    """
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+}
+
 object VectorExpressions {
 
   /** Column over the native dot product. */
@@ -180,6 +291,11 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(VectorCosine(
       org.apache.spark.sql.graftbridge.Bridge.expression(a), org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** Column over the native k-way argmax-dot (IVF assignment). */
+  def argmaxDot(vec: Column, cents: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorArgmaxDot(
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec), cents))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")

@@ -152,9 +152,25 @@ object SimilarityOps {
     * hyperplanes, assignment is a pure map-side expression, so the
     * cell id can be materialised as a partition column and a probe
     * prunes partitions before reading any vectors.
+    *
+    * Computed as argmax of dot(vec, ĉᵢ) against DRIVER-NORMALIZED
+    * double centroids — the same cell as argmax cosine (‖vec‖ is a
+    * shared positive scale across i; a zero centroid normalizes to
+    * itself, scoring 0 like the cosine guard), at one array
+    * traversal per centroid instead of three, through the ONE-
+    * expression native argmax ([[graft.functions.VectorArgmaxDot]]):
+    * k inlined per-centroid expressions emit O(k·d) bytecode that
+    * falls off the JIT at k ≈ √n and runs ~1000× slow interpreted —
+    * the matrix must ride the codegen references array, not the
+    * expression tree.
     */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
-    argmax(centroids.map(c => cosine(vec, lit(c.toArray))))
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0) c.map(_.toDouble) else c.map(_.toDouble / n)
+    }
+    graft.functions.VectorExpressions.argmaxDot(vec, unit)
+  }
 
   /** Recall@k of the IVF probe path against the exact scan, per
     * query — the measurement that tunes (centroids, nprobe) before
@@ -249,6 +265,76 @@ object SimilarityOps {
     * matrix. Cells that lose all members keep their previous
     * centroid.
     */
+  /** Deterministic √n seed centroids for the cell blockers
+    * ([[semDedup]]/[[knnJoin]]/[[contrastivePairs]]): k = ⌈√n⌉
+    * from one count, seeds = the k vectors with the smallest
+    * md5(id) (the [[kmeansCentroids]] seeding rank) in (hash, id)
+    * order. k ≈ √n is exactly what minimizes cell-blocked all-pairs
+    * cost (O(n·k) assignment + O(n²/k) pair verification →
+    * O(n^1.5); fixed k degrades to quadratic pairs, k ∝ n to
+    * quadratic assignment), and deriving it from COUNT — not from
+    * the id domain — keeps the law intact under sparse or offset id
+    * spaces. No training pass, no RNG: count, hash rank and seed
+    * set are pure functions of the data, so any engine — including
+    * a SQL oracle — re-derives the identical centroid list, and k
+    * GROWS WITH THE CORPUS by construction instead of by operator
+    * tuning.
+    *
+    * Driver state is O(√n · dims) floats, bounded by `maxSeeds`
+    * (hash-order prefix, so the cap is deterministic too). A corpus
+    * big enough to hit the cap has outgrown literal-centroid
+    * assignment plans — train [[kmeansCentroids]] at a k the plan
+    * can carry and widen cells instead.
+    */
+  def sqrtSeedCentroids(embeddings: DataFrame, idCol: String,
+      vecCol: String, maxSeeds: Int = 4096): Seq[Seq[Float]] = {
+    require(maxSeeds > 0, "sqrtSeedCentroids: maxSeeds must be positive")
+    val base = embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val n = base.count()
+    val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
+      maxSeeds.toLong).toInt
+    if (k == 0) return Seq.empty
+    base.withColumn("_h", md5(col("_id").cast("string")))
+      .orderBy(col("_h"), col("_id")).limit(k)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+  }
+
+  /** Default in-cell ordered-pair budget for the cell-blocked
+    * self-joins — ~4×10⁹ scored pairs (minutes of vector math on one
+    * 32-way host, trivially parallel on a cluster). Generous enough
+    * that any sanely-parameterized blocking passes; small enough
+    * that a fixed tiny centroid set pointed at a grown corpus —
+    * all-pairs in disguise — fails loudly before the join runs.
+    */
+  val DefaultPairBudget: Long = 4000000000L
+
+  /** Estimate the in-cell ordered-pair count Σ c·(c−1) from one
+    * cheap groupBy over the assignment and refuse to run a blocked
+    * self-join whose implied pair stream exceeds `maxPairs` — the
+    * [[mmrSelect]] pool-bound discipline applied to the other place
+    * a caller can silently go quadratic (fixed k under corpus
+    * growth, or a degenerate assignment collapsing into one cell).
+    * Costs one extra pass over (vec → cell); decimal accumulation so
+    * the estimate itself cannot overflow at any corpus size.
+    */
+  private def requirePairBudget(assigned: DataFrame, op: String,
+      maxPairs: Long): Unit = {
+    if (maxPairs == Long.MaxValue) return
+    val est = assigned.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("decimal(38,0)") *
+          (col("c") - lit(1L)).cast("decimal(38,0)")).as("pairs"))
+      .collect()(0)
+    val pairs = if (est.isNullAt(0)) BigDecimal(0)
+      else BigDecimal(est.getDecimal(0))
+    require(pairs <= BigDecimal(maxPairs),
+      s"$op: cell blocking implies $pairs in-cell candidate pairs " +
+        s"(> maxPairs=$maxPairs). The centroid set is too small (or " +
+        "too degenerate) for this corpus — derive k from corpus size " +
+        "(sqrtSeedCentroids / kmeansCentroids with k~sqrt(n)) or " +
+        "raise maxPairs deliberately.")
+  }
+
   def kmeansCentroids(
       embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 5): Seq[Seq[Float]] = {
@@ -432,16 +518,23 @@ object SimilarityOps {
     * neighbor with a smaller id. Candidate generation is blocked by
     * the cell exactly like LSH bands block MinHash — never all-pairs;
     * at corpus scale k is sized so cells stay join-able (k ≈ n/target
-    * cell size) and skewed cells fall to AQE's skew split. Cosine is
-    * rounded to 6 places before the threshold compare so the keep
-    * decision is stable across engines. Output: (id, cell, kept).
+    * cell size; [[sqrtSeedCentroids]] derives k ≈ √n from the data
+    * itself) and skewed cells fall to AQE's skew split. The blocking
+    * contract is ENFORCED: the implied in-cell pair count is
+    * estimated before the join and the call refuses (`maxPairs`)
+    * when a too-small centroid set would make it all-pairs in
+    * disguise. Cosine is rounded to 6 places before the threshold
+    * compare so the keep decision is stable across engines.
+    * Output: (id, cell, kept).
     */
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Float]], threshold: Double): DataFrame = {
+      centroids: Seq[Seq[Float]], threshold: Double,
+      maxPairs: Long = DefaultPairBudget): DataFrame = {
     val assigned = Parallelism.ensure(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
         ivfAssign(col("vec"), centroids).as("cell"))
+    requirePairBudget(assigned, "semDedup", maxPairs)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val dups = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(round(cosine(col("a.vec"), col("b.vec")), 6) >= threshold)
@@ -608,9 +701,10 @@ object SimilarityOps {
     * retrieval shape under SemDedup's clustering, dataset-graph
     * analysis, and kNN-classifier labeling. Same blocking contract as
     * [[semDedup]]: candidates are same-cell pairs only (never
-    * all-pairs — the thing that cannot run at 100 TB), cross-cell
-    * true neighbors are the accepted recall loss, probe-widening
-    * buys recall back at linear cost.
+    * all-pairs — the thing that cannot run at 100 TB), the implied
+    * pair count is budget-checked before the join (`maxPairs`),
+    * cross-cell true neighbors are the accepted recall loss,
+    * probe-widening buys recall back at linear cost.
     *
     * Shuffle profile: one exchange onto the cell key for the block
     * join, one id exchange for the per-id top-k window — both keyed,
@@ -619,11 +713,13 @@ object SimilarityOps {
     * neighbor id ASC), so ranks are engine-exact.
     */
   def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Float]], k: Int): DataFrame = {
+      centroids: Seq[Seq[Float]], k: Int,
+      maxPairs: Long = DefaultPairBudget): DataFrame = {
     val assigned = Parallelism.ensure(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
         ivfAssign(col("vec"), centroids).as("cell"))
+    requirePairBudget(assigned, "knnJoin", maxPairs)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val pairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
@@ -647,11 +743,13 @@ object SimilarityOps {
     */
   def contrastivePairs(embeddings: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Float]], kPos: Int, kNeg: Int,
-      posMin: Double, negMax: Double): DataFrame = {
+      posMin: Double, negMax: Double,
+      maxPairs: Long = DefaultPairBudget): DataFrame = {
     val assigned = Parallelism.ensure(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
         ivfAssign(col("vec"), centroids).as("cell"))
+    requirePairBudget(assigned, "contrastivePairs", maxPairs)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val pairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))

@@ -1474,6 +1474,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(knn(3L).size == 2, "k caps the neighbor list")
   }
 
+  test("sqrtSeedCentroids: k = ceil(sqrt(count)), md5-rank order, cap honored") {
+    // ids deliberately sparse/offset: k must derive from COUNT, not
+    // the id domain (the 10x replicas offset ids by millions)
+    val ids = (0L until 100L).map(i => i * 1000000L + 7L)
+    val vecs = ids.map(i => (i, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // independent reimplementation of the seed rule
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = ids.sortBy(i => (hex(i.toString), i))
+    val seeds = SimilarityOps.sqrtSeedCentroids(vecs, "vec_id", "embedding")
+    assert(seeds.map(_.head.toLong) == want.take(10).map(i => i.toFloat.toLong),
+      "k = ceil(sqrt(100)) = 10 smallest-md5 ids, in (hash, id) order")
+    val capped = SimilarityOps.sqrtSeedCentroids(vecs, "vec_id", "embedding",
+      maxSeeds = 3)
+    assert(capped == seeds.take(3),
+      "cap must keep the deterministic hash-order prefix")
+  }
+
+  test("pair budget: blocked self-joins refuse an all-pairs-in-disguise cell") {
+    // one centroid → every vector lands in one cell → n·(n−1) pairs
+    val one = Seq(Seq(1.0f, 0.0f))
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq(1.0f, i.toFloat / 40))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnJoin(vecs, "vec_id", "embedding", one, k = 2,
+        maxPairs = 100L).collect()
+    }
+    assert(e.getMessage.contains("maxPairs") &&
+      e.getMessage.contains("sqrt"), "failure must carry guidance")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.semDedup(vecs, "vec_id", "embedding", one, 0.5,
+        maxPairs = 100L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.contrastivePairs(vecs, "vec_id", "embedding", one,
+        kPos = 1, kNeg = 1, posMin = 0.9, negMax = 0.1,
+        maxPairs = 100L).collect()
+    }
+    // within budget: same call succeeds (40·39 = 1560 ≤ 2000)
+    assert(SimilarityOps.knnJoin(vecs, "vec_id", "embedding", one, k = 2,
+      maxPairs = 2000L).count() > 0)
+  }
+
   test("curate: gate, keep-first dedup, decontamination and sample compose in order") {
     val base = "the quick brown fox jumps over the lazy dog near the old barn " +
       "while the cat naps by the warm fire and the birds sing songs"
