@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.ImportSource
 
-/** Builds a 10x replica of a testdata scale-factor directory for the
-  * bench's scale sweep (BENCH's `scale10x` section) and ScaleProbe.
+/** Builds an N× replica of a testdata scale-factor directory for the
+  * bench's scale sweeps (BENCH's `scale10x`/`scale30x` sections) and
+  * ScaleProbe.
   *
-  * Fact tables are replicated ten times with per-replica key shifts so
-  * cardinalities scale WITH the data — 10x orders means 10x distinct
-  * order keys, 10x customers, 10x documents — the way organic growth
-  * behaves, not ten identical copies whose groupBy cardinality stays
-  * flat. Shift spans are chosen per key family and kept consistent
-  * across tables so every foreign-key join still matches within its
-  * replica (lineitem.l_orderkey lands on orders.o_orderkey shifted by
-  * the same span). `region`/`nation` stay fixed, as TPC-H scaling does.
+  * Fact tables are replicated `factor` times with per-replica key
+  * shifts so cardinalities scale WITH the data — 10x orders means 10x
+  * distinct order keys, 10x customers, 10x documents — the way organic
+  * growth behaves, not ten identical copies whose groupBy cardinality
+  * stays flat. Shift spans are chosen per key family and kept
+  * consistent across tables so every foreign-key join still matches
+  * within its replica (lineitem.l_orderkey lands on orders.o_orderkey
+  * shifted by the same span). `region`/`nation` stay fixed, as TPC-H
+  * scaling does.
   *
   * The replica is written once under /tmp and reused by existence
   * check — the source testdata is read-only and deterministic, so a
@@ -23,7 +25,7 @@ import graft.sources.ImportSource
   */
 object Scale10x {
   /** (table, key column → per-replica shift span). Spans exceed the
-    * sf0.1 key ranges by >10x so replicas never collide. */
+    * sf0.1 key ranges by >100x, so factors up to 100 never collide. */
   private val shifted: Seq[(String, Map[String, Long])] = Seq(
     "orders" -> Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L),
     "lineitem" -> Map("l_orderkey" -> 10000000L, "l_suppkey" -> 100000L,
@@ -36,17 +38,20 @@ object Scale10x {
     "embeddings" -> Map("vec_id" -> 1000000L))
   private val fixed = Seq("region", "nation")
 
-  /** Ensures the 10x replica of `sfDir` exists; returns its path.
-    * (`_v2` generation: replica CONTENT is made distinct, see below.) */
-  def ensure(spark: SparkSession, sfDir: String): String = {
+  /** Ensures the `factor`× replica of `sfDir` exists; returns its
+    * path. (`_v2` generation: replica CONTENT is made distinct, see
+    * below.) */
+  def ensure(spark: SparkSession, sfDir: String, factor: Int = 10): String = {
+    require(factor >= 2 && factor <= 100,
+      s"Scale10x.ensure: factor $factor outside the collision-free span range")
     val name = new java.io.File(sfDir).getName
-    val out = s"/tmp/graft_10x_${name}_v2"
+    val out = s"/tmp/graft_${factor}x_${name}_v2"
     val marker = new java.io.File(s"$out/_complete")
     if (!marker.exists()) {
       shifted.foreach { case (table, shifts) =>
         val base = ImportSource.table(spark, sfDir, table)
         val r = base.crossJoin(
-          spark.range(10).select(col("id").as("_rep")))
+          spark.range(factor).select(col("id").as("_rep")))
         val shiftedDf = shifts.foldLeft(r) { case (df, (c, span)) =>
           df.withColumn(c, col(c) + col("_rep") * span)
         }

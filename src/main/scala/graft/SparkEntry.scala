@@ -2088,10 +2088,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("startUs"))
     }),
     // ----- ANN recall@k: the IVF probe path graded against the
-    // exact scan, per query — what tunes (centroids, nprobe) -----
+    // exact scan, per query — what tunes (centroids, nprobe). The
+    // query sample is FIXED-SIZE, honoring annRecall's bounded-
+    // sample contract: the id cap keeps it ≤200 queries no matter
+    // how the corpus grows (a %-only sample is corpus-proportional,
+    // and the broadcast cross-join's pair count would grow
+    // quadratically with it) -----
     "q187_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") % 100 === 0)
+      val queries = emb.where(col("vec_id") % 100 === 0 &&
+          col("vec_id") < 20000)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.ops.SimilarityOps.annRecall(emb, "vec_id", "embedding",
           queries, "qid", "embedding", semCentroids, k = 10, nprobe = 2)
@@ -4567,7 +4573,8 @@ object SparkEntry {
          |scored AS (SELECT vec_id, v,
          |  (SELECT cell FROM cents ORDER BY ${duckCosine("v", "cv")} DESC,
          |   cell LIMIT 1) AS cell FROM e),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |q AS (SELECT vec_id AS qid, v AS qv
+         |  FROM e WHERE vec_id % 100 = 0 AND vec_id < 20000),
          |probes AS (SELECT qid, qv,
          |  (SELECT list(cell ORDER BY ${duckCosine("qv", "cv")} DESC, cell)
          |   FROM cents)[1:2] AS probe FROM q),

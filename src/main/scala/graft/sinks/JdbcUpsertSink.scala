@@ -200,7 +200,13 @@ object JdbcUpsertSink {
         // matches SQLState — 23505 (Postgres/Derby unique violation)
         // or the 23xxx integrity class (MySQL/Oracle report 23000) —
         // because drivers like PostgreSQL's PSQLException are plain
-        // SQLException subclasses, invisible to a class match.
+        // SQLException subclasses, invisible to a class match. The
+        // INSERT runs under a SAVEPOINT: on Postgres a failed INSERT
+        // aborts the OPEN transaction (every later statement dies
+        // with 25P02), so swallowing the duplicate without rolling
+        // back to the savepoint would kill the partition's remaining
+        // rows and pay a task retry for a race the lsn guard already
+        // makes idempotent.
         val present = {
           val sel = conn.prepareStatement(
             s"""SELECT 1 FROM $tbl WHERE "$pk" = ?""")
@@ -211,6 +217,7 @@ object JdbcUpsertSink {
           } finally sel.close()
         }
         if (!present) {
+          val sp = conn.setSavepoint()
           val ins = conn.prepareStatement(
             s"""INSERT INTO $tbl (${cols.map(c => s""""$c"""").mkString(", ")},
                | "_lsn") VALUES (${cols.map(_ => "?").mkString(", ")}, ?)"""
@@ -220,11 +227,12 @@ object JdbcUpsertSink {
               ins.setObject(i + 1, r.get(2 + cols.indexOf(c)))
             }
             ins.setLong(cols.size + 1, lsn)
-            ins.executeUpdate(); ()
+            ins.executeUpdate()
+            conn.releaseSavepoint(sp)
           } catch {
             case e: java.sql.SQLException
                 if e.getSQLState != null && e.getSQLState.startsWith("23") =>
-              ()
+              conn.rollback(sp)
           } finally ins.close()
         }
       }

@@ -182,6 +182,13 @@ class BigQueryMappingSpec extends AnyFunSuite {
       Some(13L), Some(1L))
     val last = RecordingTransport.rows.get().last._2
     assert(last.contains(""""operation":"TRUNCATE""""))
+    // marker timestamp must be ISO-8601 UTC (the shape insert()'s
+    // to_json emits under the UTC session timezone), and the full
+    // (lsn, sequence) position must ride along
+    assert(last.matches(
+      """.*"timestamp":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z".*"""),
+      s"marker timestamp not ISO-8601 UTC: $last")
+    assert(last.contains(""""lsn":13""") && last.contains(""""sequence":1"""))
   }
 }
 

@@ -30,7 +30,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q175_skew_report",                             // 1-row (n_total, max_bucket) stats joined to the top-k keys
     "q180_calibration",                             // 1-row ECE joined to the ≤bins rows
     "q183_kmv_algebra",                             // 1-row sketch × 1-row sketch combine
-    "q187_ann_recall")                              // corpus × bounded query SAMPLE (annRecall's documented contract), query side broadcast
+    "q187_ann_recall")                              // corpus × FIXED-SIZE query sample (id-capped, ≤200 at any corpus size), query side broadcast
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)
