@@ -94,7 +94,6 @@ object ClassifierOps {
       // to materialize blocks that action is about to produce
       .localCheckpoint(false)
     val tok = dt.where(col("token").isNotNull)
-    val tf = tok.select(col(idCol), col("token"), col("tf"))
     // Model collect, ONE action: class-conditional counts (features ×
     // labels rows, map-side partially aggregated before the model-
     // sized exchange) unioned with per-label document counts. Both
@@ -103,14 +102,22 @@ object ClassifierOps {
     // subquery (TakeOrderedAndProject over token totals) applied
     // AFTER the class-count aggregation, so the join prunes
     // model-sized rows, not corpus-sized ones, and the driver never
-    // sees more than maxFeatures × labels rows.
+    // sees more than maxFeatures × labels rows. The top-k DERIVES
+    // FROM the class-count aggregation (token totals = Σ over labels
+    // of the class counts), not from a second scan of the checkpoint
+    // count table: the broadcast build's shuffle is then byte-
+    // identical to the join side's and ReuseExchange serves both, so
+    // the cap's only own work is one vocab×labels-sized aggregation
+    // (the r7 sweep billed the cap ~0.4s for re-aggregating the
+    // per-doc count table it didn't need).
     val labelAsString = col(labelCol).cast(StringType)
-    val keepTokens = tok.groupBy(col("token"))
-      .agg(sum(col("tf")).as("_cf"))
+    val classCounts = tok.groupBy(col(labelCol), col("token"))
+      .agg(sum(col("tf")).as("c"))
+    val keepTokens = classCounts.groupBy(col("token"))
+      .agg(sum(col("c")).as("_cf"))
       .orderBy(col("_cf").desc, col("token")).limit(maxFeatures)
       .select(col("token"))
-    val modelRows = tok.groupBy(col(labelCol), col("token"))
-      .agg(sum(col("tf")).as("c"))
+    val modelRows = classCounts
       .join(broadcast(keepTokens), Seq("token"))
       .select(lit("ct").as("_src"), labelAsString.as("_l"), col("token"),
         col("c"))
@@ -141,49 +148,63 @@ object ClassifierOps {
         math.log(r.getLong(3).toDouble / nDocs),
         math.log(1.0 / (tl + vocabV)))
     }
-    val tokenModel = spark.createDataFrame(tokenModelRows.asJava,
-      StructType(Seq(StructField("_l", StringType), StructField("token", StringType),
-        StructField("loglik", DoubleType))))
-    val labelModel = spark.createDataFrame(labelModelRows.asJava,
-      StructType(Seq(StructField("_l", StringType),
-        StructField("prior", DoubleType), StructField("unk", DoubleType))))
-    // one row per document (id is unique): label + length without
-    // touching the corpus again — HashPartitioning(id) satisfies the
-    // (id, label, len) clustering, so the distinct is exchange-free
-    // and stays inside the scoring job
-    val docs = dt.select(col(idCol), labelAsString.as("_lbl"), col("_len"))
-      .distinct()
-    // per-(doc, label) matched mass: the doc's tokens that exist in
-    // the class vocabulary. Model side is a LocalRelation — its
-    // broadcast costs no job; the aggregation stays on the id-hash
-    // partitioning.
+    // ---- scoring: ONE corpus-side pass. The model is driver-held
+    // and bounded (≤ maxFeatures × labels), so it re-enters the plan
+    // WIDE — one LocalRelation row per vocabulary token, one loglik
+    // column per label (null = unseen in that class) — and scoring
+    // is a single left broadcast join plus ONE id-keyed aggregation
+    // (per-label matched mass and matched count as 2·k sum columns,
+    // doc length riding as max). Priors and unknown-token masses are
+    // per-label LITERALS, and the argmax is array_min over
+    // (-score, label) structs — pure projection. The previous shape
+    // (per-(doc,label) matched ⋈ label table ⋈ doc table + min_by)
+    // scanned the checkpoint twice and ran six shuffles plus a
+    // two-stage sort-aggregate: under AQE the checkpoint loses its
+    // id partitioning (the unexecuted adaptive plan reports
+    // UnknownPartitioning, so LogicalRDD records none), making every
+    // one of those shuffles real.
     // (the 12-dp matched mass stays on the decimal accumulator: an
     // int128 rescale would round c·10¹² in double, which is lossy
     // past 2^53 — the decimal cast is what keeps the oracle bit-equal)
-    val matched = tf
-      .join(broadcast(tokenModel), Seq("token"))
-      .groupBy(col(idCol), col("_l"))
-      .agg(sum((col("tf") * col("loglik")).cast(d)).as("msum"),
-        sum(col("tf")).as("mtf"))
-    val docLen = docs.select(col(idCol), col("_len").as("len"))
-    val scores = docLen
-      .crossJoin(broadcast(labelModel))
-      .join(matched, Seq(idCol, "_l"), "left")
-      .select(col(idCol), col("_l"),
-        round(col("prior") +
-          coalesce(col("msum").cast("double"), lit(0.0)) +
-          (col("len") - coalesce(col("mtf"), lit(0L))) * col("unk"),
-          6).as("score"))
-    // argmax as an aggregation, not a rank window: min_by on the
-    // (-score, label) struct is exactly "max score, ties to the
-    // smallest label", runs map-side-combinable on the existing id
-    // partitioning, and skips the window's per-partition sort
-    scores
-      .groupBy(col(idCol))
-      .agg(min_by(struct(col("_l").as("pred"), col("score")),
-        struct((-col("score")).as("s"), col("_l").as("l"))).as("_best"))
-      .select(col(idCol), col("_best.pred").as("pred"),
-        col("_best.score").as("score"))
+    val labels = nlRows.map(_.getString(1)).toSeq.sorted
+    if (labels.isEmpty)
+      return df.select(col(idCol), lit(null).cast(StringType).as("pred"),
+        lit(null).cast(DoubleType).as("score")).where(lit(false))
+    val wideSchema = StructType(StructField("token", StringType) +:
+      labels.indices.map(i => StructField(s"_ll$i", DoubleType)))
+    val wideRows: Seq[Row] = tokenModelRows.groupBy(_.getString(1)).toSeq
+      .sortBy(_._1).map { case (tokn, rs) =>
+        val m = rs.map(r => r.getString(0) -> r.getDouble(2)).toMap
+        Row.fromSeq(tokn +: labels.map(l =>
+          m.get(l).map(java.lang.Double.valueOf).orNull))
+      }
+    val wideModel = spark.createDataFrame(wideRows.asJava, wideSchema)
+    val priorUnk: Map[String, (Double, Double)] = labelModelRows
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val joined = dt.join(broadcast(wideModel), Seq("token"), "left")
+    val msCols = labels.indices.map { i =>
+      sum((col("tf") * coalesce(col(s"_ll$i"), lit(0.0))).cast(d)).as(s"_ms$i")
+    }
+    val mtCols = labels.indices.map { i =>
+      sum(when(col(s"_ll$i").isNotNull, col("tf")).otherwise(lit(0L)))
+        .as(s"_mt$i")
+    }
+    val aggCols = (msCols ++ mtCols :+ max(col("_len")).as("_dlen")).toSeq
+    val g = joined.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val scoreCols = labels.zipWithIndex.map { case (l, i) =>
+      val (prior, unk) = priorUnk(l)
+      round(lit(prior) + coalesce(col(s"_ms$i").cast(DoubleType), lit(0.0)) +
+        (col("_dlen") - col(s"_mt$i")) * lit(unk), 6).as(s"_sc$i")
+    }
+    val scoredDocs = g.select((col(idCol) +: scoreCols): _*)
+    // array_min over (s = −score, l) structs = "max score, ties to
+    // the smallest label" — the same contract min_by had, but as a
+    // projection on the one aggregated row per doc
+    val best = array_min(array(labels.zipWithIndex.map { case (l, i) =>
+      struct((-col(s"_sc$i")).as("s"), lit(l).as("l"))
+    }: _*))
+    scoredDocs.select(col(idCol), best.getField("l").as("pred"),
+      (-best.getField("s")).as("score"))
   }
 
   /** Binary logistic regression over bag-of-words features, trained
@@ -240,7 +261,6 @@ object ClassifierOps {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val tok = dt.where(col("token").isNotNull)
-    val docs = dt.select(col(idCol), col("_y")).distinct()
 
     def round12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -251,28 +271,34 @@ object ClassifierOps {
         w.toSeq.sortBy(_._1).map { case (t, v) => Row(t, v): Row }.asJava,
         wSchema)
 
-    // p(doc) under (weights, bias): z-sum via the broadcast weight
-    // join, sigmoid rounded to 12 dp; docs without matched tokens
-    // (incl. zero-token docs) score at sigmoid(bias). With no
-    // weights yet (step 1) every z-sum is zero, so the whole chain
-    // folds to a constant-probability projection over the doc table
-    // — the first gradient pass then costs one aggregation, not a
-    // join stack
-    def scored(w: Map[String, Double], b: Double): DataFrame =
-      if (w.isEmpty)
-        docs.select(col(idCol), col("_y"),
-          round(lit(1.0) / (lit(1.0) + exp(-(lit(b) + lit(0.0)))), 12)
-            .as("_p"))
-      else {
-        val zs = tok.join(broadcast(wRelation(w)), Seq("token"))
-          .groupBy(col(idCol))
-          .agg(sum((col("tf") * col("_w")).cast(d)).as("_zs"))
-        docs.join(zs, Seq(idCol), "left")
-          .select(col(idCol), col("_y"),
-            round(lit(1.0) / (lit(1.0) +
-              exp(-(lit(b) + coalesce(col("_zs").cast(DoubleType), lit(0.0))))),
-              12).as("_p"))
-      }
+    // p(doc) under (weights, bias): LEFT broadcast weight join over
+    // the whole count table, then ONE id-keyed aggregation carrying
+    // the z-sum AND the label — no separate doc table, no doc⋈z-sum
+    // join. Unmatched and null-token rows contribute exact decimal
+    // zeros to the z-sum, so docs without matched tokens (incl.
+    // zero-token docs) score at sigmoid(bias) as before, bit for
+    // bit. Under AQE the checkpoint loses its id partitioning
+    // (UnknownPartitioning on the unexecuted adaptive plan), so the
+    // old docs-distinct + left-join shape re-shuffled three times
+    // per step where this shuffles once. With no weights yet
+    // (step 1) the join side is empty and the chain folds to the
+    // constant-probability aggregation.
+    def scored(w: Map[String, Double], b: Double): DataFrame = {
+      val joined =
+        if (w.isEmpty)
+          dt.select(col(idCol), col("_y"),
+            lit(null).cast(DoubleType).as("_w"), col("tf"))
+        else
+          dt.join(broadcast(wRelation(w)), Seq("token"), "left")
+            .select(col(idCol), col("_y"), col("_w"), col("tf"))
+      joined.groupBy(col(idCol))
+        .agg(max(col("_y")).as("_y"),
+          sum((col("tf") * coalesce(col("_w"), lit(0.0))).cast(d)).as("_zs"))
+        .select(col(idCol), col("_y"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(lit(b) + coalesce(col("_zs").cast(DoubleType), lit(0.0))))),
+            12).as("_p"))
+    }
 
     var w = Map.empty[String, Double]
     var b = 0.0
@@ -295,7 +321,7 @@ object ClassifierOps {
             sum(((lit(p0) - col("_y")) * col("tf")).cast(d)).as("_g"))
           .orderBy(col("_cf").desc, col("token")).limit(maxFeatures)
           .select(col("token"), col("_g"), lit(0L).as("_n"))
-          .unionByName(docs.agg(
+          .unionByName(scored(w, b).agg(
               sum((lit(p0) - col("_y")).cast(d)).as("_g"),
               count(lit(1)).as("_n"))
             .select(lit(null).cast(StringType).as("token"), col("_g"),

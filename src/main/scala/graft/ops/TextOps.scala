@@ -761,15 +761,28 @@ object TextOps {
       // materializes the compact count table once (lazy: the query's
       // own first pass is the materializing one)
       .localCheckpoint(false)
+    // The model statistics consume this one table four ways; each
+    // consumer's copy of the aggregation is made structurally
+    // DISTINCT by the optimizer (join-key isnotnull inference +
+    // per-branch aggregate pruning), so exchange reuse can never
+    // serve them and the corpus-side scan would run four times
+    // (measured: 4 identical 29k-row exchanges, zero reused, at
+    // sf0.1). Checkpoint the bigram-TYPE table (bounded by type
+    // cardinality, not corpus size) and derive the w1/w2 statistics
+    // as partitioned WINDOWS over it — the [[bigramLogProb]] shape —
+    // so each statistic is a pass over the materialized types, not a
+    // re-aggregation of the corpus.
     val types = tf.groupBy(col("w1"), col("w2"))
       .agg(sum(col("tf")).as("c_big"))
-    val byW1 = types.groupBy(col("w1"))
-      .agg(sum(col("c_big")).as("c_first"),
-        count(lit(1)).as("n1p_first"))
-    val byW2 = types.groupBy(col("w2")).agg(count(lit(1)).as("n1p_cont"))
+      .localCheckpoint(false)
+    val wByW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val wByW2 = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
     val totalTypes = broadcast(
       types.groupBy().agg(count(lit(1)).as("t_types")))
-    val model = types.join(byW1, "w1").join(byW2, "w2")
+    val model = types
+      .withColumn("c_first", sum(col("c_big")).over(wByW1))
+      .withColumn("n1p_first", count(lit(1)).over(wByW1))
+      .withColumn("n1p_cont", count(lit(1)).over(wByW2))
       .crossJoin(totalTypes)
       .select(col("w1"), col("w2"),
         (greatest(col("c_big") - discount, lit(0.0)) / col("c_first") +
