@@ -146,11 +146,21 @@ object BigQueryMapping {
     if (f.repeated) s"ARRAY<$base>" else base
   }
 
-  /** Standard-SQL `CREATE TABLE` DDL for a raw-table metadata — the
-    * text a DDL-based transport would execute, and what the golden
-    * files pin. Idempotent (IF NOT EXISTS); partition and clustering
-    * clauses mirror the metadata. */
-  def ddl(dataset: String, meta: BqTableMeta): String = {
+  /** Standard-SQL DDL for a table or view metadata — the text a
+    * DDL-based transport executes, and what the golden files pin.
+    * Idempotent either way: CREATE TABLE IF NOT EXISTS for raw
+    * tables (partition/clustering clauses mirror the metadata),
+    * CREATE OR REPLACE VIEW for metadata carrying a `viewQuery`
+    * (matching the reference's blind view update,
+    * pkg/sinks/bigquery/schema_handler.go:82-100). */
+  def ddl(dataset: String, meta: BqTableMeta): String = meta.viewQuery match {
+    case Some(sql) =>
+      s"""CREATE OR REPLACE VIEW `$dataset.${meta.name}` AS
+         |$sql""".stripMargin
+    case None => tableDdl(dataset, meta)
+  }
+
+  private def tableDdl(dataset: String, meta: BqTableMeta): String = {
     val cols = meta.schema.map { f =>
       val notNull = if (f.required) " NOT NULL" else ""
       val opts = f.description
