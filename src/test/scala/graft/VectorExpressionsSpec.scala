@@ -49,6 +49,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorArgmaxDot: composed-form contract — first max, -1 degenerates, codegen/eval parity") {
+    import graft.functions.VectorExpressions
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0))
+    def composed(a: org.apache.spark.sql.Column) = {
+      val arr = array(cents.map(c => SimilarityOps.dot(a, lit(c.toArray))): _*)
+      coalesce((array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1))
+    }
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(1.0f), Some(0.0f)))), // cell 0
+      (2L, Some(Seq(Some(1.0f), Some(5.0f), Some(0.0f)))), // tied cells 1/2 → FIRST (1)
+      (3L, Some(Seq(Some(0.0f), Some(0.0f), Some(0.0f)))), // all-zero → all dots 0 → first
+      (4L, Some(Seq(Some(1.0f), None, Some(2.0f)))),       // null element → -1
+      (5L, None),                                           // null vector → -1
+      (6L, Some(Seq(Some(1.0f), Some(2.0f))))               // length mismatch → -1
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorExpressions.argmaxDot(col("v"), cents).as("n"),
+        composed(col("v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 0, 0), (2L, 1, 1), (3L, 0, 0),
+      (4L, -1, -1), (5L, -1, -1), (6L, -1, -1)),
+      s"native/composed drift: $got")
+    // interpreted eval path agrees with codegen (nullable=false expr)
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def evalOf(v: Seq[Float]): Any = graft.functions.VectorArgmaxDot(
+      CatLit.create(v, ArrayType(FloatType)), cents).eval(null)
+    assert(evalOf(Seq(3.0f, 1.0f, 0.0f)) == 0)
+    assert(evalOf(Seq(1.0f, 5.0f, 0.0f)) == 1)
+    assert(evalOf(Seq(0.0f, 0.0f, 0.0f)) == 0)
+    assert(evalOf(Seq(1.0f, 2.0f)) == -1)
+    // empty centroid matrix → -1 everywhere
+    assert(df.select(VectorExpressions.argmaxDot(col("v"), Nil))
+      .collect().forall(_.getInt(0) == -1))
+  }
+
   test("double arrays and mixed float/double sides work") {
     val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(df.select(SimilarityOps.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
