@@ -44,6 +44,21 @@ object Bench {
       // still fitting every sf0.1 partition; a real cluster sizes
       // pages per its executor-core count the same way.
       .config("spark.buffer.pageSize", "4m")
+      // Split sizing is in COMPRESSED bytes, and snappy text/JSON
+      // parquet decodes ~10-30x — the default 128 MB split holds
+      // multi-GB of decoded per-row work. At this bench's file sizes
+      // (a 30x replica table is ~20 MB compressed in 32 files) the
+      // default packs EVERY file into one partition and the whole
+      // scan — JSON parse, tokenize, language-ID — runs as ONE task
+      // on a 32-core host; the r8 sweep read the map-heavy tail
+      // (q17/q23/q157/q74) 2-6x super-linear for exactly this
+      // reason. 1 MB splits + a small open cost give the replicas'
+      // files a task each while leaving row-group-bound base tables
+      // unchanged. A 100-TB cluster tunes the same two knobs the
+      // same way for text-heavy tables: size splits by DECODED
+      // bytes per task, not compressed.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // production posture: graft SQL functions + optimizer rules active

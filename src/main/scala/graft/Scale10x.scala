@@ -39,13 +39,13 @@ object Scale10x {
   private val fixed = Seq("region", "nation")
 
   /** Ensures the `factor`× replica of `sfDir` exists; returns its
-    * path. (`_v2` generation: replica CONTENT is made distinct, see
-    * below.) */
+    * path. (`_v2`: replica CONTENT made distinct; `_v3`: scan-
+    * parallel multi-file layout — see below.) */
   def ensure(spark: SparkSession, sfDir: String, factor: Int = 10): String = {
     require(factor >= 2 && factor <= 100,
       s"Scale10x.ensure: factor $factor outside the collision-free span range")
     val name = new java.io.File(sfDir).getName
-    val out = s"/tmp/graft_${factor}x_${name}_v2"
+    val out = s"/tmp/graft_${factor}x_${name}_v3"
     val marker = new java.io.File(s"$out/_complete")
     if (!marker.exists()) {
       shifted.foreach { case (table, shifts) =>
@@ -86,7 +86,18 @@ object Scale10x {
                   .otherwise(v))))
           case _ => shiftedDf
         }
-        distinct.drop("_rep")
+        // Write SCAN-PARALLEL files. The naive write inherits the
+        // base scan's 1-2 partitions and lands each table in ONE
+        // snappy file with one row group — and a single-file,
+        // single-row-group parquet scan is ONE task no matter the
+        // cluster. The r8 30x sweep read q17 (JSON parse) at 6.7x
+        // vs 10x and q74's two lineitem passes at 12x vs 1x for
+        // exactly this reason: the map-heavy half of the tail was
+        // measuring a serialized scan, not the plan. A real corpus
+        // at any scale arrives in many files; 32 matches the bench
+        // host's cores and keeps files well above parquet's footer
+        // overhead at these sizes.
+        distinct.drop("_rep").repartition(32)
           .write.mode("overwrite").parquet(s"$out/$table.parquet")
       }
       fixed.foreach { table =>
