@@ -382,30 +382,22 @@ object StatsOps {
     val d8 = DecimalType(28, 8)
     val v = Parallelism.ensure(df.select(col(vecCol).as("_v"))
       .where(col("_v").isNotNull))
-    // flatten(i -> (j >= i -> (i, j, x_i·x_j))): element lambdas are
-    // interpreted, but each evaluates one product — O(dim²) work per
-    // row that any covariance must pay
-    // products quantized to integer picounits (the pearsonExactScaled
-    // pattern): both engines round the SAME double product to the SAME
-    // long, and the O(n·dim²) accumulation runs through the native
-    // int128 aggregate at long speed instead of per-row BigDecimal —
-    // the hot loop of the whole covariance (measured 2.4× the oracle
-    // on the decimal accumulator, at parity on this one)
-    val pairs = v.select(explode(flatten(
-        transform(sequence(lit(0), size(col("_v")) - 1), i =>
-          transform(sequence(i, size(col("_v")) - 1), j =>
-            struct(i.as("i"), j.as("j"),
-              (element_at(col("_v"), i + 1).cast(DoubleType) *
-                element_at(col("_v"), j + 1).cast(DoubleType)).as("xy"))))))
-        .as("p"))
-      // quantize in the flat post-explode projection (codegen'd),
-      // not inside the interpreted element lambda
+    // ONE native sufficient-statistic aggregate: each row's
+    // dim·(dim+1)/2 pairwise products accumulate into int128
+    // picounit cells inside a tight JIT loop (VectorOuterSum), and
+    // each partition contributes one ~dim²-long buffer to the merge.
+    // The previous composed form (explode a dim²-length struct array
+    // per row through interpreted lambdas, hash-aggregate the (i, j)
+    // keys) paid its cost in row GENERATION, not arithmetic: ~2·10⁹
+    // boxed structs at 10x data for the same long adds. Quantization
+    // (round(xi·xj·1e12) → long → int128) is bit-identical between
+    // the two forms, so the oracle SQL is unchanged.
+    val pairs = v.groupBy()
+      .agg(graft.functions.VectorOuterSum.outerSum(col("_v")).as("cells"))
+      .select(explode(col("cells")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"),
-        round(col("p.xy") * 1e12).cast(LongType).as("xy"))
-      .groupBy(col("i"), col("j"))
-      .agg((graft.functions.Int128Sum.exactLongSum(col("xy"))
-          .cast(DoubleType) / 1e12).as("sxy"),
-        count(lit(1)).as("n"))
+        (col("p.sxy").cast(DoubleType) / 1e12).as("sxy"),
+        col("p.n").as("n"))
     val dims = v
       .select(posexplode(col("_v")).as(Seq("i", "x")))
       .groupBy(col("i"))

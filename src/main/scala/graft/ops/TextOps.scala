@@ -788,7 +788,16 @@ object TextOps {
         (greatest(col("c_big") - discount, lit(0.0)) / col("c_first") +
           lit(discount) * col("n1p_first") / col("c_first") *
             (col("n1p_cont") / col("t_types"))).as("p_kn"))
-    tf.join(model, Seq("w1", "w2"))
+    // The scoring join is hinted MERGE: the model is join-sized (it
+    // grows with bigram TYPE cardinality), and an AQE broadcast of a
+    // multi-million-entry two-string-key hash table is a per-row
+    // random-access probe that loses to a partitioned join long
+    // before it stops FITTING — measured at 10x: the broadcast plan
+    // ran 5.8-6.5s against 2.1-2.6s for the partitioned one (and 30x,
+    // where AQE crossed back to sort-merge on its own, ran FASTER
+    // than 10x). The hint enforces what the scale contract above
+    // already promises: the model never broadcasts.
+    tf.join(model.hint("merge"), Seq("w1", "w2"))
       .withColumn("w", col("tf") * log(col("p_kn")))
       .groupBy(col(idCol))
       .agg(sum(col("w").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
@@ -1231,6 +1240,11 @@ object TextOps {
       .where(col("token") =!= "")
       .groupBy(id, lang, col("token")).agg(count(lit(1)).as("tf"))
     val scored = tf
+      // NOT hinted, unlike [[knBigramLogProb]]'s scoring join: this
+      // model is the REFERENCE-SLICE vocabulary (a curated subset,
+      // not the corpus), so it grows far slower than the scored side
+      // and AQE's broadcast stays the right call well past 10x
+      // (measured: forcing merge here cost 3x at 1x and 1.7x at 10x)
       .join(model, Seq(langCol, "token"), "left")
       .join(broadcast(langStats), Seq(langCol), "left")
       .withColumn("w", col("tf") *
