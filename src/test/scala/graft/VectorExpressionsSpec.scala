@@ -241,4 +241,59 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
   }
+  test("VectorOuterSum: matches the exploded-struct formulation; nulls, merge, mixed dims") {
+    import graft.functions.VectorOuterSum
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // composed reference (the pre-r8 q158 shape, same quantization)
+    def composed(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(flatten(
+          transform(sequence(lit(0), size(col("v")) - 1), i =>
+            transform(sequence(i, size(col("v")) - 1), j =>
+              struct(i.as("i"), j.as("j"),
+                (element_at(col("v"), i + 1).cast(DoubleType) *
+                  element_at(col("v"), j + 1).cast(DoubleType)).as("xy"))))))
+          .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        round(col("p.xy") * 1e12).cast(LongType).as("xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(graft.functions.Int128Sum.exactLongSum(col("xy")).as("sxy"),
+        count(lit(1)).as("n"))
+    def native(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy().agg(VectorOuterSum.outerSum(col("v")).as("c"))
+      .select(explode(col("c")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.sxy").as("sxy"), col("p.n").as("n"))
+    // negative components + values engineered near rounding ties
+    val df = Seq(
+      Array(1.0f, -2.0f, 0.5f),
+      Array(-1.5f, 0.25f, -3.0f),
+      Array(0.000244140625f, -0.000244140625f, 2.0f), // 2^-12: exact .5 picounit ties
+      Array(0.1f, 0.2f, 0.3f)
+    ).toDF("v").repartition(3) // forces partial buffers + merge
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getInt(1)) -> (r.getDecimal(2).toString, r.getLong(3))
+    val c = composed(df).collect().map(key).toMap
+    val n = native(df).collect().map(key).toMap
+    assert(n == c, s"native vs composed drift:\nnative=$n\ncomposed=$c")
+    // null ELEMENT skips its products, row still counts (composed parity)
+    val dfn = Seq(
+      (1L, Some(Seq(Some(1.0f), None))),
+      (2L, Some(Seq(Some(2.0f), Some(3.0f)))),
+      (3L, None) // null vector contributes nothing
+    ).toDF("id", "v").where(col("v").isNotNull)
+    val cn = composed(dfn).collect().map(key).toMap
+    val nn = native(dfn).collect().map(key).toMap
+    assert(nn == cn)
+    assert(nn((0, 1))._2 == 2L, "null-element row still counts")
+    // empty input: one global-agg row, zero exploded cells
+    val empty = Seq.empty[Array[Float]].toDF("v")
+    assert(native(empty).count() == 0)
+    // mixed dimensions fail loudly, not by silent key-space mixing
+    val mixed = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)).toDF("v")
+    val err = intercept[org.apache.spark.SparkException] {
+      native(mixed.coalesce(1)).collect()
+    }
+    assert(err.getMessage.contains("mixed dimensions")
+      || Option(err.getCause).exists(_.getMessage.contains("mixed dimensions")))
+  }
 }
