@@ -23,6 +23,8 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.buffer.pageSize", "4m") // see Bench.scala
+      .config("spark.sql.files.maxPartitionBytes", "1m") // see Bench.scala
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

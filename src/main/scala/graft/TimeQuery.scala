@@ -18,6 +18,8 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.buffer.pageSize", "4m") // see Bench.scala
+      .config("spark.sql.files.maxPartitionBytes", "1m") // see Bench.scala
+      .config("spark.sql.files.openCostInBytes", "64k")
     // SPARK_GRAFT_CONF="k=v,k=v" — ad-hoc config experiments
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)

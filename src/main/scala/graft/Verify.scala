@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.buffer.pageSize", "4m") // see Bench.scala
+      .config("spark.sql.files.maxPartitionBytes", "1m") // see Bench.scala
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

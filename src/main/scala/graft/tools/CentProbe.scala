@@ -18,6 +18,8 @@ object CentProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.buffer.pageSize", "4m")
+      .config("spark.sql.files.maxPartitionBytes", "1m") // see Bench.scala
+      .config("spark.sql.files.openCostInBytes", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.sources.ImportSource.table(spark, sfDir, "embeddings")
