@@ -330,6 +330,11 @@ object VectorExpressions {
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => VectorCosine(es(0), es(1))),
+    (FunctionIdentifier("vector_outer_sum"),
+      info("vector_outer_sum",
+        "vector_outer_sum(v) - upper-triangle sum of x*x^T in int128 picounit cells " +
+          "as array<struct<i,j,sxy,n>> (covariance/PCA sufficient statistic)"),
+      (es: Seq[Expression]) => VectorOuterSum(es(0))),
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",
         "nfc_normalize(s) - Unicode NFC canonical composition (DuckDB-compatible)"),

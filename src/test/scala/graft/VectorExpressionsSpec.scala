@@ -295,5 +295,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("mixed dimensions")
       || Option(err.getCause).exists(_.getMessage.contains("mixed dimensions")))
+    // registered SQL spelling
+    GraftSparkExtensions.register(spark)
+    df.createOrReplaceTempView("vos_in")
+    val viaSql = spark.sql(
+      "SELECT explode(vector_outer_sum(v)) AS p FROM vos_in")
+      .select(col("p.i"), col("p.j"), col("p.sxy"), col("p.n"))
+      .collect().map(key).toMap
+    assert(viaSql == c)
   }
 }
