@@ -244,7 +244,11 @@ object Bench {
       "q74_scalar_subquery", "q84_multi_distinct", "q128_clean_corpus",
       "q135_unpivot", "q141_semdedup", "q149_pagerank", "q154_kmeans",
       "q170_curation_pipeline", "q171_knn_join", "q173_contrastive_pairs",
-      "q174_kn_bigram", "q183_kmv_algebra")
+      "q174_kn_bigram", "q183_kmv_algebra",
+      // post-layout-fix tail: the floor-denominated top-10x-ratio
+      // rows and the two heaviest 100x absolutes (ScaleNProbe r8)
+      "q181_jl_project", "q34_embedding_neardups", "q25_minhash",
+      "q158_covariance")
     val scale30 = scale10 && results10.nonEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_SCALE30", "1") != "0"
     val results30: Seq[(String, Double)] = if (!scale30) Seq.empty else {
