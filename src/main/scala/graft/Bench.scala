@@ -28,37 +28,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    // SessionDefaults carries the measured posture — page sizing,
+    // AQE, and the split-by-DECODED-bytes rule whose absence made
+    // whole map-heavy scans run as one task (see its scaladoc and
+    // SCALING.md round-8 notes)
+    val spark = SessionDefaults(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-bench"), cores = cpus.toInt)
       .config("spark.ui.enabled", "false")
-      // Tungsten operators pre-allocate (and zero) one memory page per
-      // task; at local[32] the 64 MB auto-sized page means every
-      // 32-task aggregation stage commits 2 GB before touching a row
-      // (measured: q01's 200-row final agg spent 2.9s CPU + 1.0s GC
-      // zeroing pages). 4 MB bounds that at 128 MB per stage while
-      // still fitting every sf0.1 partition; a real cluster sizes
-      // pages per its executor-core count the same way.
-      .config("spark.buffer.pageSize", "4m")
-      // Split sizing is in COMPRESSED bytes, and snappy text/JSON
-      // parquet decodes ~10-30x — the default 128 MB split holds
-      // multi-GB of decoded per-row work. At this bench's file sizes
-      // (a 30x replica table is ~20 MB compressed in 32 files) the
-      // default packs EVERY file into one partition and the whole
-      // scan — JSON parse, tokenize, language-ID — runs as ONE task
-      // on a 32-core host; the r8 sweep read the map-heavy tail
-      // (q17/q23/q157/q74) 2-6x super-linear for exactly this
-      // reason. 1 MB splits + a small open cost give the replicas'
-      // files a task each while leaving row-group-bound base tables
-      // unchanged. A 100-TB cluster tunes the same two knobs the
-      // same way for text-heavy tables: size splits by DECODED
-      // bytes per task, not compressed.
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.files.openCostInBytes", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // production posture: graft SQL functions + optimizer rules active

@@ -11,15 +11,9 @@ object TimeQuery {
     val sfDir = args.find(a => !a.startsWith("q"))
       .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    val builder = SessionDefaults(SparkSession.builder()
+        .master(s"local[$cpus]"), cores = cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .config("spark.buffer.pageSize", "4m") // see Bench.scala
-      .config("spark.sql.files.maxPartitionBytes", "1m") // see Bench.scala
-      .config("spark.sql.files.openCostInBytes", "64k")
     // SPARK_GRAFT_CONF="k=v,k=v" — ad-hoc config experiments
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)

@@ -12,15 +12,8 @@ object Verify {
       case Array(sf, out, f) => (sf, out, Some(f.split(",").toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.buffer.pageSize", "4m") // see Bench.scala
-      .config("spark.sql.files.maxPartitionBytes", "1m") // see Bench.scala
-      .config("spark.sql.files.openCostInBytes", "64k")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SessionDefaults(SparkSession.builder()
+        .master(s"local[$cpus]"), cores = cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

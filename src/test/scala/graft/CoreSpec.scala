@@ -11,11 +11,9 @@ import graft.sources.ImportSource
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val s = SessionDefaults(SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test"), cores = 4)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // production posture, same as Bench/Verify: graft SQL functions +
