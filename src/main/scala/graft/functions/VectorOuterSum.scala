@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   * Numeric contract — IDENTICAL to the composed form, bit for bit,
   * so the DuckDB oracle is unchanged: each product quantizes as
   * Spark's `round(xi·xj · 10¹²)` (decimal HALF_UP; for |x| < 2⁵²
-  * that is floor(x+0.5) with negative exact-half ties moved away
-  * from zero — exact halves are binary-representable there, and a
-  * shortest-repr decimal ".5" exists iff the double IS an exact
-  * half), cast to long with JLS double→long semantics, and summed
+  * that is round-on-exact-fraction with negative exact-half ties
+  * moved away from zero — exact halves are binary-representable
+  * there, a shortest-repr decimal ".5" exists iff the double IS an
+  * exact half, and shortest-repr preserves ordering against the
+  * exactly-representable 0.5), cast to long with JLS double→long
+  * semantics, and summed
   * in 128-bit two's-complement (the [[Int128Sum]] limb algebra).
   * Null ELEMENTS skip their products but the row still counts, and
   * a null vector contributes nothing — both exactly as the exploded
@@ -73,12 +75,26 @@ case class VectorOuterSum(
   override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
 
   /** Spark `round(_, 0)` on double for |x| < 2⁵², then JLS
-    * double→long (the non-ANSI Cast): NaN → 0, ±∞ saturates. */
-  private def quantize(x: Double): Long = {
+    * double→long (the non-ANSI Cast): NaN → 0, ±∞ saturates.
+    *
+    * Rounds on the EXACT fractional part (x − floor(x), exact in
+    * doubles for |x| < 2⁵²) rather than floor(x + 0.5): the addition
+    * itself can round across the half boundary — floor(
+    * 0.49999999999999994 + 0.5) is 1, while round()'s decimal
+    * HALF_UP on the shortest representation (which preserves the
+    * &lt;0.5 ordering, 0.5 being exactly representable) yields 0. */
+  private[graft] def quantize(x: Double): Long = {
     if (x != x) return 0L // NaN, as Cast(double→long) yields 0
-    var r = math.floor(x + 0.5)
-    if (x < 0 && x == math.floor(x) + 0.5) r -= 1 // HALF_UP away from zero
-    r.toLong
+    // HALF_UP is symmetric in magnitude (ties away from zero), so
+    // round |x| and restore the sign: |x| − floor(|x|) is EXACT for
+    // positive doubles below 2⁵² (Sterbenz), where x − floor(x) for
+    // x ∈ (−1, 0) is not (1 − 0.49999999999999994 ties-to-even to
+    // exactly 0.5, inventing a half that isn't there).
+    val ax = math.abs(x)
+    val f = math.floor(ax)
+    val frac = ax - f
+    val r = if (frac >= 0.5) f + 1.0 else f
+    (if (x < 0) -r else r).toLong
   }
 
   /** int128 += p at cell c (limbs at 2+2c / 3+2c), wrapping adds. */

@@ -129,25 +129,58 @@ object DedupOps {
     // and a bucket of n docs emits n(n-1)/2 pairs; "too common to be
     // a meaningful near-dup signal" is the standard LSH escape hatch
     // and bounds both pair blowup and per-group collect state.
-    pairsWithinGroups(buckets, col("bucket"), col("id"), maxBucket).distinct()
+    pairsWithinGroups(buckets, col("bucket"), col("id"), maxBucket,
+      "lshCandidatePairs").distinct()
   }
+
+  /** Hard per-bucket membership limit for the banded-LSH pair
+    * emitters when no drop cap (`maxBucket`) is set: one bucket of c
+    * members emits c·(c−1)/2 pairs, so 65,536 bounds any single
+    * bucket's contribution at ~2.1×10⁹ — the [[graft.ops.SimilarityOps.DefaultPairBudget]]
+    * discipline applied to the other place a corpus can silently go
+    * quadratic (one boilerplate shingle bucket holding 1% of docs).
+    * Enforced IN the plan (a `raise_error` branch on the collected
+    * set's size — one comparison per bucket, no extra corpus pass),
+    * so the refusal costs nothing until the day it saves the
+    * cluster. Declared corpora have bucket maxima in the hundreds;
+    * a corpus that trips this legitimately should either drop hot
+    * buckets (`maxBucket` — "too common to be a meaningful near-dup
+    * signal" is the standard LSH escape) or re-block with more
+    * bands/rows.
+    */
+  val DefaultBucketFailLimit: Int = 65536
 
   /** Unordered id pairs within each group: group, collect the sorted
     * member set, emit its combinations (id_a < id_b). The collect is
-    * safe only because blocking keys bound group size by
-    * construction; a pathological group would need capping upstream.
+    * bounded: with `maxGroup` > 0 hotter groups are DROPPED (LSH
+    * drop-cap semantics); otherwise a group past
+    * [[DefaultBucketFailLimit]] fails the job loudly with guidance —
+    * never a silent quadratic pair stream or an unbounded per-group
+    * collect buffer.
     */
   private def pairsWithinGroups(df: DataFrame, groupCol: Column,
-      idCol: Column, maxGroup: Int = 0): DataFrame =
+      idCol: Column, maxGroup: Int = 0,
+      op: String = "pairsWithinGroups"): DataFrame = {
+    val guarded =
+      if (maxGroup > 0) col("ids")
+      else when(size(col("ids")) <= DefaultBucketFailLimit, col("ids"))
+        .otherwise(raise_error(concat(
+          lit(s"$op: a blocking bucket holds "), size(col("ids")),
+          lit(s" members (> $DefaultBucketFailLimit) — its pair " +
+            "emission alone exceeds ~2e9; the corpus has a degenerate " +
+            "hot bucket. Drop hot buckets (maxBucket) or re-block " +
+            "with more bands/rows."))))
     df.groupBy(groupCol)
       .agg(sort_array(collect_set(idCol)).as("ids"))
       .where(size(col("ids")) > 1 &&
         (if (maxGroup > 0) size(col("ids")) <= maxGroup else lit(true)))
+      .select(guarded.as("ids"))
       .select(explode(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b"))))).as("ps"))
       .select(explode(col("ps")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+  }
 
   /** Persisted MinHash-LSH dedup index — dedup-at-ingest against
     * HISTORY, the piece batch dedup (q44) cannot do: "is this new
@@ -324,7 +357,8 @@ object DedupOps {
       tok: DataFrame, shingleSize: Int): DataFrame = {
     val fp = tok.select(col("id"),
       TextOps.minShingleFingerprintOfTokens(col("_t"), shingleSize).as("fp"))
-    pairsWithinGroups(fp, col("fp"), col("id"))
+    pairsWithinGroups(fp, col("fp"), col("id"),
+      op = "fingerprintCandidatePairs")
   }
 
   /** N-gram-Jaccard near-duplicates with single-fingerprint blocking
@@ -534,7 +568,23 @@ object DedupOps {
         concat_ws(" ", slice(toks, 1, prefixTokens)).as("_pfx"),
         size(toks).as("_ntok"))
       .where(col("_ntok") >= prefixTokens)
-    val a = docs.select(col("id").as("id_a"), col("text_n").as("_ta"), col("_pfx"))
+    // same hot-bucket refusal as the LSH emitters: a boilerplate
+    // prefix shared by c docs makes the equi-join emit ~c²/2 pairs —
+    // gate one side with a windowed group count (the count's
+    // exchange+sort on _pfx is exactly what the sort-merge join
+    // needs, so the guard adds no extra shuffle)
+    val wPfx = org.apache.spark.sql.expressions.Window.partitionBy(col("_pfx"))
+    val aGated = docs
+      .withColumn("_c", count(lit(1)).over(wPfx))
+      .withColumn("_pfx",
+        when(col("_c") <= DefaultBucketFailLimit, col("_pfx"))
+          .otherwise(raise_error(concat(
+            lit("containmentPairs: a blocking prefix is shared by "),
+            col("_c"),
+            lit(s" docs (> $DefaultBucketFailLimit) — the prefix join " +
+              "would go quadratic. Lengthen prefixTokens or strip " +
+              "boilerplate first.")))))
+    val a = aGated.select(col("id").as("id_a"), col("text_n").as("_ta"), col("_pfx"))
     val b = docs.select(col("id").as("id_b"), col("text_n").as("_tb"), col("_pfx"))
     a.join(b, "_pfx")
       .where(col("id_a") < col("id_b"))

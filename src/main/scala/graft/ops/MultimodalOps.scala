@@ -817,12 +817,20 @@ object MultimodalOps {
       perceptualHashes(media).where(col("phash").isNotNull), "phash",
       maxHamming, bands)
 
-  /** The banded-Hamming LSH self-join shared by the image (dHash) and
-    * audio (spectrogram-dHash) near-dup operators: a pair collides iff
-    * some `64/bands`-bit slice matches exactly, then codegen'd
-    * `bit_count(xor)` confirms the exact distance. Pigeonhole
-    * guarantees every pair within `bands − 1` bits; 8-byte hashes
-    * cross the join, payloads never do.
+  /** The banded-Hamming LSH pair emitter shared by the image (dHash)
+    * and audio (spectrogram-dHash) near-dup operators: a pair
+    * collides iff some `64/bands`-bit slice matches exactly, then
+    * codegen'd `bit_count(xor)` confirms the exact distance.
+    * Pigeonhole guarantees every pair within `bands − 1` bits;
+    * 8-byte hashes cross the shuffle, payloads never do.
+    *
+    * Grouped combination generation (ONE aggregation on the (band,
+    * slice) key) instead of a two-sided self-join, with the same
+    * in-plan bucket guard as the MinHash family
+    * ([[graft.ops.DedupOps.DefaultBucketFailLimit]]): uniform hash
+    * slices make hot buckets unlikely, but "unlikely" is not a
+    * contract — a degenerate corpus (all-black thumbnails hashing
+    * alike) would otherwise emit its c·(c−1)/2 pairs silently.
     */
   private[ops] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
       maxHamming: Int, bands: Int): DataFrame = {
@@ -836,14 +844,27 @@ object MultimodalOps {
             .as("slice"))): _*)).as("bs"))
       .select(col("media_id"), col(hashCol),
         col("bs.band").as("band"), col("bs.slice").as("slice"))
-    val left = slices.select(col("band"), col("slice"),
-      col("media_id").as("id_a"), col(hashCol).as("ph_a"))
-    val right = slices.select(col("band"), col("slice"),
-      col("media_id").as("id_b"), col(hashCol).as("ph_b"))
-    left.join(right, Seq("band", "slice"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+    val limit = DedupOps.DefaultBucketFailLimit
+    slices.groupBy(col("band"), col("slice"))
+      .agg(sort_array(collect_set(struct(col("media_id").as("id"),
+        col(hashCol).as("ph")))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(when(size(col("ms")) <= limit, col("ms"))
+        .otherwise(raise_error(concat(
+          lit("bandedHammingPairs: a (band, slice) bucket holds "),
+          size(col("ms")),
+          lit(s" members (> $limit) — its pair emission alone " +
+            "exceeds ~2e9; the hash family has collapsed on this " +
+            "corpus. Use more bands or pre-filter degenerate media."))))
+        .as("ms"))
+      .select(explode(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x.getField("id").as("id_a"),
+            y.getField("id").as("id_b"),
+            bit_count(x.getField("ph").bitwiseXOR(y.getField("ph")))
+              .as("hamming"))))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -164,13 +164,23 @@ object SimilarityOps {
     * the matrix must ride the codegen references array, not the
     * expression tree.
     */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val unit = centroids.map { c =>
+  /** Driver-side prenormalization shared by [[ivfAssign]] and the
+    * probe-side rankers ([[ivfCellOf]], [[annRecall]]'s probe cells):
+    * ĉ = c/‖c‖ in doubles, a zero centroid normalizing to itself.
+    * One definition so data-side and probe-side assignment use the
+    * SAME arithmetic — dot(v, ĉ) — and can only disagree where the
+    * underlying ranks genuinely tie. Parity with a trained
+    * (non-one-hot) centroid set is up-to-ulps of this arithmetic,
+    * not by construction against a cosine formulation.
+    */
+  private def unitCentroids(centroids: Seq[Seq[Float]]): Seq[Seq[Double]] =
+    centroids.map { c =>
       val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
       if (n == 0) c.map(_.toDouble) else c.map(_.toDouble / n)
     }
-    graft.functions.VectorExpressions.argmaxDot(vec, unit)
-  }
+
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    graft.functions.VectorExpressions.argmaxDot(vec, unitCentroids(centroids))
 
   /** Recall@k of the IVF probe path against the exact scan, per
     * query — the measurement that tunes (centroids, nprobe) before
@@ -194,12 +204,16 @@ object SimilarityOps {
     val corpus = Parallelism.ensure(
         embeddings.select(col(idCol), col(vecCol)))
       .withColumn("_cell", ivfAssign(col(vecCol), centroids))
-    // per-query probe set as one expression: (-cosine, cell) structs
-    // sort ascending = cosine descending with lower-cell tie-break —
-    // the columnar twin of ivfCellOf's driver-side ranking
+    // per-query probe set as one expression: (-dot(q, ĉ), cell)
+    // structs sort ascending = score descending with lower-cell
+    // tie-break — the columnar twin of ivfCellOf's driver-side
+    // ranking, in the SAME prenormalized-dot arithmetic as ivfAssign
+    // (a cosine here could diverge from the data side by ulps on
+    // near-tie assignments under trained centroids)
+    val unit = unitCentroids(centroids)
     val probeCells = transform(
-      slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
-        struct((-cosine(col(qvecCol), lit(c.toArray))).as("ns"),
+      slice(sort_array(array(unit.zipWithIndex.map { case (c, i) =>
+        struct((-dot(col(qvecCol), lit(c.toArray))).as("ns"),
           lit(i).as("c"))
       }: _*)), 1, nprobe),
       x => x.getField("c"))
@@ -242,15 +256,24 @@ object SimilarityOps {
     coalesce((array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1))
   }
 
-  /** Driver-side twin of [[ivfAssign]] for the query vector. */
+  /** Driver-side twin of [[ivfAssign]] for the query vector: ranks
+    * cells by dot(q, ĉ) over the SAME [[unitCentroids]] prenorm and
+    * the same left-to-right double accumulation as the data side —
+    * rank-identical to a cosine ranking in real arithmetic (‖q‖ is a
+    * shared positive scale) and bit-identical to ivfAssign's scores,
+    * so probe- and data-side assignment cannot diverge on near-ties.
+    * Stable sort ⇒ ties go to the lower cell id, like argmaxDot.
+    */
   def ivfCellOf(query: Seq[Float], centroids: Seq[Seq[Float]]): Seq[Int] = {
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      if (na * nb == 0) 0.0 else dot / (na * nb)
+    val unit = unitCentroids(centroids)
+    def d(a: Seq[Float], b: Seq[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+      s
     }
-    centroids.indices.sortBy(i => -cos(query, centroids(i)))
+    centroids.indices.sortBy(i => -d(query, unit(i)))
   }
 
   /** Lloyd's k-means trainer for the IVF coarse quantizer.

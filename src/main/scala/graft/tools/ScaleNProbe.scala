@@ -25,17 +25,12 @@ object ScaleNProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftSparkExtensions.register(spark)
 
-    // the bench's 30x heavy-tail set (Bench.heavy30) plus the three
-    // floor-denominated top-10x-ratio rows worth a third-decade look
-    val qs = Seq(
-      "q17_json_extract", "q23_langid", "q28_near_dups",
-      "q44_jaccard_dedup", "q47_dedup_clusters", "q55_rollup",
-      "q74_scalar_subquery", "q84_multi_distinct", "q128_clean_corpus",
-      "q135_unpivot", "q141_semdedup", "q149_pagerank", "q154_kmeans",
-      "q170_curation_pipeline", "q171_knn_join", "q173_contrastive_pairs",
-      "q174_kn_bigram", "q183_kmv_algebra",
-      "q181_jl_project", "q34_embedding_neardups", "q25_minhash",
-      "q158_covariance")
+    // the bench's 30x heavy-tail set — ONE definition (Bench.heavy30),
+    // so this probe and the committed sweep can never drift; a name
+    // that stops resolving fails loudly before any replica is built
+    val qs = graft.Bench.heavy30
+    qs.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"Bench.heavy30 lists '$n' but SparkEntry.queries does not define it"))
 
     def hygiene(): Unit = {
       spark.catalog.clearCache()

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's measurement protocol: the stabilization rule is
+  * a pure function ([[Bench.Protocol.needsAnotherWarm]]) so what the
+  * shipped JSON's protocol string claims is what the sweep actually
+  * runs — the r8 verdict found dead protocol branches (`w1 < 0.4 &&
+  * !scale10` short-circuits that never fired in any shipped
+  * configuration) and heavy rows whose min-only readings couldn't
+  * show WHY two same-code sweeps disagreed 4-7×.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+  import Bench.Protocol
+
+  test("every heavy30 name resolves in SparkEntry.queries") {
+    val missing = Bench.heavy30.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"heavy30 names with no query: ${missing.mkString(", ")}")
+    assert(Bench.heavy30.distinct.size == Bench.heavy30.size,
+      "heavy30 holds duplicates")
+  }
+
+  test("protocol string derives from the constants that run") {
+    assert(Bench.protocolName ==
+      s"noop-full-plan,min${Protocol.minWarm1x}warm,stabilize20pct")
+    assert(Protocol.agreeRatio == 1.2 &&
+      math.round((Protocol.agreeRatio - 1) * 100) == 20)
+  }
+
+  test("stabilization: min warm count enforced, then agreement") {
+    // under the minimum → always another run
+    assert(Protocol.needsAnotherWarm(Seq.empty, minWarm = 3))
+    assert(Protocol.needsAnotherWarm(Seq(1.0), minWarm = 3))
+    assert(Protocol.needsAnotherWarm(Seq(1.0, 1.0), minWarm = 3))
+    // at the minimum with agreeing runs → stop
+    assert(!Protocol.needsAnotherWarm(Seq(1.0, 1.05, 1.1), minWarm = 3))
+    // the q17/q160 signature — two warm runs disagreeing well past
+    // 20% — triggers a re-run even past the minimum
+    assert(Protocol.needsAnotherWarm(Seq(1.79, 12.26), minWarm = 2))
+    assert(Protocol.needsAnotherWarm(Seq(0.90, 3.67, 3.5), minWarm = 3))
+    // ...but agreement is judged on the two SMALLEST: one outlier
+    // among agreeing runs does not re-run forever
+    assert(!Protocol.needsAnotherWarm(Seq(1.0, 12.0, 1.1), minWarm = 3))
+    // floor-bound readings: the absolute tolerance absorbs
+    // scheduler-ms noise on ~0.1s rows (0.10 vs 0.16 is within
+    // 0.10*1.2+0.05)
+    assert(!Protocol.needsAnotherWarm(Seq(0.10, 0.16, 0.12), minWarm = 3))
+  }
+
+  test("stabilization: hard cap and failure short-circuit") {
+    // never past maxWarm even when still disagreeing
+    val noisy = Seq(1.0, 5.0, 9.0, 13.0, 17.0)
+    assert(noisy.size == Protocol.maxWarm)
+    assert(!Protocol.needsAnotherWarm(noisy, minWarm = 3))
+    // a failed (-1.0) or timed-out (-2.0) warm run stops the loop —
+    // retrying a broken plan fails identically and doubles the cost
+    assert(!Protocol.needsAnotherWarm(Seq(1.0, -1.0), minWarm = 3))
+    assert(!Protocol.needsAnotherWarm(Seq(-2.0), minWarm = 2))
+  }
+}

@@ -304,4 +304,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().map(key).toMap
     assert(viaSql == c)
   }
+
+  test("VectorOuterSum.quantize: matches Spark round() at half boundaries") {
+    import graft.functions.VectorOuterSum
+    // Spark's Round on double: BigDecimal(shortest repr), HALF_UP.
+    def sparkRound(x: Double): Long =
+      if (x != x) 0L
+      else if (x.isInfinite) (if (x > 0) Long.MaxValue else Long.MinValue)
+      else BigDecimal(x) // shortest-repr decimal, like Double.toString
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val q = VectorOuterSum(
+      org.apache.spark.sql.graftbridge.Bridge.expression(lit(Array(0.0f))))
+    // the value the floor(x+0.5) form got wrong: 1 ulp below an exact
+    // half, where the +0.5 addition ties-to-even ACROSS the boundary
+    val justBelowHalf = math.nextAfter(0.5, 0.0)
+    val cases = Seq(
+      justBelowHalf, -justBelowHalf,
+      0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      math.nextAfter(1.5, 0.0), math.nextAfter(-1.5, 0.0),
+      math.nextAfter(2.5, 3.0), 0.49999999999, -0.49999999999,
+      0.0, -0.0, 1e15 + 0.5, -(1e15 + 0.5), Double.NaN)
+    cases.foreach { x =>
+      assert(q.quantize(x) == sparkRound(x),
+        s"quantize($x)=${q.quantize(x)} but Spark round gives ${sparkRound(x)}")
+    }
+    // and the specific regression: floor(x+0.5) would say 1 here
+    assert(q.quantize(justBelowHalf) == 0L)
+  }
 }
