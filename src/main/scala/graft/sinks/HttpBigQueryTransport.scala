@@ -19,22 +19,34 @@ import graft.sinks.BigQueryMapping.BqTableMeta
   *    a request body; rows arrive as JSON objects and embed verbatim
   *    as each entry's `json` field.
   *
+  * Response bodies are CHECKED, not just status codes — BigQuery
+  * reports per-row insert failures as HTTP 200 with an
+  * `insertErrors` array, and jobs.query reports job failures as 200
+  * with `errors` / `jobComplete:false`. The reference surfaces the
+  * same rows via `Inserter().Put`'s PutMultiError
+  * (pkg/sinks/bigquery/table.go:62); here a 200-with-insertErrors
+  * fails the Spark task loudly, naming the failing row indices and
+  * messages, so Spark's task retry + the lsn-guard idempotence
+  * upstream decide redelivery — rows are never silently dropped.
+  * An incomplete DDL job (`jobComplete:false`) retries with the same
+  * backoff as a 5xx: the DDL is idempotent, so resubmission is safe.
+  *
   * Scale/fault posture: the transport serializes as configuration
   * only — each executor lazily builds its own HttpClient; 429 and
   * 5xx responses (and connect/IO errors) retry with exponential
   * backoff like the reference's sink retries, anything else fails
-  * the task (Spark's task retry + the lsn-guard idempotence upstream
-  * make redelivery safe). `token` supplies the `Authorization:
-  * Bearer` credential per request (pluggable: a metadata-server
-  * fetcher in production, a constant in tests) and must be a
-  * serializable closure.
+  * the task. `token` supplies the `Authorization: Bearer` credential
+  * per request (pluggable: [[MetadataServerTokenSource]] in
+  * production, a constant in tests) and must be a serializable
+  * closure.
   *
   * Offline verification: HttpBigQueryTransportSpec drives the full
-  * sink (DDL + distributed insert + truncate + retry) against a
-  * loopback `com.sun.net.httpserver` fake; pointing `endpoint` at
-  * `https://bigquery.googleapis.com/bigquery/v2` is the production
-  * binding, exercised nowhere in this sandbox because it has no
-  * network egress.
+  * sink (DDL + distributed insert + truncate + retry + the
+  * 200-with-insertErrors and jobs.query error/incomplete paths)
+  * against a loopback `com.sun.net.httpserver` fake; pointing
+  * `endpoint` at `https://bigquery.googleapis.com/bigquery/v2` is
+  * the production binding, exercised nowhere in this sandbox because
+  * it has no network egress.
   */
 final class HttpBigQueryTransport(
     endpoint: String,
@@ -43,6 +55,8 @@ final class HttpBigQueryTransport(
     token: () => String,
     maxRetries: Int = 4,
     batchRows: Int = 500) extends BigQueryTransport {
+
+  import HttpBigQueryTransport._
 
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
@@ -58,11 +72,17 @@ final class HttpBigQueryTransport(
     case c => c.toString
   } + "\""
 
-  private def post(path: String, body: String): Unit = {
+  /** POST with status- AND body-level checking. A 2xx response still
+    * runs `check` over the body: `BodyFail` fails the task
+    * immediately (schema mismatches / invalid rows are not
+    * transient), `BodyRetry` re-enters the backoff loop (incomplete
+    * idempotent DDL jobs). */
+  private def post(path: String, body: String,
+      check: String => BodyVerdict): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
-      val outcome: Either[String, Int] =
+      val outcome: Either[String, (Int, String)] =
         try {
           val req = java.net.http.HttpRequest.newBuilder()
             .uri(java.net.URI.create(s"$endpoint$path"))
@@ -73,29 +93,41 @@ final class HttpBigQueryTransport(
             .build()
           val resp = client.send(req,
             java.net.http.HttpResponse.BodyHandlers.ofString())
-          Right(resp.statusCode())
+          Right((resp.statusCode(), resp.body()))
         } catch {
           case e: java.io.IOException => Left(e.getMessage)
           case e: InterruptedException => throw e
         }
-      outcome match {
-        case Right(code) if code / 100 == 2 => done = true
-        case Right(code) if code != 429 && code / 100 != 5 =>
+      val verdict: Either[String, BodyVerdict] = outcome match {
+        case Right((code, respBody)) if code / 100 == 2 =>
+          Right(check(respBody))
+        case Right((code, _)) if code != 429 && code / 100 != 5 =>
           throw new java.io.IOException(
             s"BigQuery POST $path failed with non-retryable HTTP $code")
-        case failed =>
-          attempt += 1
-          if (attempt > maxRetries) throw new java.io.IOException(
-            s"BigQuery POST $path failed after $maxRetries retries: " +
-              failed.fold(identity, c => s"HTTP $c"))
-          Thread.sleep(100L << (attempt - 1))
+        case Right((code, _)) => Left(s"HTTP $code")
+        case Left(io) => Left(io)
+      }
+      verdict match {
+        case Right(BodyOk) => done = true
+        case Right(BodyFail(msg)) =>
+          throw new java.io.IOException(
+            s"BigQuery POST $path returned 2xx but failed: $msg")
+        case Right(BodyRetry(msg)) => backoff(path, msg)
+        case Left(msg) => backoff(path, msg)
+      }
+      def backoff(path: String, msg: String): Unit = {
+        attempt += 1
+        if (attempt > maxRetries) throw new java.io.IOException(
+          s"BigQuery POST $path failed after $maxRetries retries: $msg")
+        Thread.sleep(100L << (attempt - 1))
       }
     }
   }
 
   private def runDdl(sql: String): Unit =
     post(s"/projects/$projectId/queries",
-      s"""{"query":${jsonStr(sql)},"useLegacySql":false}""")
+      s"""{"query":${jsonStr(sql)},"useLegacySql":false}""",
+      checkQueryResponse)
 
   override def ensureTable(meta: BqTableMeta, ddl: String): Unit =
     runDdl(ddl)
@@ -109,6 +141,140 @@ final class HttpBigQueryTransport(
         .mkString("""{"kind":"bigquery#tableDataInsertAllRequest","rows":[""",
           ",", "]}")
       post(s"/projects/$projectId/datasets/$datasetId/tables/$table/insertAll",
-        body)
+        body, checkInsertResponse)
     }
+}
+
+object HttpBigQueryTransport {
+
+  /** Outcome of inspecting a 2xx response body. */
+  private[sinks] sealed trait BodyVerdict
+  private[sinks] case object BodyOk extends BodyVerdict
+  private[sinks] final case class BodyFail(msg: String) extends BodyVerdict
+  private[sinks] final case class BodyRetry(msg: String) extends BodyVerdict
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def parseOrNone(body: String): Option[JValue] =
+    try Some(JsonMethods.parse(body)) catch { case _: Exception => None }
+
+  /** insertAll: HTTP 200 with a non-empty `insertErrors` array means
+    * those rows were NOT inserted — fail with the row indices and
+    * messages (first 5) so the task error names the cure. */
+  private[sinks] def checkInsertResponse(body: String): BodyVerdict =
+    parseOrNone(body).map(_ \ "insertErrors") match {
+      case Some(JArray(errs)) if errs.nonEmpty =>
+        val detail = errs.take(5).map { e =>
+          val idx = e \ "index" match {
+            case JInt(i) => i.toString
+            case JLong(i) => i.toString
+            case _ => "?"
+          }
+          val msgs = e \ "errors" match {
+            case JArray(es) => es.flatMap { x =>
+              x \ "message" match {
+                case JString(m) => Some(m)
+                case _ => None
+              }
+            }.mkString("; ")
+            case _ => ""
+          }
+          s"row $idx: $msgs"
+        }.mkString(" | ")
+        BodyFail(s"insertAll returned ${errs.size} insertErrors " +
+          s"(rows were NOT inserted): $detail")
+      case _ => BodyOk
+    }
+
+  /** jobs.query: 200 with `errors` fails; `jobComplete:false` on an
+    * idempotent DDL statement is retryable (resubmit). */
+  private[sinks] def checkQueryResponse(body: String): BodyVerdict =
+    parseOrNone(body) match {
+      case Some(j) =>
+        j \ "errors" match {
+          case JArray(errs) if errs.nonEmpty =>
+            val detail = errs.take(5).flatMap { e =>
+              e \ "message" match {
+                case JString(m) => Some(m)
+                case _ => None
+              }
+            }.mkString(" | ")
+            BodyFail(s"jobs.query returned ${errs.size} errors: $detail")
+          case _ => j \ "jobComplete" match {
+            case JBool(false) => BodyRetry("jobComplete=false")
+            case _ => BodyOk
+          }
+        }
+      case None => BodyOk
+    }
+}
+
+/** Metadata-server credential supplier for [[HttpBigQueryTransport]]
+  * — the production shape of the reference's default-credentials
+  * path (pkg/sinks/bigquery/sink.go:40-79, which leans on the cloud
+  * SDK's application-default credentials). On GCE/GKE the instance
+  * metadata server vends OAuth2 access tokens for the attached
+  * service account at
+  * `http://metadata.google.internal/computeMetadata/v1/instance/service-accounts/default/token`
+  * (a GET with the mandatory `Metadata-Flavor: Google` header,
+  * returning `{"access_token":…,"expires_in":…,"token_type":…}`).
+  *
+  * This class is that fetcher behind the transport's existing
+  * `token: () => String` seam: serializable as configuration (URL +
+  * margin only), with a per-JVM `@transient` cache so each executor
+  * fetches lazily and refreshes `refreshMarginSecs` before expiry.
+  * Production binding needs only the endpoint string (or none — the
+  * default is the well-known metadata URL). */
+final class MetadataServerTokenSource(
+    url: String = MetadataServerTokenSource.DefaultUrl,
+    refreshMarginSecs: Long = 60L) extends (() => String) with Serializable {
+
+  @transient private var cachedToken: String = _
+  @transient private var expiresAtEpochSec: Long = 0L
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  override def apply(): String = synchronized {
+    val now = System.currentTimeMillis() / 1000L
+    if (cachedToken == null || now >= expiresAtEpochSec - refreshMarginSecs)
+      fetch(now)
+    cachedToken
+  }
+
+  private def fetch(now: Long): Unit = {
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(url))
+      .header("Metadata-Flavor", "Google")
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"metadata token fetch failed: HTTP ${resp.statusCode()} from $url")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(resp.body())
+    val tok = j \ "access_token" match {
+      case JString(t) if t.nonEmpty => t
+      case _ => throw new java.io.IOException(
+        s"metadata token response from $url carried no access_token")
+    }
+    val ttl = j \ "expires_in" match {
+      case JInt(s) => s.toLong
+      case JLong(s) => s
+      case JDouble(s) => s.toLong
+      case _ => 0L
+    }
+    cachedToken = tok
+    expiresAtEpochSec = now + ttl
+  }
+}
+
+object MetadataServerTokenSource {
+  /** The well-known GCE/GKE instance metadata token endpoint. */
+  val DefaultUrl: String =
+    "http://metadata.google.internal/computeMetadata/v1/instance/service-accounts/default/token"
 }

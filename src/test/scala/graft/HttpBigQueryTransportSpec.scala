@@ -9,13 +9,18 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{ColumnSpec, Envelope, PgTypes, TableSchema}
-import graft.sinks.{BigQuerySink, HttpBigQueryTransport, SchemaOutcome}
+import graft.sinks.{BigQuerySink, HttpBigQueryTransport, MetadataServerTokenSource, SchemaOutcome}
 
 /** The HTTP BigQuery binding driven end-to-end against a loopback
   * com.sun.net.httpserver fake of the v2 REST surface — the full
   * sink path (fingerprint-gated DDL, executor-side insertAll from
   * distributed partitions, truncate marker, bearer auth, 5xx retry)
-  * with a REAL HTTP client, no network egress required. */
+  * with a REAL HTTP client, no network egress required. Includes the
+  * body-level failure surfaces: 200-with-insertErrors fails the
+  * task naming the rows (mirroring the reference's PutMultiError,
+  * pkg/sinks/bigquery/table.go:62), jobs.query `errors` fail DDL,
+  * `jobComplete:false` retries the idempotent statement, and the
+  * metadata-server token fetcher caches until expiry. */
 class HttpBigQueryTransportSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -24,19 +29,27 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
     ColumnSpec("msg", PgTypes.Text)))
 
   /** (method, path, auth header, body) log; handlers run on server
-    * threads while executor tasks post concurrently. */
-  private def withServer(flakyFirst: Int)(
+    * threads while executor tasks post concurrently. `respond` maps
+    * (0-based call index, path, request body) to (status, response
+    * body) — default answers every call 200 `{}`. */
+  private def withServer(
+      flakyFirst: Int = 0,
+      respond: (Int, String, String) => (Int, String) = (_, _, _) => (200, "{}"))(
       run: (String, () => List[(String, String, String)]) => Unit): Unit = {
     val log = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
     val flakesLeft = new java.util.concurrent.atomic.AtomicInteger(flakyFirst)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-      val code =
-        if (flakesLeft.getAndDecrement() > 0) 503
-        else { log.add((ex.getRequestURI.getPath, auth, body)); 200 }
-      val resp = "{}".getBytes(StandardCharsets.UTF_8)
+      val (code, respBody) =
+        if (flakesLeft.getAndDecrement() > 0) (503, "{}")
+        else {
+          log.add((ex.getRequestURI.getPath, auth, body))
+          respond(calls.getAndIncrement(), ex.getRequestURI.getPath, body)
+        }
+      val resp = respBody.getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(code, resp.length)
       ex.getResponseBody.write(resp)
       ex.close()
@@ -48,7 +61,7 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
   }
 
   test("sink over HTTP: DDL via jobs.query, distributed insertAll, truncate, auth") {
-    withServer(flakyFirst = 0) { (endpoint, requests) =>
+    withServer() { (endpoint, requests) =>
       val sink = new BigQuerySink("ds", new HttpBigQueryTransport(
         endpoint, "proj", "ds", () => "tok"))
       assert(sink.handleSchema(example) == SchemaOutcome.Update)
@@ -100,7 +113,7 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
       t.insertRows("example_raw", Iterator("""{"lsn":1}"""))
       assert(requests().size == 1)
     }
-    withServer(flakyFirst = 0) { (endpoint, _) =>
+    withServer() { (endpoint, _) =>
       // a non-retryable status fails fast: nothing listens on the
       // /missing prefix of a different port → use a 404-ish check by
       // pointing at a path the server answers 200 for; instead prove
@@ -112,5 +125,89 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
         bad.insertRows("example_raw", Iterator("""{"lsn":1}"""))
       }
     }
+  }
+
+  test("200 with insertErrors FAILS the insert, naming the rows") {
+    val errBody =
+      """{"kind":"bigquery#tableDataInsertAllResponse","insertErrors":[
+        |  {"index":0,"errors":[{"reason":"invalid","message":"no such field: msgg"}]},
+        |  {"index":2,"errors":[{"reason":"invalid","message":"value out of range"}]}
+        |]}""".stripMargin
+    withServer(respond = (_, path, _) =>
+      if (path.endsWith("/insertAll")) (200, errBody) else (200, "{}")) {
+      (endpoint, requests) =>
+        val t = new HttpBigQueryTransport(
+          endpoint, "proj", "ds", () => "tok", maxRetries = 1)
+        val e = intercept[java.io.IOException] {
+          t.insertRows("example_raw",
+            Iterator("""{"lsn":1}""", """{"lsn":2}""", """{"lsn":3}"""))
+        }
+        // fails FAST (not retried — the rows are invalid, not the host)
+        assert(requests().size == 1)
+        assert(e.getMessage.contains("insertErrors"))
+        assert(e.getMessage.contains("row 0: no such field: msgg"))
+        assert(e.getMessage.contains("row 2: value out of range"))
+    }
+  }
+
+  test("jobs.query errors fail DDL; jobComplete:false retries idempotently") {
+    withServer(respond = (_, _, _) =>
+      (200, """{"jobComplete":true,"errors":[{"message":"Syntax error: boom"}]}""")) {
+      (endpoint, _) =>
+        val sink = new BigQuerySink("ds", new HttpBigQueryTransport(
+          endpoint, "proj", "ds", () => "tok", maxRetries = 1))
+        // the schema handler surfaces DDL failure as the Failed outcome
+        // (reference: schema_handler.go's failed result), not a throw
+        sink.handleSchema(example) match {
+          case SchemaOutcome.Failed(e) =>
+            assert(e.getMessage.contains("Syntax error: boom"))
+          case other => fail(s"expected Failed, got $other")
+        }
+    }
+    // jobComplete:false twice, then a clean completion → succeeds,
+    // three requests observed (the DDL is idempotent so resubmit is safe)
+    withServer(respond = (i, _, _) =>
+      if (i < 2) (200, """{"jobComplete":false}""") else (200, "{}")) {
+      (endpoint, requests) =>
+        val sink = new BigQuerySink("ds", new HttpBigQueryTransport(
+          endpoint, "proj", "ds", () => "tok"))
+        assert(sink.handleSchema(example) == SchemaOutcome.Update)
+        // 3 requests for the raw-table DDL + 1 for the view DDL
+        assert(requests().count(_._1 == "/projects/proj/queries") == 4)
+    }
+  }
+
+  test("metadata-server token source: header, cache, refresh at expiry") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flavors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      flavors.add(Option(ex.getRequestHeaders.getFirst("Metadata-Flavor")).getOrElse(""))
+      val n = hits.incrementAndGet()
+      // first token expires immediately (ttl below the refresh margin),
+      // second lives long enough to be served from cache
+      val ttl = if (n == 1) 1 else 3600
+      val body = s"""{"access_token":"tok$n","expires_in":$ttl,"token_type":"Bearer"}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/computeMetadata/v1/instance/service-accounts/default/token"
+      val src = new MetadataServerTokenSource(url, refreshMarginSecs = 60L)
+      assert(src() == "tok1")
+      // tok1's ttl (1s) is inside the 60s refresh margin → refetch
+      assert(src() == "tok2")
+      // tok2 (1h) is cached — no third hit
+      assert(src() == "tok2")
+      assert(hits.get() == 2)
+      import scala.jdk.CollectionConverters._
+      assert(flavors.asScala.forall(_ == "Google"))
+      // the production default URL is the well-known GCE endpoint
+      assert(MetadataServerTokenSource.DefaultUrl.startsWith(
+        "http://metadata.google.internal/computeMetadata/v1/"))
+    } finally server.stop(0)
   }
 }
