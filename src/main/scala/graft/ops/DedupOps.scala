@@ -115,10 +115,14 @@ object DedupOps {
     lshCandidatePairsOfTokens(tokenized(df, idCol, textCol),
       bands, rows, shingleSize, maxBucket)
 
-  /** [[lshCandidatePairs]] over an already-tokenized (id, _t) frame. */
+  /** [[lshCandidatePairs]] over an already-tokenized (id, _t) frame.
+    * `failLimit` is the hot-bucket refusal threshold
+    * ([[DefaultBucketFailLimit]]), injectable so the guard is
+    * testable on a small corpus. */
   def lshCandidatePairsOfTokens(
       tok: DataFrame, bands: Int, rows: Int, shingleSize: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      failLimit: Int = DefaultBucketFailLimit): DataFrame = {
     val sigs = minhashSignaturesOfTokens(tok, bands * rows, shingleSize)
     val buckets = sigs.select(col("id"),
       explode(lshBandHashes(col("sig"), bands, rows)).as("bucket"))
@@ -130,7 +134,7 @@ object DedupOps {
     // a meaningful near-dup signal" is the standard LSH escape hatch
     // and bounds both pair blowup and per-group collect state.
     pairsWithinGroups(buckets, col("bucket"), col("id"), maxBucket,
-      "lshCandidatePairs").distinct()
+      "lshCandidatePairs", failLimit).distinct()
   }
 
   /** Hard per-bucket membership limit for the banded-LSH pair
@@ -156,17 +160,19 @@ object DedupOps {
     * drop-cap semantics); otherwise a group past
     * [[DefaultBucketFailLimit]] fails the job loudly with guidance —
     * never a silent quadratic pair stream or an unbounded per-group
-    * collect buffer.
+    * collect buffer. `failLimit` exists so a spec can trip the guard
+    * on a small corpus; production callers keep the default.
     */
   private def pairsWithinGroups(df: DataFrame, groupCol: Column,
       idCol: Column, maxGroup: Int = 0,
-      op: String = "pairsWithinGroups"): DataFrame = {
+      op: String = "pairsWithinGroups",
+      failLimit: Int = DefaultBucketFailLimit): DataFrame = {
     val guarded =
       if (maxGroup > 0) col("ids")
-      else when(size(col("ids")) <= DefaultBucketFailLimit, col("ids"))
+      else when(size(col("ids")) <= failLimit, col("ids"))
         .otherwise(raise_error(concat(
           lit(s"$op: a blocking bucket holds "), size(col("ids")),
-          lit(s" members (> $DefaultBucketFailLimit) — its pair " +
+          lit(s" members (> $failLimit) — its pair " +
             "emission alone exceeds ~2e9; the corpus has a degenerate " +
             "hot bucket. Drop hot buckets (maxBucket) or re-block " +
             "with more bands/rows."))))
@@ -561,7 +567,8 @@ object DedupOps {
     * Verification is a plain `startswith` on the candidate pair.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      prefixTokens: Int = 8): DataFrame = {
+      prefixTokens: Int = 8,
+      failLimit: Int = DefaultBucketFailLimit): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val norm = concat_ws(" ", toks)
     val docs = df.select(col(idCol).as("id"), norm.as("text_n"),
@@ -577,11 +584,11 @@ object DedupOps {
     val aGated = docs
       .withColumn("_c", count(lit(1)).over(wPfx))
       .withColumn("_pfx",
-        when(col("_c") <= DefaultBucketFailLimit, col("_pfx"))
+        when(col("_c") <= failLimit, col("_pfx"))
           .otherwise(raise_error(concat(
             lit("containmentPairs: a blocking prefix is shared by "),
             col("_c"),
-            lit(s" docs (> $DefaultBucketFailLimit) — the prefix join " +
+            lit(s" docs (> $failLimit) — the prefix join " +
               "would go quadratic. Lengthen prefixTokens or strip " +
               "boilerplate first.")))))
     val a = aGated.select(col("id").as("id_a"), col("text_n").as("_ta"), col("_pfx"))

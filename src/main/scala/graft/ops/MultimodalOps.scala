@@ -832,8 +832,9 @@ object MultimodalOps {
     * contract — a degenerate corpus (all-black thumbnails hashing
     * alike) would otherwise emit its c·(c−1)/2 pairs silently.
     */
-  private[ops] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
-      maxHamming: Int, bands: Int): DataFrame = {
+  private[graft] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, bands: Int,
+      failLimit: Int = DedupOps.DefaultBucketFailLimit): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -844,7 +845,7 @@ object MultimodalOps {
             .as("slice"))): _*)).as("bs"))
       .select(col("media_id"), col(hashCol),
         col("bs.band").as("band"), col("bs.slice").as("slice"))
-    val limit = DedupOps.DefaultBucketFailLimit
+    val limit = failLimit
     slices.groupBy(col("band"), col("slice"))
       .agg(sort_array(collect_set(struct(col("media_id").as("id"),
         col(hashCol).as("ph")))).as("ms"))
@@ -865,6 +866,10 @@ object MultimodalOps {
               .as("hamming"))))).as("ps"))
       .select(explode(col("ps")).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      // a media_id carrying two distinct hashes would otherwise pair
+      // with itself (collect_set dedups only identical (id, ph)
+      // structs), breaking the id_a < id_b contract
+      .where(col("id_a") =!= col("id_b"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
