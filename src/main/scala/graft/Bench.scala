@@ -91,6 +91,17 @@ object Bench {
       ok.size < minWarm ||
         (ok.size >= 2 && ok(1) > ok(0) * agreeRatio + agreeAbsSec)
     }
+
+    /** Did a finished query's warm history CONVERGE — two successful
+      * warm runs whose two smallest agree within tolerance? False
+      * when `maxWarm` was exhausted still disagreeing (the q17-class
+      * rows), so unconverged readings are machine-visible in the
+      * artifact (`unstable` lists) instead of needing a reader to
+      * re-derive stabilization failure from the raw runs arrays. */
+    def converged(warms: Seq[Double]): Boolean = {
+      val ok = warms.filter(_ >= 0).sorted
+      ok.size >= 2 && ok(1) <= ok(0) * agreeRatio + agreeAbsSec
+    }
   }
 
   /** Protocol marker: r4 switched from count()-based timing (which
@@ -256,8 +267,10 @@ object Bench {
       def noop(): Unit = run(spark.range(1024)
         .groupBy((org.apache.spark.sql.functions.col("id") % 8).as("k"))
         .count())
-      time(noop()); time(noop())
+      // cold + min-of-warm, matching the query sweeps' protocol (a
+      // last-run-only floor was noisier than the readings it divides)
       time(noop())
+      math.min(time(noop()), time(noop()))
     }
     val loadStart = loadavg()
     val floorStart = measureFloor()
@@ -355,6 +368,22 @@ object Bench {
     def pair(rs: Seq[(String, Double, Seq[Double])]): Seq[(String, Double)] =
       rs.map(r => r._1 -> r._2)
 
+    // Queries whose warm history exhausted maxWarm still disagreeing:
+    // their min still ships as the reading, but the non-convergence
+    // is machine-visible here instead of latent in the runs arrays.
+    def unstableOf(rs: Seq[(String, Double, Seq[Double])]): Seq[String] =
+      rs.collect {
+        case (n, v, raw) if v >= 0 && !Protocol.converged(raw.drop(1)) => n
+      }
+    val unstableJson: String = Seq(
+      "1x" -> unstableOf(results), "1x_32file" -> unstableOf(results1L),
+      "10x" -> unstableOf(results10), "30x" -> unstableOf(results30))
+      .map { case (lvl, ns) =>
+        "\"" + lvl + "\":" + ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val nUnstable = Seq(results, results1L, results10, results30)
+      .map(unstableOf(_).size).sum
+
     // Compact scale summaries for the stdout line (the full tables
     // would blow the driver's ~2000-char tail capture); the complete
     // per-query timings, raw runs and ratios go to BENCH_DETAIL.json.
@@ -394,6 +423,7 @@ object Bench {
       s""""overhead_floor":${fmt(floor)},""" +
       s""""total_minus_floor":${fmt(totalMinusFloor)},""" +
       s""""protocol":"$protocolName",$hostJson,""" +
+      s""""n_unstable":$nUnstable,"unstable":$unstableJson,""" +
       s""""queries":${jsonOf(pair(results))},""" +
       s""""runs":${jsonRuns(results)}""" +
       (if (results1L.isEmpty) ""
@@ -403,6 +433,12 @@ object Bench {
       (if (results10.isEmpty) ""
        else s""","queries_10x":${jsonOf(pair(results10))}""" +
          s""","runs_10x":${jsonRuns(results10)}""" +
+         // denominator marker: since r9 the 10x ratios divide by the
+         // layout-consistent 32-file factor-1 rewrite (when present),
+         // NOT the official single-file 1x sweep — cross-round tools
+         // must not compare r8's ratios_10x to these unflagged
+         s""","ratios_10x_denom":"${
+           if (byName1L.nonEmpty) "queries_1x_32file" else "queries"}"""" +
          s""","ratios_10x":${jsonOf(ratios10)}""") +
       (if (results30.isEmpty) ""
        else s""","queries_30x":${jsonOf(pair(results30))}""" +
@@ -422,6 +458,7 @@ object Bench {
       s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
       s""""overhead_floor":${fmt(floor)},""" +
       s""""total_minus_floor":${fmt(totalMinusFloor)},""" +
+      s""""n_unstable":$nUnstable,""" +
       s""""protocol":"$protocolName","detail":"BENCH_DETAIL.json"""" +
       layoutSummary + scaleSummary + scale30Summary +
       s""","queries":${jsonOf(head)},"sf":"$sfDir"}""")

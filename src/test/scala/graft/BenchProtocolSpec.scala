@@ -58,4 +58,19 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Protocol.needsAnotherWarm(Seq(1.0, -1.0), minWarm = 3))
     assert(!Protocol.needsAnotherWarm(Seq(-2.0), minWarm = 2))
   }
+
+  test("convergence flag: exhausted-cap disagreement is visible") {
+    // agreeing smallest pair → converged (reading is corroborated)
+    assert(Protocol.converged(Seq(1.0, 1.05, 1.1)))
+    assert(Protocol.converged(Seq(1.0, 12.0, 1.1)))
+    // maxWarm exhausted still disagreeing → NOT converged; the min
+    // ships but the artifact's `unstable` list names the row
+    assert(!Protocol.converged(Seq(1.0, 5.0, 9.0, 13.0, 17.0)))
+    // fewer than two successful warm runs → nothing to corroborate
+    assert(!Protocol.converged(Seq.empty))
+    assert(!Protocol.converged(Seq(1.0)))
+    assert(!Protocol.converged(Seq(1.0, -1.0)))
+    // floor-bound rows: absolute tolerance applies here too
+    assert(Protocol.converged(Seq(0.10, 0.16)))
+  }
 }
