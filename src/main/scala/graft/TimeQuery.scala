@@ -43,6 +43,24 @@ object TimeQuery {
               f"gc=${m.jvmGCTime / 1e3}%5.3fs")
           }
         })
+    // SPARK_GRAFT_JOBS=1: per-JOB wall clock — the scheduling-floor
+    // arithmetic for multi-action queries (trainers): n sequential
+    // jobs cannot beat n × the per-job floor however tight each plan
+    if (sys.env.contains("SPARK_GRAFT_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, j.time)
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val w = Option(starts.get(j.jobId))
+              .map(s => (j.time - s) / 1e3).getOrElse(-1.0)
+            println(f"  job ${j.jobId}%3d wall=$w%6.3fs")
+          }
+        })
+    }
     spark.read.parquet(s"$sfDir/nation.parquet").count() // warmup
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
