@@ -83,6 +83,69 @@ object SparkEntry {
        |a AS (SELECT vec_id, v, CAST(cid AS INTEGER) AS cell
        |  FROM asg WHERE rn = 1)""".stripMargin
 
+  /** Oracle-side twin of SimilarityOps.twoLevelAssign — the
+    * [[duckSqrtAssign]] discipline held through BOTH levels. CTEs:
+    * `e` (vec_id, v), `nn` (n, t = ⌈√n⌉ — target subcell size),
+    * `cent`/`casg`/`ca` (coarse: k₁ = least(⌈√t⌉, 4096) global
+    * (md5, id)-rank seeds, normalized, argmax with ties to the
+    * lower cid — exactly duckSqrtAssign at k₁), `sub` (fine seeds:
+    * per-coarse-cell (md5, id)-rank prefix of size ⌈c/t⌉,
+    * normalized, fid = within-cell rank − 1 = the sorted
+    * collect_list position Spark's broadcast argmax scores), and
+    * `tl` (vec_id, v, cell = coarse·2³² + fine via the same
+    * dot-DESC-fid tie-break). Every constant re-derives from COUNT,
+    * so both engines compute identical composite cells at any SF. */
+  private def duckTwoLevelAssign: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n,
+       |  CAST(ceil(sqrt(count(*))) AS BIGINT) AS t FROM e),
+       |cent AS (
+       |  SELECT cid, CASE
+       |      WHEN sqrt(list_aggregate(list_transform(cv, x -> x*x), 'sum')) = 0
+       |        THEN cv
+       |      ELSE list_transform(cv, x -> x /
+       |        sqrt(list_aggregate(list_transform(cv, y -> y*y), 'sum')))
+       |    END AS cv
+       |  FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+       |      v AS cv
+       |    FROM e
+       |    QUALIFY row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |      <= least(CAST(ceil(sqrt((SELECT t FROM nn))) AS BIGINT),
+       |        4096))),
+       |casg AS (SELECT vec_id, v, cid, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY list_aggregate(list_transform(range(len(v)),
+       |      d -> v[d+1] * cv[d+1]), 'sum') DESC, cid) AS rn
+       |  FROM e CROSS JOIN cent),
+       |ca AS (SELECT vec_id, v, CAST(cid AS INTEGER) AS coarse
+       |  FROM casg WHERE rn = 1),
+       |sub AS (
+       |  SELECT coarse, rw - 1 AS fid, CASE
+       |      WHEN sqrt(list_aggregate(list_transform(sv, x -> x*x), 'sum')) = 0
+       |        THEN sv
+       |      ELSE list_transform(sv, x -> x /
+       |        sqrt(list_aggregate(list_transform(sv, y -> y*y), 'sum')))
+       |    END AS cv
+       |  FROM (
+       |    SELECT coarse, v AS sv,
+       |      row_number() OVER (PARTITION BY coarse
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rw,
+       |      count(*) OVER (PARTITION BY coarse) AS c
+       |    FROM ca)
+       |  WHERE rw <= CAST(ceil(CAST(c AS DOUBLE) / (SELECT t FROM nn))
+       |    AS BIGINT)),
+       |fasg AS (SELECT ca.vec_id, ca.v, ca.coarse, s.fid, row_number() OVER (
+       |    PARTITION BY ca.vec_id
+       |    ORDER BY list_aggregate(list_transform(range(len(ca.v)),
+       |      d -> ca.v[d+1] * s.cv[d+1]), 'sum') DESC, s.fid) AS rn
+       |  FROM ca JOIN sub s ON ca.coarse = s.coarse),
+       |tl AS (SELECT vec_id, v,
+       |    CAST(coarse AS BIGINT) * 4294967296 + fid AS cell
+       |  FROM fasg WHERE rn = 1)""".stripMargin
+
   /** DuckDB cosine over two DOUBLE[] expressions — the exact
     * arithmetic of the native VectorCosine (double products in index
     * order, zero-norm guard), as proven cross-engine by q34. */
@@ -1838,6 +1901,18 @@ object SparkEntry {
     "q141_semdedup" -> ((s, dir) => {
       SimilarityOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           sqrtCents(s, dir), threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cell"),
+          col("kept").cast("int").as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+    // ----- two-level IVF semantic dedup: the beyond-maxSeeds path —
+    // coarse literal centroids (k1 ~ n^(1/4)) + per-cell broadcast
+    // sub-centroids, same keep rule as q141. Every blocking constant
+    // re-derives from COUNT, so the DuckDB oracle computes the
+    // identical composite cells -----
+    "q188_two_level_dedup" -> ((s, dir) => {
+      SimilarityOps.semDedupTwoLevel(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3)
         .select(col("id").as("vec_id"), col("cell"),
           col("kept").cast("int").as("kept"))
         .orderBy(col("vec_id"))
@@ -3899,6 +3974,16 @@ object SparkEntry {
          |SELECT a.vec_id, a.cell, CAST(d.dup_id IS NULL AS INTEGER) AS kept
          |FROM a LEFT JOIN d ON a.vec_id = d.dup_id
          |ORDER BY a.vec_id""".stripMargin
+    },
+    "q188_two_level_dedup" -> {
+      s"""WITH $duckTwoLevelAssign,
+         |p AS (SELECT y.vec_id AS dup_id,
+         |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
+         |  FROM tl x JOIN tl y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |d AS (SELECT DISTINCT dup_id FROM p WHERE cosine >= 0.3)
+         |SELECT tl.vec_id, tl.cell, CAST(d.dup_id IS NULL AS INTEGER) AS kept
+         |FROM tl LEFT JOIN d ON tl.vec_id = d.dup_id
+         |ORDER BY tl.vec_id""".stripMargin
     },
     "q142_ann_upsert" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -280,6 +280,129 @@ case class VectorArgmaxDot(child: Expression, centroids: Seq[Seq[Double]])
   }
 }
 
+/** [[VectorArgmaxDot]] with the centroid matrix read from a COLUMN
+  * (`array<array<double>>`) instead of baked into the plan — the
+  * fine-assignment half of two-level IVF blocking
+  * (SimilarityOps.twoLevelAssign). A literal matrix caps at what the
+  * driver can collect and every task can deserialize; past that the
+  * matrix belongs in a broadcast RELATION, joined on the coarse cell,
+  * and this expression scores the row's vector against whatever
+  * centroid list the join delivered. Same tight primitive loop under
+  * codegen — only the matrix source changes.
+  *
+  * Contract — the per-row twin of [[VectorArgmaxDot]]: scores
+  * accumulate left-to-right in double; the FIRST maximal score wins
+  * (strict >); −1 for a null vector, a null element in the vector, a
+  * null/empty centroid list, or no centroid of matching length. A
+  * null centroid row, or one containing a null element, is skipped
+  * exactly like a length mismatch.
+  */
+case class VectorArgmaxDotCells(vec: Expression, cents: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def prettyName: String = "vector_argmax_dot_cells"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorArgmaxDotCells =
+    copy(vec = newLeft, cents = newRight)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cents.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<array<double>>), " +
+          s"got (${v.catalogString}, ${c.catalogString})")
+    }
+
+  private def isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val m = cents.eval(input)
+    if (v == null || m == null) return -1
+    val a = v.asInstanceOf[ArrayData]
+    val rows = m.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return -1; i += 1 }
+    val f = isFloat
+    var best = Double.NegativeInfinity
+    var bi = -1
+    var j = 0
+    while (j < rows.numElements()) {
+      if (!rows.isNullAt(j)) {
+        val row = rows.getArray(j)
+        if (row.numElements() == n) {
+          var d = 0.0
+          var ok = true
+          var k = 0
+          while (ok && k < n) {
+            if (row.isNullAt(k)) ok = false
+            else {
+              d += (if (f) a.getFloat(k).toDouble else a.getDouble(k)) *
+                row.getDouble(k)
+              k += 1
+            }
+          }
+          if (ok && (bi < 0 || d > best)) { best = d; bi = j }
+        }
+      }
+      j += 1
+    }
+    bi
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecGen = vec.genCode(ctx)
+    val centsGen = cents.genCode(ctx)
+    val a = ctx.freshName("arr"); val rows = ctx.freshName("rows")
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val j = ctx.freshName("j"); val k = ctx.freshName("k")
+    val d = ctx.freshName("dotv"); val ok = ctx.freshName("ok")
+    val best = ctx.freshName("best"); val bi = ctx.freshName("bestIdx")
+    val anyNull = ctx.freshName("anyNull"); val row = ctx.freshName("cent")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val block = code"""
+      ${vecGen.code}
+      ${centsGen.code}
+      int $bi = -1;
+      if (!${vecGen.isNull} && !${centsGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${vecGen.value};
+        org.apache.spark.sql.catalyst.util.ArrayData $rows = ${centsGen.value};
+        final int $n = $a.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { $anyNull = true; break; }
+        }
+        if (!$anyNull) {
+          double $best = Double.NEGATIVE_INFINITY;
+          for (int $j = 0; $j < $rows.numElements(); $j++) {
+            if ($rows.isNullAt($j)) continue;
+            org.apache.spark.sql.catalyst.util.ArrayData $row = $rows.getArray($j);
+            if ($row.numElements() != $n) continue;
+            double $d = 0.0;
+            boolean $ok = true;
+            for (int $k = 0; $ok && $k < $n; $k++) {
+              if ($row.isNullAt($k)) { $ok = false; }
+              else { $d += (double) $a.$get($k) * $row.getDouble($k); }
+            }
+            if ($ok && ($bi < 0 || $d > $best)) { $best = $d; $bi = $j; }
+          }
+        }
+      }
+      final int ${ev.value} = $bi;
+    """
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+}
+
 object VectorExpressions {
 
   /** Column over the native dot product. */
@@ -296,6 +419,14 @@ object VectorExpressions {
   def argmaxDot(vec: Column, cents: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(VectorArgmaxDot(
       org.apache.spark.sql.graftbridge.Bridge.expression(vec), cents))
+
+  /** Column over the per-row argmax-dot (two-level IVF fine
+    * assignment: centroids arrive from a broadcast join, not the
+    * plan). */
+  def argmaxDotCells(vec: Column, cents: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorArgmaxDotCells(
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+      org.apache.spark.sql.graftbridge.Bridge.expression(cents)))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
@@ -330,6 +461,11 @@ object VectorExpressions {
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => VectorCosine(es(0), es(1))),
+    (FunctionIdentifier("vector_argmax_dot_cells"),
+      info("vector_argmax_dot_cells",
+        "vector_argmax_dot_cells(v, cents) - index of the centroid in cents " +
+          "(array<array<double>>) with the largest dot(v, c); -1 when none matches"),
+      (es: Seq[Expression]) => VectorArgmaxDotCells(es(0), es(1))),
     (FunctionIdentifier("vector_outer_sum"),
       info("vector_outer_sum",
         "vector_outer_sum(v) - upper-triangle sum of x*x^T in int128 picounit cells " +

@@ -306,8 +306,9 @@ object SimilarityOps {
     * Driver state is O(√n · dims) floats, bounded by `maxSeeds`
     * (hash-order prefix, so the cap is deterministic too). A corpus
     * big enough to hit the cap has outgrown literal-centroid
-    * assignment plans — train [[kmeansCentroids]] at a k the plan
-    * can carry and widen cells instead.
+    * assignment plans — switch to [[twoLevelAssign]], which keeps
+    * the √n-cell blocking law with k₁ ≈ n^(1/4) literals and the
+    * rest of the matrix in a broadcast relation.
     */
   def sqrtSeedCentroids(embeddings: DataFrame, idCol: String,
       vecCol: String, maxSeeds: Int = 4096): Seq[Seq[Float]] = {
@@ -321,6 +322,88 @@ object SimilarityOps {
       .orderBy(col("_h"), col("_id")).limit(k)
       .select(col("_v")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+  }
+
+  /** Two-level IVF cell assignment — the declared path PAST the
+    * [[sqrtSeedCentroids]] `maxSeeds` cap. Single-level blocking
+    * holds all k ≈ √n centroids on the driver and bakes them into
+    * the plan; at √n > maxSeeds (n ≳ 16.7M at the 4096 default) the
+    * literal plan is the wrong CARRIER for the matrix, not a reason
+    * to stop growing k. Two levels restore the same blocking law —
+    * ~√n cells of ~√n members — with the big matrix moved where
+    * Spark moves big read-only data: a broadcast relation.
+    *
+    *  - coarse: k₁ = min(⌈√t⌉, maxSeeds) hash-rank seed centroids
+    *    where t = ⌈√n⌉ (so k₁ ≈ n^(1/4)), assigned map-side via
+    *    [[ivfAssign]] literals exactly like single-level;
+    *  - fine: each coarse cell of size c splits into k₂(c) = ⌈c/t⌉
+    *    subcells — t is the TARGET SUBCELL SIZE, so skewed coarse
+    *    cells get proportionally more subcells. Sub-seeds are the
+    *    (md5(id), id) hash-rank prefix WITHIN the cell (the
+    *    [[sqrtSeedCentroids]] rule applied per cell), unit-normalized
+    *    in-plan ([[unitCentroids]]'s arithmetic as Spark expressions),
+    *    collected per cell, broadcast-joined back on the coarse id,
+    *    and scored per row with
+    *    [[graft.functions.VectorArgmaxDotCells]] — the argmax-dot
+    *    whose matrix is a column, not a literal.
+    *
+    * Totals: Σ k₂ ≈ √n subcells of ~t ≈ √n members each, so the
+    * in-cell pair stream keeps single-level's O(n^1.5) law, while
+    * driver state drops to O(n^(1/4)·d) floats and no single
+    * expression carries more than max(k₁, maxc k₂(c)) centroids.
+    * The ceiling moves from √n ≤ maxSeeds to n ≤ maxSeeds⁴
+    * (≈2.8×10¹⁴ at the default), with the √n·d sub-seed matrix
+    * riding an executor-side torrent broadcast (~500 MB at n=10¹²,
+    * d=64) instead of every task's serialized plan. Every step —
+    * count, hash ranks, ⌈c/t⌉, normalization, argmax with ties to
+    * the lower rank — is a pure function of the data, so a SQL
+    * oracle re-derives identical cells (the [[sqrtSeedCentroids]]
+    * re-derivability discipline, held through both levels).
+    *
+    * Output: (id, vec, cell) with cell = coarse·2³² + fine.
+    */
+  def twoLevelAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      maxSeeds: Int = 4096): DataFrame = {
+    require(maxSeeds > 0, "twoLevelAssign: maxSeeds must be positive")
+    val base = Parallelism.ensure(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val n = base.count()
+    val t = math.ceil(math.sqrt(n.toDouble)).toLong
+    val k1 = math.min(math.ceil(math.sqrt(t.toDouble)).toLong,
+      maxSeeds.toLong).toInt
+    if (k1 == 0)
+      return base.select(col("id"), col("vec"), lit(-1L).as("cell"))
+    val coarse: Seq[Seq[Float]] = base
+      .withColumn("_h", md5(col("id").cast("string")))
+      .orderBy(col("_h"), col("id")).limit(k1)
+      .select(col("vec")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val assigned = base.select(col("id"), col("vec"),
+      ivfAssign(col("vec"), coarse).as("_coarse"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_coarse"))
+    val wRank = wCell.orderBy(md5(col("id").cast("string")), col("id"))
+    // in-plan unit normalization — the expression twin of
+    // unitCentroids (double square-sum in element order, zero norm
+    // normalizing to itself)
+    val norm = sqrt(aggregate(col("vec"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val unit = when(norm === lit(0.0), transform(col("vec"), _.cast("double")))
+      .otherwise(transform(col("vec"), x => x.cast("double") / norm))
+    val subcents = assigned
+      .withColumn("_r", row_number().over(wRank))
+      .withColumn("_k2",
+        ceil(count(lit(1)).over(wCell).cast("double") / t.toDouble))
+      .where(col("_r") <= col("_k2"))
+      .select(col("_coarse"), col("_r"), unit.as("_cv"))
+      .groupBy(col("_coarse"))
+      .agg(transform(sort_array(collect_list(struct(col("_r"), col("_cv")))),
+        x => x.getField("_cv")).as("_subcents"))
+    assigned.join(broadcast(subcents), Seq("_coarse"))
+      .select(col("id"), col("vec"),
+        (col("_coarse").cast("long") * lit(4294967296L) +
+          graft.functions.VectorExpressions
+            .argmaxDotCells(col("vec"), col("_subcents")).cast("long"))
+          .as("cell"))
   }
 
   /** Default in-cell ordered-pair budget for the cell-blocked
@@ -354,8 +437,9 @@ object SimilarityOps {
       s"$op: cell blocking implies $pairs in-cell candidate pairs " +
         s"(> maxPairs=$maxPairs). The centroid set is too small (or " +
         "too degenerate) for this corpus — derive k from corpus size " +
-        "(sqrtSeedCentroids / kmeansCentroids with k~sqrt(n)) or " +
-        "raise maxPairs deliberately.")
+        "(sqrtSeedCentroids / kmeansCentroids with k~sqrt(n), or " +
+        "twoLevelAssign past the maxSeeds cap) or raise maxPairs " +
+        "deliberately.")
   }
 
   def kmeansCentroids(
@@ -557,7 +641,33 @@ object SimilarityOps {
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
         ivfAssign(col("vec"), centroids).as("cell"))
-    requirePairBudget(assigned, "semDedup", maxPairs)
+    dropNearDups(assigned, threshold, "semDedup", maxPairs)
+  }
+
+  /** [[semDedup]] blocked by [[twoLevelAssign]] instead of a literal
+    * centroid set — the form that keeps working where √n outgrows
+    * `maxSeeds` (single-level's declared ceiling). Same keep rule,
+    * same budget enforcement, same 6-dp cosine stability; only the
+    * blocking carrier changes. Output: (id, cell, kept) with the
+    * composite two-level cell id.
+    */
+  def semDedupTwoLevel(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxSeeds: Int = 4096,
+      maxPairs: Long = DefaultPairBudget): DataFrame =
+    // the keep rule consumes the assignment four times (budget agg,
+    // both join sides, the final left join); two-level assignment is
+    // itself a windowed broadcast-join subplan, so pin it once —
+    // one corpus-sized materialization instead of three recomputes
+    dropNearDups(
+      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds).localCheckpoint(),
+      threshold, "semDedupTwoLevel", maxPairs)
+
+  /** The semDedup keep rule over any (id, vec, cell) assignment:
+    * budget-check the blocking, join within cells, drop every vector
+    * with a ≥threshold-cosine neighbor of smaller id. */
+  private def dropNearDups(assigned: DataFrame, threshold: Double,
+      op: String, maxPairs: Long): DataFrame = {
+    requirePairBudget(assigned, op, maxPairs)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val dups = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(round(cosine(col("a.vec"), col("b.vec")), 6) >= threshold)

@@ -862,6 +862,78 @@ class LlmOpsSpec extends AnyFunSuite {
     // 1 and 4 are dissimilar anyway; pairs only form within cells
   }
 
+  test("twoLevelAssign: blocking keeps growing past the maxSeeds cap, deterministically") {
+    // 240 vectors in 3 broad directions with per-id jitter; maxSeeds
+    // forced to 3 so single-level blocking would stall at 3 cells
+    val rows = (0L until 240L).map { i =>
+      val g = (i % 3).toInt
+      val v = Array.fill(4)(0.05f)
+      v(g) = 1.0f
+      v((g + 1) % 4) = 0.1f + (i % 7).toInt * 0.01f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val a = SimilarityOps.twoLevelAssign(rows, "vec_id", "embedding", maxSeeds = 3)
+    val cells = a.select($"id", $"cell").as[(Long, Long)].collect()
+    assert(cells.length == 240, "assignment must be total")
+    val distinctCells = cells.map(_._2).distinct
+    // the point of the path: MORE cells than maxSeeds ever allows a
+    // single literal-centroid level (n=240 -> t=16 subcell target ->
+    // ~15 subcells across 3 coarse cells)
+    assert(distinctCells.length > 3,
+      s"expected > maxSeeds cells, got ${distinctCells.length}")
+    // composite decode: coarse rides the high 32 bits and stays
+    // under k1 <= maxSeeds; fine is a valid subcell index
+    distinctCells.foreach { c =>
+      assert((c >> 32) >= 0 && (c >> 32) < 3 && (c & 0xffffffffL) >= 0L,
+        s"bad composite cell $c")
+    }
+    // pure function of the data: a second run assigns identically
+    val b = SimilarityOps.twoLevelAssign(rows, "vec_id", "embedding", maxSeeds = 3)
+    assert(a.select($"id", $"cell").except(b.select($"id", $"cell")).isEmpty)
+    // identical vectors always co-locate (coarse argmax and the
+    // fine broadcast argmax are value functions of the vector) —
+    // the completeness property dedup blocking relies on
+    val clones = rows.unionByName(
+      rows.where($"vec_id" < 3).select(($"vec_id" + 1000L).as("vec_id"),
+        $"embedding"))
+    val byVec = SimilarityOps.twoLevelAssign(clones, "vec_id", "embedding",
+        maxSeeds = 3)
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach { i =>
+      assert(byVec(i) == byVec(i + 1000L),
+        s"clone of $i landed in a different cell")
+    }
+  }
+
+  test("semDedupTwoLevel: keep-smallest-id past the seed cap, budget still enforced") {
+    // 6 distinct directions with per-id jitter (pairwise 6-dp cosine
+    // < 1.0), plus exact clones of ids 0-4 at 100+ (cosine 1.0)
+    val base = (0L until 60L).map { i =>
+      val g = (i % 6).toInt
+      val v = Array.fill(8)(0.01f * ((i % 5) + 1))
+      v(g) = 1.0f
+      (i, v.toSeq)
+    }
+    val clones = (0L until 5L).map(i => (100L + i, base(i.toInt)._2))
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semDedupTwoLevel(df, "vec_id", "embedding",
+        threshold = 0.999999, maxSeeds = 2)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 65)
+    (0L until 5L).foreach { i =>
+      assert(got(i), s"original $i must be kept")
+      assert(!got(100L + i), s"clone of $i must drop")
+    }
+    // the pair budget guards the two-level blocking too, and the
+    // refusal names the op
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.semDedupTwoLevel(df, "vec_id", "embedding",
+        threshold = 0.5, maxSeeds = 2, maxPairs = 3L).collect()
+    }
+    assert(e.getMessage.contains("semDedupTwoLevel") &&
+      e.getMessage.contains("maxPairs"))
+  }
+
   test("duplicateClusters frees superseded round checkpoints deterministically") {
     // Dataset.unpersist is a no-op for localCheckpoint blocks (they
     // belong to the checkpoint RDD, not the SQL cache) — without the

@@ -331,4 +331,54 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // and the specific regression: floor(x+0.5) would say 1 here
     assert(q.quantize(justBelowHalf) == 0L)
   }
+
+  test("VectorArgmaxDotCells: per-row matrix twin of VectorArgmaxDot") {
+    import graft.functions.VectorExpressions
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0))
+    // foldable matrix (ConstantFolding drives the interpreted eval
+    // path): bit-identical verdicts to the literal-matrix expression
+    // across win/tie/zero/null-element/null-vec/length-mismatch
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(1.0f), Some(0.0f)))), // cell 0
+      (2L, Some(Seq(Some(1.0f), Some(5.0f), Some(0.0f)))), // tie 1/2 -> FIRST
+      (3L, Some(Seq(Some(0.0f), Some(0.0f), Some(0.0f)))), // all dots 0 -> first
+      (4L, Some(Seq(Some(1.0f), None, Some(2.0f)))),       // null element -> -1
+      (5L, None),                                          // null vector -> -1
+      (6L, Some(Seq(Some(1.0f), Some(2.0f))))              // length mismatch -> -1
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorExpressions.argmaxDotCells(col("v"), typedLit(cents)).as("c"),
+        VectorExpressions.argmaxDot(col("v"), cents).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    got.foreach { case (id, c, n) => assert(c == n, s"id=$id col=$c lit=$n") }
+    // null matrix -> -1 (expression is non-nullable by contract)
+    assert(df.select(VectorExpressions.argmaxDotCells(col("v"),
+        lit(null).cast("array<array<double>>")))
+      .collect().forall(_.getInt(0) == -1))
+
+    // non-foldable per-row matrices (whole-stage codegen path):
+    // null rows, rows with null elements and length mismatches are
+    // SKIPPED like array_max skips null dots; empty list -> -1
+    val rows = Seq(
+      (Seq(1.0f, 0.0f),
+        Seq(Some(Seq(Some(0.0), Some(1.0))), Some(Seq(Some(1.0), Some(0.0)))), 1),
+      (Seq(1.0f, 0.0f),
+        Seq(None, Some(Seq(Some(1.0), Some(0.0)))), 1),                 // null row
+      (Seq(1.0f, 0.0f),
+        Seq(Some(Seq(Some(1.0))), Some(Seq(Some(0.5), Some(0.0)))), 1), // mismatch
+      (Seq(1.0f, 0.0f),
+        Seq(Some(Seq(Some(1.0), None)), Some(Seq(Some(0.5), Some(0.0)))), 1), // null elem
+      (Seq(1.0f, 0.0f), Seq.empty[Option[Seq[Option[Double]]]], -1)
+    ).toDF("v", "m", "want")
+    rows.select(VectorExpressions.argmaxDotCells(col("v"), col("m")).as("got"),
+        col("want"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"got ${r.getInt(0)} want ${r.getInt(1)}"))
+
+    // SQL spelling after registration
+    GraftSparkExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT vector_argmax_dot_cells(array(cast(0.0 as float), cast(2.0 as float)), " +
+        "array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS c").head().getInt(0) == 1)
+  }
 }
