@@ -847,12 +847,27 @@ object SimilarityOps {
     */
   def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Float]], k: Int,
-      maxPairs: Long = DefaultPairBudget): DataFrame = {
-    val assigned = Parallelism.ensure(
+      maxPairs: Long = DefaultPairBudget): DataFrame =
+    knnOnAssigned(Parallelism.ensure(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
-        ivfAssign(col("vec"), centroids).as("cell"))
-    requirePairBudget(assigned, "knnJoin", maxPairs)
+        ivfAssign(col("vec"), centroids).as("cell")),
+      k, "knnJoin", maxPairs)
+
+  /** [[knnJoin]] blocked by [[twoLevelAssign]] — all-neighbors
+    * retrieval that keeps working where √n outgrows `maxSeeds`. Same
+    * rank rule and budget; the assignment is pinned once
+    * (localCheckpoint) for the budget check and both join sides. */
+  def knnJoinTwoLevel(embeddings: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxSeeds: Int = 4096,
+      maxPairs: Long = DefaultPairBudget): DataFrame =
+    knnOnAssigned(
+      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds).localCheckpoint(),
+      k, "knnJoinTwoLevel", maxPairs)
+
+  private def knnOnAssigned(assigned: DataFrame, k: Int, op: String,
+      maxPairs: Long): DataFrame = {
+    requirePairBudget(assigned, op, maxPairs)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val pairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
@@ -877,12 +892,28 @@ object SimilarityOps {
   def contrastivePairs(embeddings: DataFrame, idCol: String,
       vecCol: String, centroids: Seq[Seq[Float]], kPos: Int, kNeg: Int,
       posMin: Double, negMax: Double,
-      maxPairs: Long = DefaultPairBudget): DataFrame = {
-    val assigned = Parallelism.ensure(
+      maxPairs: Long = DefaultPairBudget): DataFrame =
+    contrastiveOnAssigned(Parallelism.ensure(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"), col("vec"),
-        ivfAssign(col("vec"), centroids).as("cell"))
-    requirePairBudget(assigned, "contrastivePairs", maxPairs)
+        ivfAssign(col("vec"), centroids).as("cell")),
+      kPos, kNeg, posMin, negMax, "contrastivePairs", maxPairs)
+
+  /** [[contrastivePairs]] blocked by [[twoLevelAssign]] — the mining
+    * op past the `maxSeeds` cap. Same positive/negative rules and
+    * budget; assignment pinned once for its three consumers. */
+  def contrastivePairsTwoLevel(embeddings: DataFrame, idCol: String,
+      vecCol: String, kPos: Int, kNeg: Int, posMin: Double,
+      negMax: Double, maxSeeds: Int = 4096,
+      maxPairs: Long = DefaultPairBudget): DataFrame =
+    contrastiveOnAssigned(
+      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds).localCheckpoint(),
+      kPos, kNeg, posMin, negMax, "contrastivePairsTwoLevel", maxPairs)
+
+  private def contrastiveOnAssigned(assigned: DataFrame, kPos: Int,
+      kNeg: Int, posMin: Double, negMax: Double, op: String,
+      maxPairs: Long): DataFrame = {
+    requirePairBudget(assigned, op, maxPairs)
     val a = assigned.alias("a"); val b = assigned.alias("b")
     val pairs = a.join(b,
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))

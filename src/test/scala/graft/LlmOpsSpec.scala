@@ -934,6 +934,43 @@ class LlmOpsSpec extends AnyFunSuite {
       e.getMessage.contains("maxPairs"))
   }
 
+  test("knnJoinTwoLevel / contrastivePairsTwoLevel: the whole self-join family works past the cap") {
+    // clones co-locate under two-level blocking, so a clone pair must
+    // rank as each other's #1 neighbor and as a label-1 positive
+    val base = (0L until 80L).map { i =>
+      val g = (i % 4).toInt
+      val v = Array.fill(6)(0.0f)
+      v(g) = 1.0f
+      v(5) = 0.001f * (i + 1) // id-unique jitter: no accidental clones
+      (i, v.toSeq)
+    }
+    val df = (base :+ ((500L, base(0)._2))).toDF("vec_id", "embedding")
+    val knn = SimilarityOps.knnJoinTwoLevel(df, "vec_id", "embedding",
+        k = 1, maxSeeds = 2)
+      .select($"id", $"neighbor_id", $"cosine").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(knn(0L) == ((500L, 1.0)), s"clone must be 0's top neighbor: $knn")
+    assert(knn(500L) == ((0L, 1.0)))
+    val mined = SimilarityOps.contrastivePairsTwoLevel(df, "vec_id",
+        "embedding", kPos = 1, kNeg = 1, posMin = 0.999999, negMax = 0.9,
+        maxSeeds = 2)
+      .select($"id", $"other_id", $"label").as[(Long, Long, Int)].collect()
+    assert(mined.contains((0L, 500L, 1)) && mined.contains((500L, 0L, 1)),
+      s"clone pair must mine as positives: ${mined.toSeq}")
+    // budget refusals name the two-level ops
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityOps.knnJoinTwoLevel(df, "vec_id", "embedding", k = 1,
+        maxSeeds = 2, maxPairs = 3L).collect()
+    }
+    assert(e1.getMessage.contains("knnJoinTwoLevel"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.contrastivePairsTwoLevel(df, "vec_id", "embedding",
+        kPos = 1, kNeg = 1, posMin = 0.9, negMax = 0.1,
+        maxSeeds = 2, maxPairs = 3L).collect()
+    }
+    assert(e2.getMessage.contains("contrastivePairsTwoLevel"))
+  }
+
   test("duplicateClusters frees superseded round checkpoints deterministically") {
     // Dataset.unpersist is a no-op for localCheckpoint blocks (they
     // belong to the checkpoint RDD, not the SQL cache) — without the
