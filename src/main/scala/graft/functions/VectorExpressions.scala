@@ -403,6 +403,124 @@ case class VectorArgmaxDotCells(vec: Expression, cents: Expression)
   }
 }
 
+/** Dense vector×matrixᵀ as ONE expression: the k dot products of the
+  * input vector against a k×d matrix held in the codegen references
+  * array — [[VectorArgmaxDot]]'s carrier applied to the PROJECTION
+  * case (Johnson–Lindenstrauss, any fixed linear map). The composed
+  * form (`array(k VectorDots)`) emits O(k·d) bytecode whose JIT fate
+  * is run-count-dependent: the q181 10x sweep read 0.3s or 2.9s for
+  * the same plan depending on whether C2 ever compiled the huge
+  * generated method. Here the loop is constant-size in k and d.
+  *
+  * Contract — identical to `array(k VectorDot(vec, lit(rowⱼ)))`:
+  * element j accumulates left-to-right in double; a null vector, a
+  * null vector element, or a vector whose length differs from the
+  * matrix width yields an array of k NULL elements (each composed
+  * dot is null there); the result array itself is never null. Matrix
+  * rows must be uniform width (checked at construction).
+  */
+case class VectorMatmul(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(matrix.map(_.length).distinct.size <= 1,
+    "VectorMatmul: matrix rows must have uniform width")
+
+  override def prettyName: String = "vector_matmul"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorMatmul = copy(child = newChild)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val m: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+
+  private def width: Int = if (matrix.isEmpty) 0 else matrix.head.length
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def allNulls: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](matrix.length))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return allNulls
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != width) return allNulls
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return allNulls; i += 1 }
+    val f = isFloat
+    val out = new Array[Double](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      var d = 0.0
+      var k = 0
+      while (k < n) {
+        d += (if (f) a.getFloat(k).toDouble else a.getDouble(k)) * row(k)
+        k += 1
+      }
+      out(j) = d
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val mRef = ctx.addReferenceObj("matrix", m, "double[][]")
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val k = ctx.freshName("k"); val d = ctx.freshName("dotv")
+    val out = ctx.freshName("out"); val res = ctx.freshName("res")
+    val bad = ctx.freshName("bad"); val row = ctx.freshName("mrow")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val block = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData $res = null;
+      boolean $bad = ${childGen.isNull};
+      if (!$bad) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+        final int $n = $a.numElements();
+        if ($n != $width) { $bad = true; }
+        else {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i)) { $bad = true; break; }
+          }
+        }
+        if (!$bad) {
+          double[] $out = new double[${m.length}];
+          for (int $j = 0; $j < ${m.length}; $j++) {
+            final double[] $row = $mRef[$j];
+            double $d = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              $d += (double) $a.$get($k) * $row[$k];
+            }
+            $out[$j] = $d;
+          }
+          $res = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray($out);
+        }
+      }
+      if ($bad) {
+        $res = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Object[${m.length}]);
+      }
+      final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $res;
+    """
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+}
+
 object VectorExpressions {
 
   /** Column over the native dot product. */
@@ -419,6 +537,12 @@ object VectorExpressions {
   def argmaxDot(vec: Column, cents: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(VectorArgmaxDot(
       org.apache.spark.sql.graftbridge.Bridge.expression(vec), cents))
+
+  /** Column over the native vector×matrixᵀ (k dots in one
+    * constant-size-codegen expression). */
+  def matmul(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorMatmul(
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec), matrix))
 
   /** Column over the per-row argmax-dot (two-level IVF fine
     * assignment: centroids arrive from a broadcast join, not the

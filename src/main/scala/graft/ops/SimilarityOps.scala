@@ -789,13 +789,17 @@ object SimilarityOps {
         lit(0.0).as("value")).where(lit(false))
     val dims = probe.head.getInt(0)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val comps = (0 until outDim).map { j =>
-      round(graft.functions.VectorExpressions.dot(col("vec"),
-        typedLit[Seq[Double]](jlSigns(j, dims))) * scale, 6)
-    }
+    // ONE native matmul (matrix in the codegen references array, not
+    // outDim inlined dot expressions — whose huge generated method's
+    // JIT fate was run-count-dependent: q181's 10x reading was
+    // bimodal 0.3s/2.9s for the same plan); identical arithmetic,
+    // per-element null where a composed dot was null
+    val dots = graft.functions.VectorExpressions.matmul(col("vec"),
+      (0 until outDim).map(j => jlSigns(j, dims)))
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"),
-        posexplode(array(comps: _*)).as(Seq("j", "value")))
+        posexplode(transform(dots, x => round(x * scale, 6)))
+          .as(Seq("j", "value")))
   }
 
   /** Row `j` of the deterministic ±1 JL matrix: the parity of a

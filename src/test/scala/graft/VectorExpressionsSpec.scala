@@ -381,4 +381,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
       "SELECT vector_argmax_dot_cells(array(cast(0.0 as float), cast(2.0 as float)), " +
         "array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS c").head().getInt(0) == 1)
   }
+
+  test("VectorMatmul: identical to array(k VectorDots); degenerates are all-null arrays") {
+    import graft.functions.VectorExpressions
+    val matrix = Seq(Seq(1.0, 0.0, 2.0), Seq(-1.0, 0.5, 0.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(1.0f), Some(0.5f)))), // clean
+      (2L, Some(Seq(Some(1.0f), None, Some(2.0f)))),       // null element
+      (3L, None),                                          // null vector
+      (4L, Some(Seq(Some(1.0f), Some(2.0f))))              // length mismatch
+    ).toDF("id", "v")
+    val composed = array(matrix.map(r =>
+      VectorExpressions.dot(col("v"), typedLit(r))): _*)
+    val rows = df.select(col("id"),
+        VectorExpressions.matmul(col("v"), matrix).as("m"),
+        composed.as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1), "matmul result array is never null")
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"id=${r.getLong(0)}: ${r.getSeq[Any](1)} vs ${r.getSeq[Any](2)}")
+    }
+    // empty matrix -> empty array (posexplode emits nothing)
+    assert(df.select(VectorExpressions.matmul(col("v"), Nil))
+      .collect().forall(_.getSeq[Any](0).isEmpty))
+  }
 }
