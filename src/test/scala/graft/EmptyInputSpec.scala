@@ -134,4 +134,14 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(proj.columns.toSeq == Seq("id", "j", "value"))
     assert(proj.count() == 0)
   }
+
+  test("round-10: the two-level family accepts an empty corpus (k1 = 0 branch)") {
+    val emb0 = graft.sources.ImportSource.table(spark, sf, "embeddings")
+      .where(lit(false))
+    val a = graft.ops.SimilarityOps.twoLevelAssign(emb0, "vec_id", "embedding")
+    assert(a.columns.toSeq == Seq("id", "vec", "cell"))
+    assert(a.count() == 0)
+    assert(graft.ops.SimilarityOps.semDedupTwoLevel(
+      emb0, "vec_id", "embedding", threshold = 0.9).count() == 0)
+  }
 }
