@@ -55,7 +55,7 @@ object TimeQuery {
             starts.put(j.jobId, j.time)
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val w = Option(starts.get(j.jobId))
+            val w = Option(starts.remove(j.jobId))
               .map(s => (j.time - s) / 1e3).getOrElse(-1.0)
             println(f"  job ${j.jobId}%3d wall=$w%6.3fs")
           }

@@ -173,7 +173,8 @@ object DedupOps {
         .otherwise(raise_error(concat(
           lit(s"$op: a blocking bucket holds "), size(col("ids")),
           lit(s" members (> $failLimit) — its pair " +
-            "emission alone exceeds ~2e9; the corpus has a degenerate " +
+            s"emission alone exceeds ~${failLimit.toLong * (failLimit - 1) / 2} " +
+            "pairs; the corpus has a degenerate " +
             "hot bucket. Drop hot buckets (maxBucket) or re-block " +
             "with more bands/rows."))))
     df.groupBy(groupCol)

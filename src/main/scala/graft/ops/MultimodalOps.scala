@@ -855,7 +855,8 @@ object MultimodalOps {
           lit("bandedHammingPairs: a (band, slice) bucket holds "),
           size(col("ms")),
           lit(s" members (> $limit) — its pair emission alone " +
-            "exceeds ~2e9; the hash family has collapsed on this " +
+            s"exceeds ~${limit.toLong * (limit - 1) / 2} pairs; the " +
+            "hash family has collapsed on this " +
             "corpus. Use more bands or pre-filter degenerate media."))))
         .as("ms"))
       .select(explode(transform(col("ms"), (x, i) =>
@@ -866,11 +867,16 @@ object MultimodalOps {
               .as("hamming"))))).as("ps"))
       .select(explode(col("ps")).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      // a media_id carrying two distinct hashes would otherwise pair
-      // with itself (collect_set dedups only identical (id, ph)
-      // structs), breaking the id_a < id_b contract
+      // a media_id carrying two distinct hashes (a re-encode) would
+      // otherwise pair with itself (collect_set dedups only identical
+      // (id, ph) structs) and emit the SAME (id_a, id_b) under
+      // several hamming values; the contract is one row per pair, so
+      // self-pairs drop and multi-hash pairs keep their CLOSEST
+      // agreement (min): if any hash variant is near, the media are
+      // near-dups
       .where(col("id_a") =!= col("id_b"))
-      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Collected vector cell -> Seq[Float], accepting float OR double
+    * array columns (the whole expression family takes both; a
+    * float-only getSeq would ClassCastException on array<double>
+    * embeddings at the first driver collect). Double seeds truncate
+    * to float — blocking centroids, not query results. */
+  private def floatSeq(r: org.apache.spark.sql.Row, i: Int): Seq[Float] =
+    r.getSeq[Number](i).map(_.floatValue).toSeq
+
+
   /** Dot product of two float-array columns, accumulated in double
     * in element order (deterministic). Native codegen'd expression
     * (graft.functions.VectorDot); [[foldDot]] is the
@@ -321,7 +330,7 @@ object SimilarityOps {
     base.withColumn("_h", md5(col("_id").cast("string")))
       .orderBy(col("_h"), col("_id")).limit(k)
       .select(col("_v")).collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
+      .map(floatSeq(_, 0)).toSeq
   }
 
   /** Two-level IVF cell assignment — the declared path PAST the
@@ -376,7 +385,7 @@ object SimilarityOps {
     val coarse: Seq[Seq[Float]] = base
       .withColumn("_h", md5(col("id").cast("string")))
       .orderBy(col("_h"), col("id")).limit(k1)
-      .select(col("vec")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      .select(col("vec")).collect().map(floatSeq(_, 0)).toSeq
     val assigned = base.select(col("id"), col("vec"),
       ivfAssign(col("vec"), coarse).as("_coarse"))
     val wCell = org.apache.spark.sql.expressions.Window
@@ -451,7 +460,7 @@ object SimilarityOps {
     var centroids: Seq[Seq[Float]] = vecs
       .withColumn("_h", SampleOps.hashUnit(col("_id")))
       .orderBy(col("_h"), col("_id")).limit(k)
-      .select(col("_v")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      .select(col("_v")).collect().map(floatSeq(_, 0)).toSeq
     for (_ <- 1 to iterations) {
       val byDim = vecs
         .withColumn("_cell", ivfAssign(col("_v"), centroids))
@@ -520,7 +529,7 @@ object SimilarityOps {
     val seeds: Seq[Seq[Float]] = vecs
       .withColumn("_h", SampleOps.hashUnit(col("_id")))
       .orderBy(col("_h"), col("_id")).limit(k)
-      .select(col("_v")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+      .select(col("_v")).collect().map(floatSeq(_, 0)).toSeq
     var codebooks: Seq[Seq[Seq[Float]]] =
       (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
     for (_ <- 1 to iterations) {
@@ -749,7 +758,7 @@ object SimilarityOps {
       if (best.isEmpty) n = k
       else {
         val id = best.head.getLong(0)
-        val vec = best.head.getSeq[Float](1)
+        val vec = floatSeq(best.head, 1)
         picked += id
         val prev = pool
         pool = pool.where(col("id") =!= id)

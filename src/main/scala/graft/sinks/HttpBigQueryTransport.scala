@@ -28,8 +28,11 @@ import graft.sinks.BigQueryMapping.BqTableMeta
   * fails the Spark task loudly, naming the failing row indices and
   * messages, so Spark's task retry + the lsn-guard idempotence
   * upstream decide redelivery — rows are never silently dropped.
-  * An incomplete DDL job (`jobComplete:false`) retries with the same
-  * backoff as a 5xx: the DDL is idempotent, so resubmission is safe.
+  * An incomplete DDL job (`jobComplete:false`) is POLLED to
+  * completion via jobs.getQueryResults on the RETURNED jobReference —
+  * never resubmitted (a fresh jobs.query restarts the server wait
+  * clock each attempt and piles up duplicate concurrent jobs, so a
+  * DDL slower than one wait window would never be observed done).
   *
   * Scale/fault posture: the transport serializes as configuration
   * only — each executor lazily builds its own HttpClient; 429 and
@@ -112,6 +115,9 @@ final class HttpBigQueryTransport(
         case Right(BodyFail(msg)) =>
           throw new java.io.IOException(
             s"BigQuery POST $path returned 2xx but failed: $msg")
+        case Right(BodyPoll(jobId, location)) =>
+          pollQueryResults(jobId, location)
+          done = true
         case Right(BodyRetry(msg)) => backoff(path, msg)
         case Left(msg) => backoff(path, msg)
       }
@@ -119,6 +125,58 @@ final class HttpBigQueryTransport(
         attempt += 1
         if (attempt > maxRetries) throw new java.io.IOException(
           s"BigQuery POST $path failed after $maxRetries retries: $msg")
+        Thread.sleep(100L << (attempt - 1))
+      }
+    }
+  }
+
+  /** jobs.getQueryResults for an accepted-but-incomplete job: GET the
+    * SAME jobId (server-side wait) until `jobComplete:true`, with the
+    * post() backoff discipline for 429/5xx/IO and a still-incomplete
+    * body. Never resubmits — one job, observed to completion, exactly
+    * the reference client's wait semantics. */
+  private def pollQueryResults(jobId: String,
+      location: Option[String]): Unit = {
+    val path = s"/projects/$projectId/queries/$jobId" +
+      location.map(l => s"?location=$l").getOrElse("")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val outcome: Either[String, (Int, String)] =
+        try {
+          val req = java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"$endpoint$path"))
+            .header("Authorization", s"Bearer ${token()}")
+            .GET().build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          Right((resp.statusCode(), resp.body()))
+        } catch {
+          case e: java.io.IOException => Left(e.getMessage)
+          case e: InterruptedException => throw e
+        }
+      val verdict: Either[String, BodyVerdict] = outcome match {
+        case Right((code, respBody)) if code / 100 == 2 =>
+          Right(checkQueryResponse(respBody))
+        case Right((code, _)) if code != 429 && code / 100 != 5 =>
+          throw new java.io.IOException(
+            s"BigQuery GET $path failed with non-retryable HTTP $code")
+        case Right((code, _)) => Left(s"HTTP $code")
+        case Left(io) => Left(io)
+      }
+      verdict match {
+        case Right(BodyOk) => done = true
+        case Right(BodyFail(msg)) =>
+          throw new java.io.IOException(
+            s"BigQuery GET $path returned 2xx but failed: $msg")
+        case Right(_: BodyPoll) | Right(BodyRetry(_)) =>
+          backoff("job still incomplete")
+        case Left(msg) => backoff(msg)
+      }
+      def backoff(msg: String): Unit = {
+        attempt += 1
+        if (attempt > maxRetries) throw new java.io.IOException(
+          s"BigQuery GET $path failed after $maxRetries retries: $msg")
         Thread.sleep(100L << (attempt - 1))
       }
     }
@@ -152,6 +210,14 @@ object HttpBigQueryTransport {
   private[sinks] case object BodyOk extends BodyVerdict
   private[sinks] final case class BodyFail(msg: String) extends BodyVerdict
   private[sinks] final case class BodyRetry(msg: String) extends BodyVerdict
+  /** jobComplete:false WITH a jobReference: the job is accepted and
+    * still running — poll jobs.getQueryResults for THAT job instead
+    * of resubmitting a fresh one (resubmission restarts the server
+    * wait clock every attempt and piles up duplicate concurrent
+    * jobs; a DDL slower than one jobs.query wait would then never be
+    * observed completing). */
+  private[sinks] final case class BodyPoll(jobId: String,
+      location: Option[String]) extends BodyVerdict
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -187,8 +253,11 @@ object HttpBigQueryTransport {
       case _ => BodyOk
     }
 
-  /** jobs.query: 200 with `errors` fails; `jobComplete:false` on an
-    * idempotent DDL statement is retryable (resubmit). */
+  /** jobs.query / jobs.getQueryResults: 200 with `errors` fails;
+    * `jobComplete:false` polls the RETURNED job (BodyPoll) — the
+    * response carries a jobReference for exactly this purpose — and
+    * only falls back to resubmission (BodyRetry; the DDL is
+    * idempotent) if a jobReference is somehow absent. */
   private[sinks] def checkQueryResponse(body: String): BodyVerdict =
     parseOrNone(body) match {
       case Some(j) =>
@@ -202,7 +271,15 @@ object HttpBigQueryTransport {
             }.mkString(" | ")
             BodyFail(s"jobs.query returned ${errs.size} errors: $detail")
           case _ => j \ "jobComplete" match {
-            case JBool(false) => BodyRetry("jobComplete=false")
+            case JBool(false) =>
+              j \ "jobReference" \ "jobId" match {
+                case JString(id) =>
+                  BodyPoll(id, j \ "jobReference" \ "location" match {
+                    case JString(l) => Some(l)
+                    case _ => None
+                  })
+                case _ => BodyRetry("jobComplete=false")
+              }
             case _ => BodyOk
           }
         }

@@ -62,11 +62,12 @@ object PairRateProbe {
   * BENCH_DETAIL rows. */
 private[tools] object SessionDefaultsProbe {
   def session(app: String): SparkSession = {
+    // SessionDefaults already carries the measured split sizing
+    // (maxPartitionBytes/openCostInBytes) — re-setting it here would
+    // silently pin the probe to stale values if the posture moves
     val spark = graft.SessionDefaults(SparkSession.builder()
         .master("local[32]").appName(app), cores = 32)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.files.openCostInBytes", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftSparkExtensions.register(spark)

@@ -87,9 +87,14 @@ class BucketGuardSpec extends AnyFunSuite {
       .toDF("media_id", "phash")
     val pairs = MultimodalOps.bandedHammingPairs(hashes, "phash",
         maxHamming = 64, bands = 4)
-      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall(p => p._1 < p._2),
       s"self or unordered pair leaked: ${pairs.mkString(",")}")
+    // ONE row per pair even when a side carries several hashes, and
+    // it reports the CLOSEST agreement: hamming(0,2)=1 beats
+    // hamming(1,2)=2 for the (1,2) pair
+    assert(pairs.toSeq == Seq((1L, 2L, 1)),
+      s"expected one min-hamming row per pair, got ${pairs.mkString(",")}")
   }
 }

@@ -19,8 +19,9 @@ import graft.sinks.{BigQuerySink, HttpBigQueryTransport, MetadataServerTokenSour
   * body-level failure surfaces: 200-with-insertErrors fails the
   * task naming the rows (mirroring the reference's PutMultiError,
   * pkg/sinks/bigquery/table.go:62), jobs.query `errors` fail DDL,
-  * `jobComplete:false` retries the idempotent statement, and the
-  * metadata-server token fetcher caches until expiry. */
+  * `jobComplete:false` polls the returned job to completion (never
+  * resubmitting; resubmission only as the no-jobReference fallback),
+  * and the metadata-server token fetcher caches until expiry. */
 class HttpBigQueryTransportSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -164,8 +165,27 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
           case other => fail(s"expected Failed, got $other")
         }
     }
-    // jobComplete:false twice, then a clean completion → succeeds,
-    // three requests observed (the DDL is idempotent so resubmit is safe)
+    // jobComplete:false WITH a jobReference → the SAME job is polled
+    // via jobs.getQueryResults until complete; the statement is never
+    // resubmitted (a fresh jobs.query would restart the server wait
+    // clock each attempt and pile up duplicate concurrent jobs)
+    val incompleteWithRef =
+      """{"jobComplete":false,"jobReference":{"jobId":"j1","location":"US"}}"""
+    withServer(respond = (i, path, _) =>
+      if (path == "/projects/proj/queries") (200, incompleteWithRef)
+      else if (i == 1) (200, incompleteWithRef) // first poll: still running
+      else (200, """{"jobComplete":true}""")) {
+      (endpoint, requests) =>
+        val sink = new BigQuerySink("ds", new HttpBigQueryTransport(
+          endpoint, "proj", "ds", () => "tok"))
+        assert(sink.handleSchema(example) == SchemaOutcome.Update)
+        // exactly ONE submission per DDL (raw table + view), the rest
+        // are polls of the returned job
+        assert(requests().count(_._1 == "/projects/proj/queries") == 2)
+        assert(requests().count(_._1 == "/projects/proj/queries/j1") >= 2)
+    }
+    // jobComplete:false WITHOUT a jobReference (defensive fallback):
+    // the idempotent statement resubmits under the normal backoff
     withServer(respond = (i, _, _) =>
       if (i < 2) (200, """{"jobComplete":false}""") else (200, "{}")) {
       (endpoint, requests) =>

@@ -934,6 +934,18 @@ class LlmOpsSpec extends AnyFunSuite {
       e.getMessage.contains("maxPairs"))
   }
 
+  test("seed collects accept array<double> embeddings (the expression family takes both)") {
+    // a float-only getSeq on the driver collect would ClassCastException
+    // here, even though every downstream expression accepts double vecs
+    val df = (0L until 40L).map { i =>
+      (i, Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1.0 else 0.001 * (i + 1)))
+    }.toDF("vec_id", "embedding")
+    assert(SimilarityOps.sqrtSeedCentroids(df, "vec_id", "embedding").nonEmpty)
+    assert(SimilarityOps.twoLevelAssign(df, "vec_id", "embedding").count() == 40)
+    assert(SimilarityOps.kmeansCentroids(df, "vec_id", "embedding",
+      k = 2, iterations = 1).size == 2)
+  }
+
   test("knnJoinTwoLevel / contrastivePairsTwoLevel: the whole self-join family works past the cap") {
     // clones co-locate under two-level blocking, so a clone pair must
     // rank as each other's #1 neighbor and as a label-1 positive
