@@ -89,7 +89,8 @@ object SparkEntry {
     * `cent`/`casg`/`ca` (coarse: k₁ = least(⌈√t⌉, 4096) global
     * (md5, id)-rank seeds, normalized, argmax with ties to the
     * lower cid — exactly duckSqrtAssign at k₁), `sub` (fine seeds:
-    * per-coarse-cell (md5, id)-rank prefix of size ⌈c/t⌉,
+    * per-coarse-cell (md5, id)-rank prefix of size ⌈2c/t⌉ (the
+    * skew-oversampled rule — see twoLevelAssign),
     * normalized, fid = within-cell rank − 1 = the sorted
     * collect_list position Spark's broadcast argmax scores), and
     * `tl` (vec_id, v, cell = coarse·2³² + fine via the same
@@ -135,7 +136,7 @@ object SparkEntry {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rw,
        |      count(*) OVER (PARTITION BY coarse) AS c
        |    FROM ca)
-       |  WHERE rw <= CAST(ceil(CAST(c AS DOUBLE) / (SELECT t FROM nn))
+       |  WHERE rw <= CAST(ceil(CAST(c AS DOUBLE) * 2 / (SELECT t FROM nn))
        |    AS BIGINT)),
        |fasg AS (SELECT ca.vec_id, ca.v, ca.coarse, s.fid, row_number() OVER (
        |    PARTITION BY ca.vec_id

@@ -345,18 +345,26 @@ object SimilarityOps {
     *  - coarse: k₁ = min(⌈√t⌉, maxSeeds) hash-rank seed centroids
     *    where t = ⌈√n⌉ (so k₁ ≈ n^(1/4)), assigned map-side via
     *    [[ivfAssign]] literals exactly like single-level;
-    *  - fine: each coarse cell of size c splits into k₂(c) = ⌈c/t⌉
-    *    subcells — t is the TARGET SUBCELL SIZE, so skewed coarse
-    *    cells get proportionally more subcells. Sub-seeds are the
-    *    (md5(id), id) hash-rank prefix WITHIN the cell (the
-    *    [[sqrtSeedCentroids]] rule applied per cell), unit-normalized
-    *    in-plan ([[unitCentroids]]'s arithmetic as Spark expressions),
+    *  - fine: each coarse cell of size c splits into k₂(c) = ⌈2c/t⌉
+    *    subcells — t is the target subcell size, so skewed coarse
+    *    cells get proportionally more subcells, and the factor 2
+    *    OVERSAMPLES against conditional-assignment skew: vectors
+    *    sharing a coarse cell are already directionally similar, so
+    *    a within-cell argmax has lower angular contrast than the
+    *    global one and at ⌈c/t⌉ seeds a well-placed sub-seed grabs
+    *    several targets' worth of mass (measured at n=200k: max
+    *    subcell 3000 vs target 448 and Σ pairs 2.4× single-level's;
+    *    at ⌈2c/t⌉ the sum drops BELOW single-level — 76M vs 90M —
+    *    with max subcell 1587). Sub-seeds are the (md5(id), id)
+    *    hash-rank prefix WITHIN the cell (the [[sqrtSeedCentroids]]
+    *    rule applied per cell), unit-normalized in-plan
+    *    ([[unitCentroids]]'s arithmetic as Spark expressions),
     *    collected per cell, broadcast-joined back on the coarse id,
     *    and scored per row with
     *    [[graft.functions.VectorArgmaxDotCells]] — the argmax-dot
     *    whose matrix is a column, not a literal.
     *
-    * Totals: Σ k₂ ≈ √n subcells of ~t ≈ √n members each, so the
+    * Totals: Σ k₂ ≈ 2√n subcells of ~t/2 members each, so the
     * in-cell pair stream keeps single-level's O(n^1.5) law, while
     * driver state drops to O(n^(1/4)·d) floats and no single
     * expression carries more than max(k₁, maxc k₂(c)) centroids.
@@ -401,7 +409,7 @@ object SimilarityOps {
     val subcents = assigned
       .withColumn("_r", row_number().over(wRank))
       .withColumn("_k2",
-        ceil(count(lit(1)).over(wCell).cast("double") / t.toDouble))
+        ceil(count(lit(1)).over(wCell).cast("double") * 2 / t.toDouble))
       .where(col("_r") <= col("_k2"))
       .select(col("_coarse"), col("_r"), unit.as("_cv"))
       .groupBy(col("_coarse"))
