@@ -372,16 +372,21 @@ object SimilarityOps {
     * (≈2.8×10¹⁴ at the default), with the √n·d sub-seed matrix
     * riding an executor-side torrent broadcast (~500 MB at n=10¹²,
     * d=64) instead of every task's serialized plan. Every step —
-    * count, hash ranks, ⌈c/t⌉, normalization, argmax with ties to
+    * count, hash ranks, ⌈2c/t⌉, normalization, argmax with ties to
     * the lower rank — is a pure function of the data, so a SQL
     * oracle re-derives identical cells (the [[sqrtSeedCentroids]]
     * re-derivability discipline, held through both levels).
     *
+    * `oversample` is the fine-seed density factor (the 2 above);
+    * TwoLevelProbe sweeps it to measure the skew trade — production
+    * callers keep the measured default.
+    *
     * Output: (id, vec, cell) with cell = coarse·2³² + fine.
     */
   def twoLevelAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      maxSeeds: Int = 4096): DataFrame = {
+      maxSeeds: Int = 4096, oversample: Int = 2): DataFrame = {
     require(maxSeeds > 0, "twoLevelAssign: maxSeeds must be positive")
+    require(oversample > 0, "twoLevelAssign: oversample must be positive")
     val base = Parallelism.ensure(
       embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val n = base.count()
@@ -409,7 +414,8 @@ object SimilarityOps {
     val subcents = assigned
       .withColumn("_r", row_number().over(wRank))
       .withColumn("_k2",
-        ceil(count(lit(1)).over(wCell).cast("double") * 2 / t.toDouble))
+        ceil(count(lit(1)).over(wCell).cast("double") * oversample /
+          t.toDouble))
       .where(col("_r") <= col("_k2"))
       .select(col("_coarse"), col("_r"), unit.as("_cv"))
       .groupBy(col("_coarse"))
@@ -766,7 +772,10 @@ object SimilarityOps {
       if (best.isEmpty) n = k
       else {
         val id = best.head.getLong(0)
-        val vec = floatSeq(best.head, 1)
+        // doubles, not floatSeq: the pick scores a RESULT-determining
+        // cosine next round, and float truncation of a double
+        // embedding could flip a 6-dp tie; float values widen exactly
+        val vec = best.head.getSeq[Number](1).map(_.doubleValue).toSeq
         picked += id
         val prev = pool
         pool = pool.where(col("id") =!= id)

@@ -57,7 +57,9 @@ final class HttpBigQueryTransport(
     datasetId: String,
     token: () => String,
     maxRetries: Int = 4,
-    batchRows: Int = 500) extends BigQueryTransport {
+    batchRows: Int = 500,
+    maxPollSecs: Long = 600L,
+    pollIntervalMillis: Long = 500L) extends BigQueryTransport {
 
   import HttpBigQueryTransport._
 
@@ -104,9 +106,10 @@ final class HttpBigQueryTransport(
       val verdict: Either[String, BodyVerdict] = outcome match {
         case Right((code, respBody)) if code / 100 == 2 =>
           Right(check(respBody))
-        case Right((code, _)) if code != 429 && code / 100 != 5 =>
+        case Right((code, respBody)) if code != 429 && code / 100 != 5 =>
           throw new java.io.IOException(
-            s"BigQuery POST $path failed with non-retryable HTTP $code")
+            s"BigQuery POST $path failed with non-retryable HTTP $code: " +
+              respBody.take(500))
         case Right((code, _)) => Left(s"HTTP $code")
         case Left(io) => Left(io)
       }
@@ -131,14 +134,19 @@ final class HttpBigQueryTransport(
   }
 
   /** jobs.getQueryResults for an accepted-but-incomplete job: GET the
-    * SAME jobId (server-side wait) until `jobComplete:true`, with the
-    * post() backoff discipline for 429/5xx/IO and a still-incomplete
-    * body. Never resubmits — one job, observed to completion, exactly
-    * the reference client's wait semantics. */
+    * SAME jobId (server-side wait) until `jobComplete:true`. A
+    * still-running job is NOT an error — it waits against the
+    * `maxPollSecs` deadline, not the transient-error retry budget
+    * (counting healthy polls against maxRetries would fail a slow
+    * DDL after ~5 polls and push the caller right back into the
+    * duplicate-resubmission pileup this path exists to prevent).
+    * Only 429/5xx/IO spend `maxRetries`. Never resubmits — one job,
+    * observed to completion, the reference client's wait semantics. */
   private def pollQueryResults(jobId: String,
       location: Option[String]): Unit = {
     val path = s"/projects/$projectId/queries/$jobId" +
       location.map(l => s"?location=$l").getOrElse("")
+    val deadline = System.nanoTime() + maxPollSecs * 1000000000L
     var attempt = 0
     var done = false
     while (!done) {
@@ -158,9 +166,10 @@ final class HttpBigQueryTransport(
       val verdict: Either[String, BodyVerdict] = outcome match {
         case Right((code, respBody)) if code / 100 == 2 =>
           Right(checkQueryResponse(respBody))
-        case Right((code, _)) if code != 429 && code / 100 != 5 =>
+        case Right((code, respBody)) if code != 429 && code / 100 != 5 =>
           throw new java.io.IOException(
-            s"BigQuery GET $path failed with non-retryable HTTP $code")
+            s"BigQuery GET $path failed with non-retryable HTTP $code: " +
+              respBody.take(500))
         case Right((code, _)) => Left(s"HTTP $code")
         case Left(io) => Left(io)
       }
@@ -170,14 +179,15 @@ final class HttpBigQueryTransport(
           throw new java.io.IOException(
             s"BigQuery GET $path returned 2xx but failed: $msg")
         case Right(_: BodyPoll) | Right(BodyRetry(_)) =>
-          backoff("job still incomplete")
-        case Left(msg) => backoff(msg)
-      }
-      def backoff(msg: String): Unit = {
-        attempt += 1
-        if (attempt > maxRetries) throw new java.io.IOException(
-          s"BigQuery GET $path failed after $maxRetries retries: $msg")
-        Thread.sleep(100L << (attempt - 1))
+          // healthy, still running: wait on the deadline clock
+          if (System.nanoTime() > deadline) throw new java.io.IOException(
+            s"BigQuery job $jobId still incomplete after ${maxPollSecs}s")
+          Thread.sleep(pollIntervalMillis)
+        case Left(msg) =>
+          attempt += 1
+          if (attempt > maxRetries) throw new java.io.IOException(
+            s"BigQuery GET $path failed after $maxRetries retries: $msg")
+          Thread.sleep(100L << (attempt - 1))
       }
     }
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{ColumnSpec, Envelope, PgTypes, TableSchema}
-import graft.sinks.{BigQuerySink, HttpBigQueryTransport, MetadataServerTokenSource, SchemaOutcome}
+import graft.sinks.{BigQueryMapping, BigQuerySink, HttpBigQueryTransport, MetadataServerTokenSource, SchemaOutcome}
 
 /** The HTTP BigQuery binding driven end-to-end against a loopback
   * com.sun.net.httpserver fake of the v2 REST surface — the full
@@ -183,6 +183,22 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
         // are polls of the returned job
         assert(requests().count(_._1 == "/projects/proj/queries") == 2)
         assert(requests().count(_._1 == "/projects/proj/queries/j1") >= 2)
+    }
+    // a job that NEVER completes: healthy polls spend the deadline
+    // clock (not the transient retry budget — a slow DDL is not an
+    // error) and fail naming the job once maxPollSecs is exhausted
+    withServer(respond = (_, _, _) => (200, incompleteWithRef)) {
+      (endpoint, requests) =>
+        val t = new HttpBigQueryTransport(endpoint, "proj", "ds",
+          () => "tok", maxPollSecs = 0L, pollIntervalMillis = 10L)
+        val e = intercept[java.io.IOException] {
+          t.ensureTable(BigQueryMapping.buildRaw("example_raw", example),
+            "CREATE TABLE t (x INT64)")
+        }
+        assert(e.getMessage.contains("j1") &&
+          e.getMessage.contains("still incomplete"))
+        // one submission; pollution-free failure (no resubmits)
+        assert(requests().count(_._1 == "/projects/proj/queries") == 1)
     }
     // jobComplete:false WITHOUT a jobReference (defensive fallback):
     // the idempotent statement resubmits under the normal backoff
