@@ -50,6 +50,23 @@ object TwoLevelProbe {
       val pairs = cells.agg(sum(col("c") * (col("c") - 1))).collect()(0).getLong(0)
       println(f"$tag%-12s pairs=$pairs%12d nCells=$nc%6d topCells=$top")
     }
+
+    // recall proxy: near-dup PAIRS each blocking actually finds at
+    // the q141 threshold — finer cells block fewer candidate pairs,
+    // so found-pair count is the direct measure of the oversample's
+    // recall cost (single-level = the calibrated baseline)
+    for (thr <- Seq(0.3, 0.9); (tag, df) <- sweeps) {
+      val assignedV = base.join(df.select(col("id"), col("cell")), "id")
+      val a = assignedV.alias("a"); val b = assignedV.alias("b")
+      val t0 = System.nanoTime()
+      val found = a.join(b,
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .where(round(graft.ops.SimilarityOps.cosine(
+          col("a.vec"), col("b.vec")), 6) >= thr)
+        .count()
+      println(f"$tag%-12s thr=$thr dupPairsFound=$found%10d " +
+        f"(${(System.nanoTime() - t0) / 1e9}%6.2fs)")
+    }
     spark.stop()
   }
 }
