@@ -140,6 +140,12 @@ object Example {
       centroids, threshold = 0.3)
     println("semdedup kept: " + sem.where(org.apache.spark.sql.functions
       .col("kept")).count() + "/" + sem.count())
+    // the beyond-maxSeeds form: identical keep rule over two-level
+    // composite cells (coarse literals + broadcast sub-centroids)
+    val sem2 = SimilarityOps.semDedupTwoLevel(emb, "vec_id", "embedding",
+      threshold = 0.3)
+    println("semdedup two-level kept: " + sem2.where(
+      org.apache.spark.sql.functions.col("kept")).count() + "/" + sem2.count())
     // partitioned ANN store lifecycle: base write → generation append
     // (the daily delta) → directory-pruned probe resolving upserts
     // latest-wins → compaction folding the log

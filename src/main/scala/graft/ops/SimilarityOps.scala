@@ -676,13 +676,14 @@ object SimilarityOps {
     */
   def semDedupTwoLevel(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxSeeds: Int = 4096,
-      maxPairs: Long = DefaultPairBudget): DataFrame =
+      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame =
     // the keep rule consumes the assignment four times (budget agg,
     // both join sides, the final left join); two-level assignment is
     // itself a windowed broadcast-join subplan, so pin it once —
     // one corpus-sized materialization instead of three recomputes
     dropNearDups(
-      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds).localCheckpoint(),
+      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds, oversample)
+        .localCheckpoint(),
       threshold, "semDedupTwoLevel", maxPairs)
 
   /** The semDedup keep rule over any (id, vec, cell) assignment:
@@ -890,9 +891,10 @@ object SimilarityOps {
     * (localCheckpoint) for the budget check and both join sides. */
   def knnJoinTwoLevel(embeddings: DataFrame, idCol: String,
       vecCol: String, k: Int, maxSeeds: Int = 4096,
-      maxPairs: Long = DefaultPairBudget): DataFrame =
+      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame =
     knnOnAssigned(
-      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds).localCheckpoint(),
+      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds, oversample)
+        .localCheckpoint(),
       k, "knnJoinTwoLevel", maxPairs)
 
   private def knnOnAssigned(assigned: DataFrame, k: Int, op: String,
@@ -935,9 +937,10 @@ object SimilarityOps {
   def contrastivePairsTwoLevel(embeddings: DataFrame, idCol: String,
       vecCol: String, kPos: Int, kNeg: Int, posMin: Double,
       negMax: Double, maxSeeds: Int = 4096,
-      maxPairs: Long = DefaultPairBudget): DataFrame =
+      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame =
     contrastiveOnAssigned(
-      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds).localCheckpoint(),
+      twoLevelAssign(embeddings, idCol, vecCol, maxSeeds, oversample)
+        .localCheckpoint(),
       kPos, kNeg, posMin, negMax, "contrastivePairsTwoLevel", maxPairs)
 
   private def contrastiveOnAssigned(assigned: DataFrame, kPos: Int,
