@@ -53,7 +53,7 @@ object Bench {
     "q170_curation_pipeline", "q171_knn_join", "q173_contrastive_pairs",
     "q174_kn_bigram", "q183_kmv_algebra",
     "q181_jl_project", "q34_embedding_neardups", "q25_minhash",
-    "q158_covariance")
+    "q158_covariance", "q188_two_level_dedup")
 
   /** Measurement-protocol constants. The protocol string shipped in
     * the JSON is DERIVED from these (see [[protocolName]]), so the
