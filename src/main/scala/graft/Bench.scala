@@ -102,16 +102,47 @@ object Bench {
       val ok = warms.filter(_ >= 0).sorted
       ok.size >= 2 && ok(1) <= ok(0) * agreeRatio + agreeAbsSec
     }
+
+    /** The factor by which a cold run must undercut the CONVERGED
+      * warm minimum before the artifact flags the row: warm
+      * stabilization can "converge" on a slow JIT mode while the cold
+      * run saw the fast one (r10's q17 at 30x: cold 1.35s, warm
+      * 5.55/6.28s — isolated re-times read 1.1–1.6s, proving the
+      * cold run was the truth). Below 2× the warm min still ships
+      * unflagged (plans legitimately warm up). */
+    val coldUndercutFactor = 2.0
+
+    /** Does this run history (cold first) exhibit the cold-undercut
+      * anomaly — a successful cold run more than [[coldUndercutFactor]]
+      * faster than the CONVERGED warm minimum? Such rows ship the
+      * cold reading (see [[Bench.stabilized]]: reading = min over ALL
+      * successful runs) and are listed per level in `cold_undercut`,
+      * so the discrepancy is data in the artifact, not prose. */
+    def coldUndercut(runs: Seq[Double]): Boolean = {
+      if (runs.isEmpty || runs.head < 0) return false
+      val warms = runs.drop(1).filter(_ >= 0)
+      warms.nonEmpty && converged(runs.drop(1)) &&
+        warms.min > runs.head * coldUndercutFactor
+    }
   }
 
   /** Protocol marker: r4 switched from count()-based timing (which
     * let the optimizer prune aggregate values and final sorts) to
     * full-plan noop-sink execution — totals are NOT comparable to
     * r1-r3; r9 unified every level onto stabilized min-of-N (warm
-    * readings must agree before they ship). */
+    * readings must agree before they ship). r11 added two tokens so
+    * cross-round comparisons are machine-distinguishable:
+    * `floorMinWarm` (the scheduling floor is cold + min-of-two-warm,
+    * not last-of-3 — overhead_floor/total_minus_floor are not
+    * comparable to rounds without the token) and `coldMin` (readings
+    * are the min over ALL successful runs INCLUDING cold, with
+    * >2×-undercut rows flagged in `cold_undercut` — warm
+    * stabilization alone can converge on a slow JIT mode, r10's q17
+    * at 30x). */
   def protocolName: String =
     s"noop-full-plan,min${Protocol.minWarm1x}warm," +
-      s"stabilize${math.round((Protocol.agreeRatio - 1) * 100)}pct"
+      s"stabilize${math.round((Protocol.agreeRatio - 1) * 100)}pct," +
+      "floorMinWarm,coldMin"
 
   private def loadavg(): String =
     try {
@@ -205,9 +236,17 @@ object Bench {
     }
 
     /** Cold + stabilized warm runs. Returns (reading, all raw runs,
-      * cold first). Reading = min warm when any warm succeeded, else
-      * the failure/timeout sentinel; a failed COLD run short-circuits
-      * (the plan is broken — warm retries would fail identically).
+      * cold first). Reading = min over ALL successful runs — cold
+      * INCLUDED (the `coldMin` protocol token): warm runs normally
+      * undercut cold (codegen amortized), but warm stabilization can
+      * "converge" on a slow JIT mode the cold run escaped (r10's q17
+      * at 30x: cold 1.35s vs converged-warm 5.55s, isolated re-times
+      * 1.1–1.6s — the cold run was the truth, and min-of-warm shipped
+      * a 4× overread). Rows where cold undercuts converged warm by
+      * >2× are additionally flagged (`cold_undercut`). A failed COLD
+      * run short-circuits (the plan is broken — warm retries would
+      * fail identically); if only warm runs failed, the reading falls
+      * back to the failure/timeout sentinel.
       */
     def stabilized(minWarm: Int, once: () => Double): (Double, Seq[Double]) = {
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -221,19 +260,44 @@ object Bench {
         hygiene()
         runs += once()
       }
-      val w = runs.drop(1).filter(_ >= 0).sorted
+      val ok = runs.filter(_ >= 0)
       val reading =
-        if (w.nonEmpty) w.head
+        if (ok.nonEmpty) ok.min
         else runs.find(_ < 0).getOrElse(runs.head)
       (reading, runs.toSeq)
     }
 
+    // Per-query scheduler-job counter (the trainer-floor arithmetic,
+    // promoted from SCALING prose into the artifact): a listener
+    // counts job starts; `sweep` snapshots the delta around each
+    // query's COLD run. Listener events post asynchronously, so each
+    // snapshot waits a short drain pause — job counts are floor-model
+    // inputs (reading_floor ≈ n_jobs × per-job cost), not timings.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+    def countedJobs(fn: () => Double): (Double, Int) = {
+      Thread.sleep(50)
+      val j0 = jobCounter.get()
+      val t = fn()
+      Thread.sleep(50)
+      (t, jobCounter.get() - j0)
+    }
+    val jobsOf = scala.collection.mutable.Map[String, Int]()
+
     /** One sweep level: every (name, fn) against `dir`, stabilized,
       * hygiene between queries (without it the 187-query sweep
       * accumulates blocks and later queries GC-thrash 10-30x —
-      * BENCH_r02: q47 120s in sweep vs 2s isolated). */
+      * BENCH_r02: q47 120s in sweep vs 2s isolated). With
+      * `recordJobs`, the cold run's scheduler-job count lands in
+      * `jobsOf` (the floor-model field of the official 1x rows). */
     def sweep(names: Seq[String], dir: String, minWarm: Int,
-        limitSec: Option[Int]): Seq[(String, Double, Seq[Double])] =
+        limitSec: Option[Int], recordJobs: Boolean = false)
+        : Seq[(String, Double, Seq[Double])] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val once: () => Double = limitSec match {
@@ -242,7 +306,20 @@ object Bench {
             try time(run(fn(spark, dir)))
             catch { case scala.util.control.NonFatal(_) => -1.0 }
         }
-        val (v, raw) = stabilized(minWarm, once)
+        val onceMaybeCounted: () => Double =
+          if (!recordJobs) once
+          else {
+            var first = true
+            () =>
+              if (!first) once()
+              else {
+                val (t, jobs) = countedJobs(once)
+                jobsOf(name) = jobs
+                first = false
+                t
+              }
+          }
+        val (v, raw) = stabilized(minWarm, onceMaybeCounted)
         hygiene()
         (name, v, raw)
       }
@@ -263,13 +340,19 @@ object Bench {
     // and AFTER the sweeps: the pair is the host-weather fingerprint
     // (the r8 shipped-vs-committed disagreement moved the floor
     // 0.109 → 0.125 and the artifact couldn't show it).
+    // (floor method token: `floorMinWarm` in the protocol string —
+    // r10 changed this from last-of-3 to cold + min-of-two-warm, and
+    // overhead_floor/total_minus_floor are not comparable to rounds
+    // whose protocol string lacks the token.)
+    var noopJobs = 1
     def measureFloor(): Double = {
       def noop(): Unit = run(spark.range(1024)
         .groupBy((org.apache.spark.sql.functions.col("id") % 8).as("k"))
         .count())
       // cold + min-of-warm, matching the query sweeps' protocol (a
       // last-run-only floor was noisier than the readings it divides)
-      time(noop())
+      val (_, jn) = countedJobs(() => time(noop()))
+      if (jn > 0) noopJobs = jn
       math.min(time(noop()), time(noop()))
     }
     val loadStart = loadavg()
@@ -282,7 +365,8 @@ object Bench {
     // protocol input every earlier round used and the one the DuckDB
     // oracle times against, so totals stay round-over-round and
     // engine-vs-oracle comparable.
-    val results = sweep(allNames, sfDir, Protocol.minWarm1x, None)
+    val results = sweep(allNames, sfDir, Protocol.minWarm1x, None,
+      recordJobs = true)
     val byName1 = results.map(r => r._1 -> r._2).toMap
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
@@ -346,10 +430,40 @@ object Bench {
         sweep(heavy30, bigDir, Protocol.minWarmScale, Some(300))
       }
     val byName10 = results10.map(r => r._1 -> r._2).toMap
-    val ratios30: Seq[(String, Double)] = results30.flatMap { case (n, t30, _) =>
-      byName10.get(n) match {
+    val ratios30raw: Seq[(String, Double)] = results30.flatMap {
+      case (n, t30, _) => byName10.get(n) match {
         case Some(t10) if t10 > 0 && t30 > 0 => Some(n -> t30 / t10)
         case _ => None
+      }
+    }
+
+    // ---- post-sweep re-time of anomalous 30x rows: any reading more
+    // than 10% above linear growth (ratio_vs10 > 3.3) gets a fresh
+    // stabilized pass after the sweep has fully drained — the r10
+    // audit found two such rows (q183 3.52, q17 10.19) whose isolated
+    // re-times both read sub-linear, with the explanation living only
+    // in SCALING prose. The re-time makes the artifact self-contained:
+    // a row whose retime clears the bar was sweep-context (GC /
+    // cleaner backlog / JIT-mode pollution from 187 other generated
+    // classes); a row whose retime CONFIRMS the reading is real
+    // growth and stays the shipped ratio. Final ratios take the best
+    // (min) of sweep and retime per row; both raw tables ship.
+    val retimeBar = 3.3
+    val retimeNames = ratios30raw.filter(_._2 > retimeBar).map(_._1)
+    val retimed30: Seq[(String, Double, Seq[Double])] =
+      if (retimeNames.isEmpty) Seq.empty
+      else {
+        val bigDir = Scale10x.ensure(spark, sfDir, 30)
+        hygiene()
+        Thread.sleep(1000) // let the cleaner fully drain post-sweep
+        sweep(retimeNames, bigDir, Protocol.minWarmScale, Some(300))
+      }
+    val retimeOf = retimed30.map(r => r._1 -> r._2).toMap
+    val ratios30: Seq[(String, Double)] = ratios30raw.map { case (n, r) =>
+      (byName10.get(n), retimeOf.get(n)) match {
+        case (Some(t10), Some(tr)) if tr > 0 && t10 > 0 =>
+          n -> math.min(r, tr / t10)
+        case _ => n -> r
       }
     }
 
@@ -384,6 +498,22 @@ object Bench {
     val nUnstable = Seq(results, results1L, results10, results30)
       .map(unstableOf(_).size).sum
 
+    // Rows whose cold run undercut the CONVERGED warm minimum by >2×
+    // (the q17-class JIT-lottery signature): the shipped reading is
+    // already the cold one (`coldMin` protocol token) — these lists
+    // mark where that rule CHANGED the reading, so a reader can see
+    // which rows' warm history converged on a slow mode.
+    def undercutOf(rs: Seq[(String, Double, Seq[Double])]): Seq[String] =
+      rs.collect { case (n, v, raw) if v >= 0 && Protocol.coldUndercut(raw) => n }
+    val undercutJson: String = Seq(
+      "1x" -> undercutOf(results), "1x_32file" -> undercutOf(results1L),
+      "10x" -> undercutOf(results10), "30x" -> undercutOf(results30))
+      .map { case (lvl, ns) =>
+        "\"" + lvl + "\":" + ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val nUndercut = Seq(results, results1L, results10, results30)
+      .map(undercutOf(_).size).sum
+
     // Compact scale summaries for the stdout line (the full tables
     // would blow the driver's ~2000-char tail capture); the complete
     // per-query timings, raw runs and ratios go to BENCH_DETAIL.json.
@@ -417,6 +547,17 @@ object Bench {
       if (results1L.isEmpty) ""
       else s""","total_1x_32file":${fmt(total1L)}"""
 
+    // Scheduling-floor model (the trainer-floor closure's arithmetic,
+    // machine-readable): the noop floor measures `noopJobs` scheduler
+    // jobs, so one job costs ~floor/noopJobs on this host, and a
+    // query running J sequential jobs cannot read below ~J×that
+    // whatever its plans do. Rows with reading ≲ 2× their floor bound
+    // are scheduling-floor-bound at this SF, not plan-bound — their
+    // scale evidence is the 10x/30x ratio, not the 1x reading.
+    val floorPerJob = floor / math.max(1, noopJobs)
+    val jobsJson = jobsOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     // full detail to a file (driver tail capture would truncate it)
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
@@ -424,6 +565,12 @@ object Bench {
       s""""total_minus_floor":${fmt(totalMinusFloor)},""" +
       s""""protocol":"$protocolName",$hostJson,""" +
       s""""n_unstable":$nUnstable,"unstable":$unstableJson,""" +
+      s""""n_cold_undercut":$nUndercut,"cold_undercut":$undercutJson,""" +
+      s""""floor_per_job":${fmt(floorPerJob)},"noop_jobs":$noopJobs,""" +
+      s""""floor_model":"reading_floor_sec ~ n_jobs * floor_per_job; """ +
+      s"""1x rows with reading < ~2x that bound are scheduling-floor-""" +
+      s"""bound, not plan-bound — read their 10x/30x ratios instead",""" +
+      s""""jobs_1x":$jobsJson,""" +
       s""""queries":${jsonOf(pair(results))},""" +
       s""""runs":${jsonRuns(results)}""" +
       (if (results1L.isEmpty) ""
@@ -443,7 +590,15 @@ object Bench {
       (if (results30.isEmpty) ""
        else s""","queries_30x":${jsonOf(pair(results30))}""" +
          s""","runs_30x":${jsonRuns(results30)}""" +
-         s""","ratios_30x_vs_10x":${jsonOf(ratios30)}""") +
+         // ratios_30x_vs_10x take the BEST of sweep and post-sweep
+         // retime per row (retime rows + raw ratios ship beside it):
+         // a >3.3-ratio row that re-times sub-linear was sweep
+         // context, and the artifact now shows that itself
+         s""","ratios_30x_vs_10x":${jsonOf(ratios30)}""" +
+         s""","ratios_30x_vs_10x_sweep":${jsonOf(ratios30raw)}""" +
+         (if (retimed30.isEmpty) ""
+          else s""","retime_30x":${jsonOf(pair(retimed30))}""" +
+            s""","retime_30x_runs":${jsonRuns(retimed30)}""")) +
       s""","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
@@ -458,7 +613,7 @@ object Bench {
       s""""n_queries":${results.size},"n_ran":$nRan,"n_failed":$nFailed,""" +
       s""""overhead_floor":${fmt(floor)},""" +
       s""""total_minus_floor":${fmt(totalMinusFloor)},""" +
-      s""""n_unstable":$nUnstable,""" +
+      s""""n_unstable":$nUnstable,"n_cold_undercut":$nUndercut,""" +
       s""""protocol":"$protocolName","detail":"BENCH_DETAIL.json"""" +
       layoutSummary + scaleSummary + scale30Summary +
       s""","queries":${jsonOf(head)},"sf":"$sfDir"}""")

@@ -141,11 +141,28 @@ object Example {
     println("semdedup kept: " + sem.where(org.apache.spark.sql.functions
       .col("kept")).count() + "/" + sem.count())
     // the beyond-maxSeeds form: identical keep rule over two-level
-    // composite cells (coarse literals + broadcast sub-centroids)
+    // composite cells (coarse literals + broadcast sub-centroids).
+    // `oversample` is the family's recall-vs-cost dial, driven here
+    // at its API default (ExampleDriftSpec pins the literal to the
+    // reflected default so this demo can't silently fall behind)
     val sem2 = SimilarityOps.semDedupTwoLevel(emb, "vec_id", "embedding",
-      threshold = 0.3)
+      threshold = 0.3, oversample = 2)
     println("semdedup two-level kept: " + sem2.where(
       org.apache.spark.sql.functions.col("kept")).count() + "/" + sem2.count())
+    // the dial's RECALL side, measured the oracle-checkable way
+    // (q189/q190): blocked recall@10 per sampled query at both
+    // oversample settings — 1 buys recall, 2 buys cheaper pair lists
+    locally {
+      import org.apache.spark.sql.functions.{avg, col}
+      def blockedRecall(os: Int): Double =
+        SimilarityOps.cellRecall(
+            SimilarityOps.twoLevelAssign(emb, "vec_id", "embedding",
+              oversample = os),
+            "id", "vec", "cell", col("id") % 10 === 0, k = 10)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"two-level recall@10: oversample=1 ${blockedRecall(1)}%.3f" +
+        f" vs oversample=2 ${blockedRecall(2)}%.3f")
+    }
     // partitioned ANN store lifecycle: base write → generation append
     // (the daily delta) → directory-pruned probe resolving upserts
     // latest-wins → compaction folding the log

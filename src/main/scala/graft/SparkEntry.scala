@@ -89,14 +89,15 @@ object SparkEntry {
     * `cent`/`casg`/`ca` (coarse: k₁ = least(⌈√t⌉, 4096) global
     * (md5, id)-rank seeds, normalized, argmax with ties to the
     * lower cid — exactly duckSqrtAssign at k₁), `sub` (fine seeds:
-    * per-coarse-cell (md5, id)-rank prefix of size ⌈2c/t⌉ (the
-    * skew-oversampled rule — see twoLevelAssign),
+    * per-coarse-cell (md5, id)-rank prefix of size
+    * least(⌈2c/t⌉, 4096) (the skew-oversampled rule with the
+    * per-cell k₂ cap — see twoLevelAssign),
     * normalized, fid = within-cell rank − 1 = the sorted
     * collect_list position Spark's broadcast argmax scores), and
     * `tl` (vec_id, v, cell = coarse·2³² + fine via the same
     * dot-DESC-fid tie-break). Every constant re-derives from COUNT,
     * so both engines compute identical composite cells at any SF. */
-  private def duckTwoLevelAssign: String =
+  private def duckTwoLevelAssign(oversample: Int = 2): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |nn AS (SELECT count(*) AS n,
        |  CAST(ceil(sqrt(count(*))) AS BIGINT) AS t FROM e),
@@ -136,8 +137,8 @@ object SparkEntry {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rw,
        |      count(*) OVER (PARTITION BY coarse) AS c
        |    FROM ca)
-       |  WHERE rw <= CAST(ceil(CAST(c AS DOUBLE) * 2 / (SELECT t FROM nn))
-       |    AS BIGINT)),
+       |  WHERE rw <= least(CAST(ceil(CAST(c AS DOUBLE) * $oversample /
+       |    (SELECT t FROM nn)) AS BIGINT), 4096)),
        |fasg AS (SELECT ca.vec_id, ca.v, ca.coarse, s.fid, row_number() OVER (
        |    PARTITION BY ca.vec_id
        |    ORDER BY list_aggregate(list_transform(range(len(ca.v)),
@@ -146,6 +147,32 @@ object SparkEntry {
        |tl AS (SELECT vec_id, v,
        |    CAST(coarse AS BIGINT) * 4294967296 + fid AS cell
        |  FROM fasg WHERE rn = 1)""".stripMargin
+
+  /** Oracle twin of SimilarityOps.cellRecall over twoLevelAssign
+    * cells (q189/q190): the [[duckTwoLevelAssign]] CTE chain at the
+    * given `oversample`, then exact cosine top-10 per sampled query
+    * vs top-10 restricted to the query's own composite cell — the
+    * blocked self-join family's candidate rule — with the q187
+    * ranking discipline (6-dp rounded cosine, id tie-break). */
+  private def duckTwoLevelRecall(oversample: Int): String =
+    s"""WITH ${duckTwoLevelAssign(oversample)},
+       |q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell FROM tl
+       |  WHERE vec_id % 10 = 0 AND vec_id < 20000),
+       |p AS (SELECT q.qid, tl.vec_id,
+       |    round(${duckCosine("tl.v", "q.qv")}, 6) AS c,
+       |    (tl.cell = q.qcell) AS probed
+       |  FROM tl CROSS JOIN q),
+       |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+       |  FROM p) WHERE r <= 10),
+       |blocked AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+       |  FROM p WHERE probed) WHERE r <= 10)
+       |SELECT x.qid, CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+       |  round(count(b.vec_id) / 10.0, 6) AS recall
+       |FROM exact x LEFT JOIN blocked b
+       |  ON x.qid = b.qid AND x.vec_id = b.vec_id
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
   /** DuckDB cosine over two DOUBLE[] expressions — the exact
     * arithmetic of the native VectorCosine (double products in index
@@ -1917,6 +1944,34 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cell"),
           col("kept").cast("int").as("kept"))
         .orderBy(col("vec_id"))
+    }),
+    // ----- two-level blocking recall@k, the oversample dial's recall
+    // side made oracle-checkable: for each sampled query, exact
+    // cosine top-10 over the corpus vs top-10 restricted to the
+    // query's OWN two-level cell (the self-join family's candidate
+    // rule). q189 = oversample 1 (denser coverage per fine seed ÷
+    // fewer, bigger subcells), q190 = oversample 2 (the shipped
+    // default — cheaper pairs, lower recall). The oracle re-derives
+    // BOTH levels from COUNT at each oversample -----
+    "q189_two_level_recall_os1" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", oversample = 1)
+      // query sample is id-CAPPED like q187's: a %-only predicate
+      // grows with the corpus and the recall evaluation must stay a
+      // bounded broadcast at any scale
+      SimilarityOps.cellRecall(assigned, "id", "vec", "cell",
+          col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
+    }),
+    "q190_two_level_recall_os2" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", oversample = 2)
+      // query sample is id-CAPPED like q187's: a %-only predicate
+      // grows with the corpus and the recall evaluation must stay a
+      // bounded broadcast at any scale
+      SimilarityOps.cellRecall(assigned, "id", "vec", "cell",
+          col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
     }),
     // ----- ANN store upsert: base write + generation append to the
     // cell-partitioned IVF store, read back merge-on-read (latest
@@ -3977,7 +4032,7 @@ object SparkEntry {
          |ORDER BY a.vec_id""".stripMargin
     },
     "q188_two_level_dedup" -> {
-      s"""WITH $duckTwoLevelAssign,
+      s"""WITH ${duckTwoLevelAssign()},
          |p AS (SELECT y.vec_id AS dup_id,
          |    round(${duckCosine("x.v", "y.v")}, 6) AS cosine
          |  FROM tl x JOIN tl y ON x.cell = y.cell AND x.vec_id < y.vec_id),
@@ -3986,6 +4041,8 @@ object SparkEntry {
          |FROM tl LEFT JOIN d ON tl.vec_id = d.dup_id
          |ORDER BY tl.vec_id""".stripMargin
     },
+    "q189_two_level_recall_os1" -> duckTwoLevelRecall(1),
+    "q190_two_level_recall_os2" -> duckTwoLevelRecall(2),
     "q142_ann_upsert" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |base AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),

@@ -26,12 +26,21 @@ import graft.streaming.{CdcPipeline, DistributedDecode, FrameStreamPipeline, Gen
   *     plane (driver handles control frames only).
   *
   * Prints ONE JSON line; run with
-  * `sbt "runMain graft.StreamBench [nTxn] [rowsPerTxn]"`.
+  * `sbt "runMain graft.StreamBench [nTxn] [rowsPerTxn] [nTables]"`.
+  *
+  * `nTables` spreads the inserts round-robin over N relations: the
+  * pipeline's router groups each flush epoch's rows per table and
+  * pays ONE sink-insert job per table per epoch, so N tables at the
+  * same total volume costs ~N× the per-epoch job floor — the
+  * fan-out's scaling term, measurable here directly (same rows,
+  * nTables=1 vs 8).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val nTxn = args.headOption.map(_.toInt).getOrElse(2000)
     val rowsPerTxn = args.lift(1).map(_.toInt).getOrElse(100)
+    val nTables = args.lift(2).map(_.toInt).getOrElse(1)
+    require(nTables >= 1, "nTables must be >= 1")
     val out = java.nio.file.Files.createTempDirectory("graft-streambench").toString
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -45,10 +54,12 @@ object StreamBench {
 
     import PgOutput._
     val relId = 1L
-    val rel = Relation(relId, "public", "accounts", 'd'.toByte, Seq(
-      RelationColumn(key = true, "id", PgTypes.Int8, -1),
-      RelationColumn(key = false, "balance", PgTypes.Int8, -1),
-      RelationColumn(key = false, "name", PgTypes.Text, -1)))
+    def relFor(k: Int) = Relation(relId + k, "public",
+      if (k == 0) "accounts" else s"accounts_$k", 'd'.toByte, Seq(
+        RelationColumn(key = true, "id", PgTypes.Int8, -1),
+        RelationColumn(key = false, "balance", PgTypes.Int8, -1),
+        RelationColumn(key = false, "name", PgTypes.Text, -1)))
+    val rel = relFor(0)
     def cell(v: String) = Element('t'.toByte, Some(v.getBytes("UTF-8")))
 
     // one segment per ~20k frames: segment rollover is part of the
@@ -66,14 +77,14 @@ object StreamBench {
         segBuf = Vector.newBuilder[Array[Byte]]; segCount = 0; segIdx += 1
       }
     }
-    emit(encodeRelation(rel))
+    (0 until nTables).foreach(k => emit(encodeRelation(relFor(k))))
     var lsn = 1000L
     var id = 0L
     (0 until nTxn).foreach { x =>
       emit(encodeBegin(Begin(lsn + rowsPerTxn + 1, 775180800000000L + x, x.toLong)))
       (0 until rowsPerTxn).foreach { _ =>
         id += 1
-        emit(encodeInsert(Insert(relId, TupleData(Seq(
+        emit(encodeInsert(Insert(relId + (id % nTables), TupleData(Seq(
           cell(id.toString), cell((id * 37 % 100000).toString),
           cell(s"account-$id"))))))
       }
@@ -205,7 +216,7 @@ object StreamBench {
 
     def rps(t: Double) = math.round(totalRows / t)
     println(s"""{"metric":"cdc_rows_per_sec","rows":$totalRows,""" +
-      s""""frames":$nFrames,"txns":$nTxn,""" +
+      s""""frames":$nFrames,"txns":$nTxn,"tables":$nTables,""" +
       s""""decode_rps":${rps(tDecode)},"pipeline_rps":${rps(tPipeline)},""" +
       s""""distributed_rps":${rps(tDistributed)},""" +
       f""""decode_sec":$tDecode%.2f,"pipeline_sec":$tPipeline%.2f,""" +

@@ -232,6 +232,16 @@ object SimilarityOps {
       .select(col("_qid"), col(idCol),
         round(cosine(col(vecCol), col("_qv")), 6).as("_cos"),
         array_contains(col("_probe"), col("_cell")).as("_probed"))
+    recallFromPairs(pairs, idCol, k)
+  }
+
+  /** Shared recall tail: given scored (query, candidate) pairs with a
+    * `_probed` membership flag, rank exact vs probed top-k from the
+    * SAME qid-keyed exchange and emit (qid, n_hits, recall). Rounded
+    * cosine + id tie-break keeps ranks engine-exact (the q187 oracle
+    * discipline). */
+  private def recallFromPairs(pairs: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val byQ = org.apache.spark.sql.expressions.Window.partitionBy(col("_qid"))
       .orderBy(col("_cos").desc, col(idCol))
     val exact = pairs.withColumn("_r", row_number().over(byQ))
@@ -251,6 +261,34 @@ object SimilarityOps {
       .agg(count(col("_pid")).as("n_hits"))
       .select(col("qid"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
+  /** Recall@k of CELL-BLOCKED candidate generation against the exact
+    * scan — [[annRecall]]'s measurement applied to any assignment
+    * that tags rows with a cell column ([[twoLevelAssign]], a
+    * materialized [[ivfAssign]]). The probe set is the query's OWN
+    * cell: exactly the candidate rule of the blocked self-join family
+    * (semDedup / knnJoin / contrastivePairs, both levels), so this
+    * measures the
+    * recall those operators trade when the blocking (or its
+    * `oversample` dial) moves — the number TwoLevelProbe's pair
+    * counts could only proxy. Queries are the corpus rows matching
+    * `queryPred` (a recall evaluation runs on a bounded sample,
+    * broadcast against the corpus — one pass, every pair scored
+    * once). */
+  def cellRecall(assigned: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(k > 0, "cellRecall: k must be positive")
+    val corpus = Parallelism.ensure(
+      assigned.select(col(idCol), col(vecCol), col(cellCol)))
+    val qside = broadcast(corpus.where(queryPred)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+        col(cellCol).as("_qcell")))
+    val pairs = corpus.crossJoin(qside)
+      .select(col("_qid"), col(idCol),
+        round(cosine(col(vecCol), col("_qv")), 6).as("_cos"),
+        (col(cellCol) === col("_qcell")).as("_probed"))
+    recallFromPairs(pairs, idCol, k)
   }
 
   /** Flat argmax over score expressions: each score is evaluated
@@ -368,10 +406,21 @@ object SimilarityOps {
     * in-cell pair stream keeps single-level's O(n^1.5) law, while
     * driver state drops to O(n^(1/4)·d) floats and no single
     * expression carries more than max(k₁, maxc k₂(c)) centroids.
-    * The ceiling moves from √n ≤ maxSeeds to n ≤ maxSeeds⁴
-    * (≈2.8×10¹⁴ at the default), with the √n·d sub-seed matrix
-    * riding an executor-side torrent broadcast (~500 MB at n=10¹²,
-    * d=64) instead of every task's serialized plan. Every step —
+    * k₂(c) is additionally CAPPED at maxSeeds per cell: each cell's
+    * sub-centroids travel as one collect_list row, and an uncapped
+    * ⌈oversample·c/t⌉ under total coarse skew would pack ~2√n
+    * vectors into one ArrayData value — past Spark's comfortable
+    * single-row size long before the broadcast itself is. The cap
+    * bounds every row to maxSeeds·d doubles (2 MB at the defaults);
+    * in the BALANCED case it binds only past
+    * n ≈ (maxSeeds/oversample)⁴ ≈ 1.8×10¹³, beyond which subcell
+    * sizes grow past t by the capped factor (graceful blocking-law
+    * degradation) instead of any single row blowing up. The ceiling
+    * thus moves from √n ≤ maxSeeds to n ≤ maxSeeds⁴ (≈2.8×10¹⁴ at
+    * the default, exact blocking law to ~1.8×10¹³), with the √n·d
+    * sub-seed matrix riding an executor-side torrent broadcast
+    * (~500 MB at n=10¹², d=64) instead of every task's serialized
+    * plan. Every step —
     * count, hash ranks, ⌈2c/t⌉, normalization, argmax with ties to
     * the lower rank — is a pure function of the data, so a SQL
     * oracle re-derives identical cells (the [[sqrtSeedCentroids]]
@@ -413,20 +462,37 @@ object SimilarityOps {
       .otherwise(transform(col("vec"), x => x.cast("double") / norm))
     val subcents = assigned
       .withColumn("_r", row_number().over(wRank))
+      // k₂ is capped at maxSeeds per cell: the per-cell sub-centroid
+      // list rides ONE collect_list row, so uncapped ⌈oversample·c/t⌉
+      // under total coarse skew (c → n) would put ~oversample·√n
+      // vectors in a single ArrayData value — ~1 GB/row at n=10¹²,
+      // d=64 — far past Spark's comfortable single-value size. The
+      // cap bounds any row to maxSeeds·d doubles (2 MB at defaults)
+      // and binds only when one coarse cell holds > t·maxSeeds/
+      // oversample vectors (≥8.4M at defaults — a degenerate
+      // assignment the pair-budget guard downstream refuses anyway).
       .withColumn("_k2",
-        ceil(count(lit(1)).over(wCell).cast("double") * oversample /
-          t.toDouble))
+        least(ceil(count(lit(1)).over(wCell).cast("double") * oversample /
+          t.toDouble), lit(maxSeeds.toLong)))
       .where(col("_r") <= col("_k2"))
       .select(col("_coarse"), col("_r"), unit.as("_cv"))
       .groupBy(col("_coarse"))
       .agg(transform(sort_array(collect_list(struct(col("_r"), col("_cv")))),
         x => x.getField("_cv")).as("_subcents"))
-    assigned.join(broadcast(subcents), Seq("_coarse"))
-      .select(col("id"), col("vec"),
-        (col("_coarse").cast("long") * lit(4294967296L) +
-          graft.functions.VectorExpressions
-            .argmaxDotCells(col("vec"), col("_subcents")).cast("long"))
-          .as("cell"))
+    // argmaxDotCells returns -1 when no sub-centroid matches the
+    // row's dimensionality (mixed-dimension degenerate rows). The
+    // raw composite coarse·2³² + (−1) would alias into the PREVIOUS
+    // coarse cell's fine-0xFFFFFFFF slot, silently co-blocking
+    // degenerate rows with a neighbor cell — map them to the same
+    // dedicated −1 sentinel the k₁=0 branch uses instead.
+    val joined = assigned.join(broadcast(subcents), Seq("_coarse"))
+      .withColumn("_fine", graft.functions.VectorExpressions
+        .argmaxDotCells(col("vec"), col("_subcents")).cast("long"))
+    joined.select(col("id"), col("vec"),
+      when(col("_fine") < 0L, lit(-1L))
+        .otherwise(col("_coarse").cast("long") * lit(4294967296L) +
+          col("_fine"))
+        .as("cell"))
   }
 
   /** Default in-cell ordered-pair budget for the cell-blocked

@@ -77,43 +77,61 @@ final class HttpBigQueryTransport(
     case c => c.toString
   } + "\""
 
+  /** One POST attempt: Left(transient message) on IO error, Right on
+    * any HTTP response. */
+  private def sendPost(path: String,
+      body: String): Either[String, (Int, String)] =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$endpoint$path"))
+        .header("Authorization", s"Bearer ${token()}")
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          body, java.nio.charset.StandardCharsets.UTF_8))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      Right((resp.statusCode(), resp.body()))
+    } catch {
+      case e: java.io.IOException => Left(e.getMessage)
+      case e: InterruptedException => throw e
+    }
+
+  /** Status-level triage shared by every POST path: 2xx → run the
+    * body check; 429/5xx → Left (transient, caller backs off);
+    * anything else → fail the task. */
+  private def triage(path: String, outcome: Either[String, (Int, String)],
+      check: String => BodyVerdict): Either[String, BodyVerdict] =
+    outcome match {
+      case Right((code, respBody)) if code / 100 == 2 =>
+        Right(check(respBody))
+      case Right((code, respBody)) if code != 429 && code / 100 != 5 =>
+        throw new java.io.IOException(
+          s"BigQuery POST $path failed with non-retryable HTTP $code: " +
+            respBody.take(500))
+      case Right((code, _)) => Left(s"HTTP $code")
+      case Left(io) => Left(io)
+    }
+
   /** POST with status- AND body-level checking. A 2xx response still
     * runs `check` over the body: `BodyFail` fails the task
     * immediately (schema mismatches / invalid rows are not
     * transient), `BodyRetry` re-enters the backoff loop (incomplete
-    * idempotent DDL jobs). */
+    * idempotent DDL jobs). `BodyRetryRows` is a contract violation
+    * here — only the insertAll loop (which can rebuild a smaller
+    * body) knows how to honor it. */
   private def post(path: String, body: String,
       check: String => BodyVerdict): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
-      val outcome: Either[String, (Int, String)] =
-        try {
-          val req = java.net.http.HttpRequest.newBuilder()
-            .uri(java.net.URI.create(s"$endpoint$path"))
-            .header("Authorization", s"Bearer ${token()}")
-            .header("Content-Type", "application/json")
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-              body, java.nio.charset.StandardCharsets.UTF_8))
-            .build()
-          val resp = client.send(req,
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          Right((resp.statusCode(), resp.body()))
-        } catch {
-          case e: java.io.IOException => Left(e.getMessage)
-          case e: InterruptedException => throw e
-        }
-      val verdict: Either[String, BodyVerdict] = outcome match {
-        case Right((code, respBody)) if code / 100 == 2 =>
-          Right(check(respBody))
-        case Right((code, respBody)) if code != 429 && code / 100 != 5 =>
-          throw new java.io.IOException(
-            s"BigQuery POST $path failed with non-retryable HTTP $code: " +
-              respBody.take(500))
-        case Right((code, _)) => Left(s"HTTP $code")
-        case Left(io) => Left(io)
+      def backoff(msg: String): Unit = {
+        attempt += 1
+        if (attempt > maxRetries) throw new java.io.IOException(
+          s"BigQuery POST $path failed after $maxRetries retries: $msg")
+        Thread.sleep(100L << (attempt - 1))
       }
-      verdict match {
+      triage(path, sendPost(path, body), check) match {
         case Right(BodyOk) => done = true
         case Right(BodyFail(msg)) =>
           throw new java.io.IOException(
@@ -121,14 +139,12 @@ final class HttpBigQueryTransport(
         case Right(BodyPoll(jobId, location)) =>
           pollQueryResults(jobId, location)
           done = true
-        case Right(BodyRetry(msg)) => backoff(path, msg)
-        case Left(msg) => backoff(path, msg)
-      }
-      def backoff(path: String, msg: String): Unit = {
-        attempt += 1
-        if (attempt > maxRetries) throw new java.io.IOException(
-          s"BigQuery POST $path failed after $maxRetries retries: $msg")
-        Thread.sleep(100L << (attempt - 1))
+        case Right(BodyRetry(msg)) => backoff(msg)
+        case Right(BodyRetryRows(_, msg)) =>
+          throw new IllegalStateException(
+            s"BigQuery POST $path: row-level retry verdict outside the " +
+              s"insertAll loop: $msg")
+        case Left(msg) => backoff(msg)
       }
     }
   }
@@ -178,8 +194,10 @@ final class HttpBigQueryTransport(
         case Right(BodyFail(msg)) =>
           throw new java.io.IOException(
             s"BigQuery GET $path returned 2xx but failed: $msg")
-        case Right(_: BodyPoll) | Right(BodyRetry(_)) =>
-          // healthy, still running: wait on the deadline clock
+        case Right(_) =>
+          // healthy, still running (or an unparseable poll body —
+          // re-polling the same job is the safe read): wait on the
+          // deadline clock
           if (System.nanoTime() > deadline) throw new java.io.IOException(
             s"BigQuery job $jobId still incomplete after ${maxPollSecs}s")
           Thread.sleep(pollIntervalMillis)
@@ -204,13 +222,59 @@ final class HttpBigQueryTransport(
     runDdl(BigQueryMapping.ddl(datasetId, meta))
 
   override def insertRows(table: String, rows: Iterator[String]): Unit =
-    rows.grouped(batchRows).foreach { batch =>
-      val body = batch.map(r => s"""{"json":$r}""")
+    rows.grouped(batchRows).foreach(batch =>
+      insertBatch(table, batch.toIndexedSeq))
+
+  /** One insertAll batch with PER-ROW retry: a 200 whose
+    * `insertErrors` carry only TRANSIENT reasons (`timeout`,
+    * `backendError`, `internalError`, `rateLimitExceeded`, plus
+    * `stopped` — rows aborted because a sibling failed) resends ONLY
+    * the failed subset under the existing backoff budget, the
+    * canonical client's behavior; any PERMANENT reason (`invalid`,
+    * schema mismatch, …) fails the task naming the rows — retrying an
+    * invalid row can never succeed, and silently dropping it would
+    * un-deliver data. Resending only failed rows cannot duplicate:
+    * rows named in `insertErrors` were NOT inserted (and rows outside
+    * it were), so the resend's content is exactly the not-yet-
+    * delivered remainder. Indices in each response are relative to
+    * the body JUST sent, so the pending list re-indexes every round.
+    */
+  private def insertBatch(table: String, batch: IndexedSeq[String]): Unit = {
+    val path =
+      s"/projects/$projectId/datasets/$datasetId/tables/$table/insertAll"
+    var pending = batch
+    var attempt = 0
+    var done = false
+    while (!done) {
+      def backoff(msg: String): Unit = {
+        attempt += 1
+        if (attempt > maxRetries) throw new java.io.IOException(
+          s"BigQuery POST $path failed after $maxRetries retries: $msg")
+        Thread.sleep(100L << (attempt - 1))
+      }
+      val body = pending.map(r => s"""{"json":$r}""")
         .mkString("""{"kind":"bigquery#tableDataInsertAllRequest","rows":[""",
           ",", "]}")
-      post(s"/projects/$projectId/datasets/$datasetId/tables/$table/insertAll",
-        body, checkInsertResponse)
+      triage(path, sendPost(path, body), checkInsertResponse) match {
+        case Right(BodyOk) => done = true
+        case Right(BodyFail(msg)) =>
+          throw new java.io.IOException(
+            s"BigQuery POST $path returned 2xx but failed: $msg")
+        case Right(BodyRetryRows(indices, msg)) =>
+          backoff(msg)
+          pending = indices.collect {
+            case i if i >= 0 && i < pending.size => pending(i)
+          }.toIndexedSeq
+          // an empty (or all-out-of-range) index list leaves nothing
+          // to resend — treat as delivered rather than loop on a
+          // zero-row body
+          if (pending.isEmpty) done = true
+        case Right(BodyRetry(msg)) => backoff(msg)
+        case Right(BodyPoll(_, _)) => done = true // not an insertAll verdict
+        case Left(msg) => backoff(msg)
+      }
     }
+  }
 }
 
 object HttpBigQueryTransport {
@@ -228,6 +292,22 @@ object HttpBigQueryTransport {
     * observed completing). */
   private[sinks] final case class BodyPoll(jobId: String,
       location: Option[String]) extends BodyVerdict
+  /** insertAll 200 whose failed rows ALL carry transient reasons:
+    * resend exactly these indices (relative to the body just sent)
+    * under the backoff budget. Only [[HttpBigQueryTransport.insertBatch]]
+    * can honor this — it owns the row list the indices point into. */
+  private[sinks] final case class BodyRetryRows(indices: Seq[Int],
+      msg: String) extends BodyVerdict
+
+  /** Per-row `reason` values live BigQuery reports for rows that
+    * failed for host-side (retriable) causes, per the insertAll docs
+    * and the canonical client's retry predicate; `stopped` marks rows
+    * aborted because a sibling row failed — not inserted, safe to
+    * resend. Anything else (`invalid`, `notFound`, …) is a property
+    * of the ROW and can never succeed on retry. */
+  private[sinks] val TransientRowReasons: Set[String] =
+    Set("timeout", "backendError", "internalError", "rateLimitExceeded",
+      "stopped")
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -236,18 +316,36 @@ object HttpBigQueryTransport {
     try Some(JsonMethods.parse(body)) catch { case _: Exception => None }
 
   /** insertAll: HTTP 200 with a non-empty `insertErrors` array means
-    * those rows were NOT inserted — fail with the row indices and
-    * messages (first 5) so the task error names the cure. */
+    * those rows were NOT inserted. Split on each error's `reason`:
+    * if EVERY failed row carries only transient reasons
+    * ([[TransientRowReasons]]), return [[BodyRetryRows]] so the
+    * insert loop resends just that subset; any permanent reason fails
+    * the task with the row indices and messages (first 5) so the
+    * error names the cure. An unparseable 2xx body (proxy HTML, a
+    * truncated stream) is NOT success — the insert has no body-level
+    * evidence — so it re-enters the backoff loop (the request is a
+    * full-batch resend, idempotent upstream via the lsn guard). */
   private[sinks] def checkInsertResponse(body: String): BodyVerdict =
-    parseOrNone(body).map(_ \ "insertErrors") match {
-      case Some(JArray(errs)) if errs.nonEmpty =>
-        val detail = errs.take(5).map { e =>
-          val idx = e \ "index" match {
-            case JInt(i) => i.toString
-            case JLong(i) => i.toString
-            case _ => "?"
+    parseOrNone(body) match {
+      case None =>
+        BodyRetry("insertAll returned 2xx with an unparseable body")
+      case Some(j) => j \ "insertErrors" match {
+        case JArray(errs) if errs.nonEmpty =>
+          def idxOf(e: JValue): Int = e \ "index" match {
+            case JInt(i) => i.toInt
+            case JLong(i) => i.toInt
+            case _ => -1
           }
-          val msgs = e \ "errors" match {
+          def reasonsOf(e: JValue): Seq[String] = e \ "errors" match {
+            case JArray(es) => es.flatMap { x =>
+              x \ "reason" match {
+                case JString(r) => Some(r)
+                case _ => None
+              }
+            }
+            case _ => Seq.empty
+          }
+          def msgsOf(e: JValue): String = e \ "errors" match {
             case JArray(es) => es.flatMap { x =>
               x \ "message" match {
                 case JString(m) => Some(m)
@@ -256,11 +354,31 @@ object HttpBigQueryTransport {
             }.mkString("; ")
             case _ => ""
           }
-          s"row $idx: $msgs"
-        }.mkString(" | ")
-        BodyFail(s"insertAll returned ${errs.size} insertErrors " +
-          s"(rows were NOT inserted): $detail")
-      case _ => BodyOk
+          // an entry with NO reason field is indistinguishable from
+          // permanent — failing loudly beats resending a row the
+          // server may consider invalid forever
+          val permanent = errs.filter(e => reasonsOf(e).isEmpty ||
+            reasonsOf(e).exists(!TransientRowReasons.contains(_)))
+          if (permanent.nonEmpty) {
+            val detail = permanent.take(5).map { e =>
+              val idx = idxOf(e) match {
+                case -1 => "?"
+                case i => i.toString
+              }
+              s"row $idx: ${msgsOf(e)}"
+            }.mkString(" | ")
+            BodyFail(s"insertAll returned ${permanent.size} permanent " +
+              s"insertErrors of ${errs.size} (rows were NOT inserted): " +
+              detail)
+          } else {
+            val indices = errs.map(idxOf).filter(_ >= 0).distinct.sorted
+            BodyRetryRows(indices,
+              s"insertAll returned ${errs.size} transient insertErrors " +
+                s"(reasons: ${errs.flatMap(reasonsOf).distinct.sorted
+                  .mkString(",")})")
+          }
+        case _ => BodyOk
+      }
     }
 
   /** jobs.query / jobs.getQueryResults: 200 with `errors` fails;
@@ -293,7 +411,9 @@ object HttpBigQueryTransport {
             case _ => BodyOk
           }
         }
-      case None => BodyOk
+      // an unparseable 2xx body is not evidence the job succeeded —
+      // resubmit (the DDL is idempotent) rather than assume done
+      case None => BodyRetry("jobs.query returned 2xx with an unparseable body")
     }
 }
 

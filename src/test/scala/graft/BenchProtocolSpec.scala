@@ -22,10 +22,34 @@ class BenchProtocolSpec extends AnyFunSuite {
   }
 
   test("protocol string derives from the constants that run") {
+    // `floorMinWarm`: floor = cold + min-of-two-warm (r10's method,
+    // tokenized in r11 so overhead_floor comparisons across rounds
+    // are machine-distinguishable); `coldMin`: readings are min over
+    // ALL successful runs including cold, cold_undercut flagged
     assert(Bench.protocolName ==
-      s"noop-full-plan,min${Protocol.minWarm1x}warm,stabilize20pct")
+      s"noop-full-plan,min${Protocol.minWarm1x}warm,stabilize20pct," +
+        "floorMinWarm,coldMin")
     assert(Protocol.agreeRatio == 1.2 &&
       math.round((Protocol.agreeRatio - 1) * 100) == 20)
+  }
+
+  test("cold-undercut flag: converged-slow warm history with a fast cold run") {
+    // the r10 q17 signature: cold 1.35, warm converged at 5.55/6.28 —
+    // warm min > 2× cold → flagged (and the reading ships the cold)
+    assert(Protocol.coldUndercut(Seq(1.351, 5.553, 6.278)))
+    // normal history: cold slower than warm (codegen amortizes) → no flag
+    assert(!Protocol.coldUndercut(Seq(4.238, 4.118, 2.872, 2.627)))
+    // cold faster but within 2× → legitimate warm-up variance, no flag
+    assert(!Protocol.coldUndercut(Seq(1.0, 1.8, 1.9)))
+    // warm history NOT converged → the unstable list owns it, not
+    // cold_undercut (an unconverged min is already suspect)
+    assert(!Protocol.coldUndercut(Seq(1.0, 5.0, 9.0, 13.0, 17.0)))
+    // failed cold → nothing to undercut with
+    assert(!Protocol.coldUndercut(Seq(-1.0)))
+    assert(!Protocol.coldUndercut(Seq.empty))
+    // exactly-2× boundary: strictly-greater triggers
+    assert(!Protocol.coldUndercut(Seq(1.0, 2.0, 2.1)))
+    assert(Protocol.coldUndercut(Seq(1.0, 2.5, 2.6)))
   }
 
   test("stabilization: min warm count enforced, then agreement") {

@@ -16,9 +16,12 @@ import graft.sinks.{BigQueryMapping, BigQuerySink, HttpBigQueryTransport, Metada
   * sink path (fingerprint-gated DDL, executor-side insertAll from
   * distributed partitions, truncate marker, bearer auth, 5xx retry)
   * with a REAL HTTP client, no network egress required. Includes the
-  * body-level failure surfaces: 200-with-insertErrors fails the
-  * task naming the rows (mirroring the reference's PutMultiError,
-  * pkg/sinks/bigquery/table.go:62), jobs.query `errors` fail DDL,
+  * body-level failure surfaces: 200-with-permanent-insertErrors
+  * fails the task naming the rows (mirroring the reference's
+  * PutMultiError, pkg/sinks/bigquery/table.go:62), transient-only
+  * insertErrors resend just the failed subset under the backoff
+  * budget, unparseable 2xx bodies are never success,
+  * jobs.query `errors` fail DDL,
   * `jobComplete:false` polls the returned job to completion (never
   * resubmitting; resubmission only as the no-jobReference fallback),
   * and the metadata-server token fetcher caches until expiry. */
@@ -148,6 +151,109 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
         assert(e.getMessage.contains("insertErrors"))
         assert(e.getMessage.contains("row 0: no such field: msgg"))
         assert(e.getMessage.contains("row 2: value out of range"))
+    }
+  }
+
+  test("200 with ONLY transient insertErrors retries just the failed subset") {
+    // first insertAll: rows 0 and 2 fail for host-side reasons
+    // (timeout / stopped); second call must carry ONLY those two rows
+    // and succeeds — the canonical client's per-row retry split
+    val transientBody =
+      """{"kind":"bigquery#tableDataInsertAllResponse","insertErrors":[
+        |  {"index":0,"errors":[{"reason":"timeout","message":"backend timed out"}]},
+        |  {"index":2,"errors":[{"reason":"stopped","message":"stopped due to sibling"}]}
+        |]}""".stripMargin
+    withServer(respond = (i, path, _) =>
+      if (path.endsWith("/insertAll") && i == 0) (200, transientBody)
+      else (200, "{}")) { (endpoint, requests) =>
+      val t = new HttpBigQueryTransport(
+        endpoint, "proj", "ds", () => "tok")
+      t.insertRows("example_raw",
+        Iterator("""{"lsn":1}""", """{"lsn":2}""", """{"lsn":3}"""))
+      val inserts = requests().filter(_._1.endsWith("/insertAll"))
+      assert(inserts.size == 2)
+      // full batch first …
+      assert(inserts.head._3.contains(""""lsn":1""") &&
+        inserts.head._3.contains(""""lsn":2""") &&
+        inserts.head._3.contains(""""lsn":3"""))
+      // … then EXACTLY the failed subset, in order
+      assert(inserts(1)._3.contains(""""lsn":1""") &&
+        !inserts(1)._3.contains(""""lsn":2""") &&
+        inserts(1)._3.contains(""""lsn":3"""))
+    }
+  }
+
+  test("mixed transient + permanent insertErrors fail terminally, naming the permanent rows") {
+    val mixedBody =
+      """{"kind":"bigquery#tableDataInsertAllResponse","insertErrors":[
+        |  {"index":0,"errors":[{"reason":"timeout","message":"backend timed out"}]},
+        |  {"index":1,"errors":[{"reason":"invalid","message":"no such field: msgg"}]}
+        |]}""".stripMargin
+    withServer(respond = (_, path, _) =>
+      if (path.endsWith("/insertAll")) (200, mixedBody) else (200, "{}")) {
+      (endpoint, requests) =>
+        val t = new HttpBigQueryTransport(
+          endpoint, "proj", "ds", () => "tok")
+        val e = intercept[java.io.IOException] {
+          t.insertRows("example_raw",
+            Iterator("""{"lsn":1}""", """{"lsn":2}"""))
+        }
+        // terminal on the FIRST response — an invalid row never heals,
+        // and resending only the transient row would silently drop it
+        assert(requests().size == 1)
+        assert(e.getMessage.contains("permanent"))
+        assert(e.getMessage.contains("row 1: no such field: msgg"))
+        // the transient sibling is not named as permanent
+        assert(!e.getMessage.contains("row 0:"))
+    }
+  }
+
+  test("transient subset retry still spends the backoff budget") {
+    // every attempt fails rows transiently → budget exhausts, loudly
+    val alwaysTransient =
+      """{"insertErrors":[{"index":0,"errors":[{"reason":"backendError","message":"x"}]}]}"""
+    withServer(respond = (_, path, _) =>
+      if (path.endsWith("/insertAll")) (200, alwaysTransient)
+      else (200, "{}")) { (endpoint, requests) =>
+      val t = new HttpBigQueryTransport(
+        endpoint, "proj", "ds", () => "tok", maxRetries = 2)
+      val e = intercept[java.io.IOException] {
+        t.insertRows("example_raw", Iterator("""{"lsn":1}"""))
+      }
+      assert(requests().size == 3) // initial + 2 retries
+      assert(e.getMessage.contains("after 2 retries"))
+    }
+  }
+
+  test("unparseable 2xx bodies are NOT success: insertAll and jobs.query re-enter backoff") {
+    // insertAll: proxy HTML on the first call, clean JSON on the second
+    withServer(respond = (i, path, _) =>
+      if (path.endsWith("/insertAll") && i == 0) (200, "<html>proxy says hi</html>")
+      else (200, "{}")) { (endpoint, requests) =>
+      val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+      t.insertRows("example_raw", Iterator("""{"lsn":1}"""))
+      assert(requests().count(_._1.endsWith("/insertAll")) == 2)
+    }
+    // jobs.query: truncated body then success — the idempotent DDL
+    // resubmits instead of assuming the unverifiable 2xx succeeded
+    withServer(respond = (i, _, _) =>
+      if (i == 0) (200, """{"jobComplete":tr""") else (200, "{}")) {
+      (endpoint, requests) =>
+        val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+        t.ensureTable(BigQueryMapping.buildRaw("example_raw", example),
+          "CREATE TABLE IF NOT EXISTS t (x INT64)")
+        assert(requests().count(_._1 == "/projects/proj/queries") == 2)
+    }
+    // exhausting the budget on garbage bodies fails loudly
+    withServer(respond = (_, path, _) =>
+      if (path.endsWith("/insertAll")) (200, "not json") else (200, "{}")) {
+      (endpoint, _) =>
+        val t = new HttpBigQueryTransport(
+          endpoint, "proj", "ds", () => "tok", maxRetries = 1)
+        val e = intercept[java.io.IOException] {
+          t.insertRows("example_raw", Iterator("""{"lsn":1}"""))
+        }
+        assert(e.getMessage.contains("unparseable"))
     }
   }
 

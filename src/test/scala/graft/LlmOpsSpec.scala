@@ -905,6 +905,76 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("twoLevelAssign: dimension-mismatched rows get the -1 sentinel cell, never an alias") {
+    // 60 clean d=4 rows plus one d=3 and one d=5 row: both mismatch
+    // every coarse literal (argmax -1 → coarse cell -1); whichever of
+    // the two is NOT picked as that cell's sub-seed then mismatches
+    // the sub-centroid too (fine -1). The raw composite coarse·2³²−1
+    // would alias into the NEIGHBOR coarse cell's fine-0xFFFFFFFF
+    // slot — the assignment must map it to the dedicated -1 sentinel
+    // instead.
+    val clean = (0L until 60L).map { i =>
+      val v = Array.fill(4)(0.01f); v((i % 4).toInt) = 1.0f; (i, v.toSeq)
+    }
+    val odd = Seq((900L, Seq(1.0f, 0.2f, 0.3f)),
+      (901L, Seq(1.0f, 0.2f, 0.3f, 0.4f, 0.5f)))
+    val df = (clean ++ odd).toDF("vec_id", "embedding")
+    val cells = SimilarityOps.twoLevelAssign(df, "vec_id", "embedding",
+        maxSeeds = 4)
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    assert(cells.size == 62)
+    // exactly one of the two mismatched rows is the -1-coarse cell's
+    // sub-seed (fine 0); the other must be the -1L sentinel
+    val oddCells = Seq(cells(900L), cells(901L))
+    assert(oddCells.contains(-1L),
+      s"fine=-1 must map to the sentinel, got $oddCells")
+    // no cell anywhere carries the old aliasing signature
+    // (fine = 0xFFFFFFFF can only arise from the -1 composition here:
+    // k2 per cell is far below 2^32)
+    assert(cells.values.forall(c => c == -1L || (c & 0xffffffffL) != 0xffffffffL),
+      s"aliased composite cell present: ${cells.values.toSeq.sorted}")
+    // clean rows are unaffected: valid coarse (>=0) and fine (>=0)
+    clean.foreach { case (i, _) =>
+      assert(cells(i) >= 0L, s"clean row $i got cell ${cells(i)}")
+    }
+  }
+
+  test("cellRecall: hand-computed blocked recall@k over an explicit assignment") {
+    // q=(1,0): exact top-3 is {0 (1.0), 4 (0.99876), 1 (0.99504)};
+    // cell-blocked (cell 10) top-3 is {0, 1, 2} → overlap 2, recall 2/3
+    val assigned = Seq(
+      (0L, Seq(1.0f, 0.0f), 10L),
+      (1L, Seq(1.0f, 0.1f), 10L),
+      (2L, Seq(0.9f, 0.3f), 10L),
+      (3L, Seq(0.0f, 1.0f), 10L),
+      (4L, Seq(1.0f, 0.05f), 20L),
+      (5L, Seq(0.0f, 1.0f), 20L)
+    ).toDF("id", "vec", "cell")
+    val got = SimilarityOps.cellRecall(assigned, "id", "vec", "cell",
+        col("id") === 0L, k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0L, 2L, 0.666667)), s"got ${got.toSeq}")
+  }
+
+  test("two-level oversample dial: recall side — os1 recalls at least as much as os2 on real embeddings") {
+    // the dial's documented trade (TwoLevelProbe measured its COST
+    // side in pair counts): oversample=1 → fewer, larger subcells →
+    // more same-cell true neighbors. Mean recall@10 over every 10th
+    // vector of the sf0.001 embeddings must not INVERT the trade.
+    def meanRecall(os: Int): Double = {
+      val assigned = SimilarityOps.twoLevelAssign(
+        embeddings, "vec_id", "embedding", oversample = os)
+      SimilarityOps.cellRecall(assigned, "id", "vec", "cell",
+          col("id") % 10 === 0, k = 10)
+        .agg(avg($"recall")).as[Double].collect()(0)
+    }
+    val r1 = meanRecall(1)
+    val r2 = meanRecall(2)
+    assert(r1 >= r2, s"oversample=1 recall $r1 < oversample=2 recall $r2")
+    // and the blocking is doing SOMETHING: strictly above zero
+    assert(r2 > 0.0)
+  }
+
   test("semDedupTwoLevel: keep-smallest-id past the seed cap, budget still enforced") {
     // 6 distinct directions with per-id jitter (pairwise 6-dp cosine
     // < 1.0), plus exact clones of ids 0-4 at 100+ (cosine 1.0)

@@ -30,7 +30,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q175_skew_report",                             // 1-row (n_total, max_bucket) stats joined to the top-k keys
     "q180_calibration",                             // 1-row ECE joined to the ≤bins rows
     "q183_kmv_algebra",                             // 1-row sketch × 1-row sketch combine
-    "q187_ann_recall")                              // corpus × FIXED-SIZE query sample (id-capped, ≤200 at any corpus size), query side broadcast
+    "q187_ann_recall",                              // corpus × FIXED-SIZE query sample (id-capped, ≤200 at any corpus size), query side broadcast
+    "q189_two_level_recall_os1",                    // cellRecall: same shape as q187 — corpus × bounded query sample, query side broadcast
+    "q190_two_level_recall_os2")                    // cellRecall at the default oversample, same bounded cross
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)
