@@ -279,8 +279,13 @@ object SimilarityOps {
   def cellRecall(assigned: DataFrame, idCol: String, vecCol: String,
       cellCol: String, queryPred: Column, k: Int): DataFrame = {
     require(k > 0, "cellRecall: k must be positive")
+    // the assignment feeds BOTH sides (corpus scan + the broadcast
+    // query sample), so pin it once — the family's semDedupTwoLevel
+    // convention — instead of recomputing the whole assignment
+    // subplan (window + broadcast join) per consumer
     val corpus = Parallelism.ensure(
       assigned.select(col(idCol), col(vecCol), col(cellCol)))
+      .localCheckpoint()
     val qside = broadcast(corpus.where(queryPred)
       .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
         col(cellCol).as("_qcell")))
