@@ -22,6 +22,33 @@ import graft.sources.{ChangelogBuilder, PgOutput}
   */
 object FrameStreamPipeline {
 
+  /** Shared pool for the per-table concurrent inserts: one flush
+    * epoch runs at a time per query, so a process-wide bounded pool
+    * (8 daemon threads, idle-reclaimed) serves every pipeline without
+    * per-epoch executor churn — a 1-second trigger would otherwise
+    * create and tear down a pool every epoch, forever. The cap bounds
+    * driver-side row-conversion concurrency; Spark job SUBMISSION is
+    * cheap and the jobs themselves share the executor pool. */
+  private lazy val insertEc: scala.concurrent.ExecutionContext = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-table-insert-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    // core == max with core-timeout: an unbounded work queue means
+    // maxPoolSize beyond core NEVER engages (the JDK grows past core
+    // only when the queue rejects), so the 8 threads must all be core
+    // — idle ones reclaim after 30s via allowCoreThreadTimeOut
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      8, 8, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+    pool.allowCoreThreadTimeOut(true)
+    scala.concurrent.ExecutionContext.fromExecutor(pool)
+  }
+
   def start(
       spark: SparkSession,
       frameDir: String,
@@ -111,11 +138,8 @@ object FrameStreamPipeline {
     // failure fails the batch before anything is confirmed.
     val byTable = mods.groupBy(m => s"${m.namespace}.${m.name}").toSeq
     if (byTable.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(byTable.size, 8))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
+      implicit val ec: scala.concurrent.ExecutionContext = insertEc
+      locally {
         val inserts = byTable.map { case (table, ms) =>
           // schema from this batch, or the builder's cache when the
           // Relation message arrived in an earlier flush epoch —
@@ -148,7 +172,7 @@ object FrameStreamPipeline {
           scala.concurrent.Future.sequence(inserts),
           scala.concurrent.duration.Duration.Inf)
         maxLsn = results.flatMap(_.lsn).reduceOption(_ max _)
-      } finally pool.shutdown()
+      }
     }
     // truncates are position-stamped markers: ordering against the
     // inserts above is carried by (timestamp, lsn, sequence), not by
