@@ -124,6 +124,20 @@ object Bench {
       warms.nonEmpty && converged(runs.drop(1)) &&
         warms.min > runs.head * coldUndercutFactor
     }
+
+    /** 30x rows more than 10% above LINEAR growth (30x/10x > 3.3)
+      * re-time after the sweep drains: the r10 audit's two
+      * above-linear rows (q183 3.52, q17 10.19) both re-timed
+      * sub-linear in isolation, with the explanation trapped in
+      * prose — the post-sweep re-time puts it in the artifact
+      * (`retime_30x`; shipped ratio = best of sweep and re-time,
+      * raw sweep ratios beside it). */
+    val retimeBar30x = 3.3
+
+    /** Which 30x rows earn a post-sweep re-time — pure, so the spec
+      * pins the selection the artifact claims. */
+    def retimeCandidates(ratios: Seq[(String, Double)]): Seq[String] =
+      ratios.filter(_._2 > retimeBar30x).map(_._1)
   }
 
   /** Protocol marker: r4 switched from count()-based timing (which
@@ -142,7 +156,7 @@ object Bench {
   def protocolName: String =
     s"noop-full-plan,min${Protocol.minWarm1x}warm," +
       s"stabilize${math.round((Protocol.agreeRatio - 1) * 100)}pct," +
-      "floorMinWarm,coldMin"
+      s"floorMinWarm,coldMin,retime${Protocol.retimeBar30x}"
 
   private def loadavg(): String =
     try {
@@ -245,8 +259,11 @@ object Bench {
       * a 4× overread). Rows where cold undercuts converged warm by
       * >2× are additionally flagged (`cold_undercut`). A failed COLD
       * run short-circuits (the plan is broken — warm retries would
-      * fail identically); if only warm runs failed, the reading falls
-      * back to the failure/timeout sentinel.
+      * fail identically) and ships its sentinel. A cold SUCCESS whose
+      * warm runs then failed ships the cold reading — a completed
+      * measurement beats a sentinel — and lands in `unstable`
+      * (converged() is false on a failed history), so the row is
+      * flagged, not silently green.
       */
     def stabilized(minWarm: Int, once: () => Double): (Double, Seq[Double]) = {
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -448,8 +465,7 @@ object Bench {
     // classes); a row whose retime CONFIRMS the reading is real
     // growth and stays the shipped ratio. Final ratios take the best
     // (min) of sweep and retime per row; both raw tables ship.
-    val retimeBar = 3.3
-    val retimeNames = ratios30raw.filter(_._2 > retimeBar).map(_._1)
+    val retimeNames = Protocol.retimeCandidates(ratios30raw)
     val retimed30: Seq[(String, Double, Seq[Double])] =
       if (retimeNames.isEmpty) Seq.empty
       else {

@@ -113,6 +113,18 @@ final class HttpBigQueryTransport(
       case Left(io) => Left(io)
     }
 
+  /** One shared backoff step for the POST retry loops: returns the
+    * incremented attempt count, or fails the task once the budget is
+    * spent — one definition, so the two loops' retry policy cannot
+    * diverge. */
+  private def backoffOrFail(path: String, attempt: Int, msg: String): Int = {
+    val next = attempt + 1
+    if (next > maxRetries) throw new java.io.IOException(
+      s"BigQuery POST $path failed after $maxRetries retries: $msg")
+    Thread.sleep(100L << (next - 1))
+    next
+  }
+
   /** POST with status- AND body-level checking. A 2xx response still
     * runs `check` over the body: `BodyFail` fails the task
     * immediately (schema mismatches / invalid rows are not
@@ -125,12 +137,6 @@ final class HttpBigQueryTransport(
     var attempt = 0
     var done = false
     while (!done) {
-      def backoff(msg: String): Unit = {
-        attempt += 1
-        if (attempt > maxRetries) throw new java.io.IOException(
-          s"BigQuery POST $path failed after $maxRetries retries: $msg")
-        Thread.sleep(100L << (attempt - 1))
-      }
       triage(path, sendPost(path, body), check) match {
         case Right(BodyOk) => done = true
         case Right(BodyFail(msg)) =>
@@ -139,12 +145,13 @@ final class HttpBigQueryTransport(
         case Right(BodyPoll(jobId, location)) =>
           pollQueryResults(jobId, location)
           done = true
-        case Right(BodyRetry(msg)) => backoff(msg)
+        case Right(BodyRetry(msg)) =>
+          attempt = backoffOrFail(path, attempt, msg)
         case Right(BodyRetryRows(_, msg)) =>
           throw new IllegalStateException(
             s"BigQuery POST $path: row-level retry verdict outside the " +
               s"insertAll loop: $msg")
-        case Left(msg) => backoff(msg)
+        case Left(msg) => attempt = backoffOrFail(path, attempt, msg)
       }
     }
   }
@@ -246,12 +253,6 @@ final class HttpBigQueryTransport(
     var attempt = 0
     var done = false
     while (!done) {
-      def backoff(msg: String): Unit = {
-        attempt += 1
-        if (attempt > maxRetries) throw new java.io.IOException(
-          s"BigQuery POST $path failed after $maxRetries retries: $msg")
-        Thread.sleep(100L << (attempt - 1))
-      }
       val body = pending.map(r => s"""{"json":$r}""")
         .mkString("""{"kind":"bigquery#tableDataInsertAllRequest","rows":[""",
           ",", "]}")
@@ -261,17 +262,26 @@ final class HttpBigQueryTransport(
           throw new java.io.IOException(
             s"BigQuery POST $path returned 2xx but failed: $msg")
         case Right(BodyRetryRows(indices, msg)) =>
-          backoff(msg)
+          attempt = backoffOrFail(path, attempt, msg)
+          // checkInsertResponse guarantees a non-empty, in-range
+          // index list for this verdict; the bound check is defense
+          // against a server echoing indices past the sent batch
           pending = indices.collect {
             case i if i >= 0 && i < pending.size => pending(i)
           }.toIndexedSeq
-          // an empty (or all-out-of-range) index list leaves nothing
-          // to resend — treat as delivered rather than loop on a
-          // zero-row body
-          if (pending.isEmpty) done = true
-        case Right(BodyRetry(msg)) => backoff(msg)
-        case Right(BodyPoll(_, _)) => done = true // not an insertAll verdict
-        case Left(msg) => backoff(msg)
+          if (pending.isEmpty) throw new java.io.IOException(
+            s"BigQuery POST $path: transient insertErrors carried only " +
+              "out-of-range row indices — cannot identify the rows to " +
+              s"resend: $msg")
+        case Right(BodyRetry(msg)) =>
+          attempt = backoffOrFail(path, attempt, msg)
+        case Right(_: BodyPoll) =>
+          // not an insertAll verdict: declaring the batch delivered on
+          // it would be a silent drop — fail the contract loudly, the
+          // post() treatment of ITS unreachable verdict
+          throw new IllegalStateException(
+            s"BigQuery POST $path: poll verdict on an insertAll response")
+        case Left(msg) => attempt = backoffOrFail(path, attempt, msg)
       }
     }
   }
@@ -372,7 +382,17 @@ object HttpBigQueryTransport {
               detail)
           } else {
             val indices = errs.map(idxOf).filter(_ >= 0).distinct.sorted
-            BodyRetryRows(indices,
+            // a transient entry WITHOUT an index cannot be mapped to a
+            // row — dropping it would silently un-deliver data (the
+            // missing-reason principle above, applied to the index).
+            // The full-batch resend is safe: rows outside insertErrors
+            // were inserted, and upstream dedup-at-read absorbs the
+            // at-least-once replay, same as the unparseable-2xx path.
+            if (indices.size < errs.size)
+              BodyRetry(s"insertAll returned ${errs.size} transient " +
+                s"insertErrors but only ${indices.size} carried row " +
+                "indices — resending the full batch")
+            else BodyRetryRows(indices,
               s"insertAll returned ${errs.size} transient insertErrors " +
                 s"(reasons: ${errs.flatMap(reasonsOf).distinct.sorted
                   .mkString(",")})")

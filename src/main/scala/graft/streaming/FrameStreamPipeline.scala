@@ -139,6 +139,16 @@ object FrameStreamPipeline {
     val byTable = mods.groupBy(m => s"${m.namespace}.${m.name}").toSeq
     if (byTable.nonEmpty) {
       implicit val ec: scala.concurrent.ExecutionContext = insertEc
+      // Spark's job group / description ride InheritableThreadLocal
+      // local properties, which pool threads inherit from whichever
+      // thread CREATED them — not the submitting micro-batch thread.
+      // Without re-stamping, StreamExecution.stop()'s cancelJobGroup
+      // misses in-flight insert jobs (and, with two pipelines in one
+      // process, can cancel the OTHER query's). Snapshot the three
+      // relevant properties here and set them inside every future.
+      val sc = spark.sparkContext
+      val localProps = Seq("spark.jobGroup.id", "spark.job.description",
+        "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
       locally {
         val inserts = byTable.map { case (table, ms) =>
           // schema from this batch, or the builder's cache when the
@@ -148,6 +158,7 @@ object FrameStreamPipeline {
             .getOrElse(throw new IllegalStateException(
               s"no schema known for $table: relation must precede rows")))
           scala.concurrent.Future {
+            localProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
             val payloadType = schema.payloadStruct
             val rows = ms.map(m => Row(
               m.timestamp, m.lsn.orNull, m.sequence.orNull,
@@ -168,10 +179,22 @@ object FrameStreamPipeline {
             sink.insertCounted(schema, df, known)
           }
         }
-        val results = scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(inserts),
+        // SETTLE every insert before judging the epoch: a fail-fast
+        // rethrow would leave sibling writes in flight past the batch
+        // failure, and a supervisor-restarted query's replay could
+        // then append to the same raw-table path CONCURRENTLY with
+        // the orphaned write (two jobs sharing one FileOutputCommitter
+        // staging dir can destroy each other's task files). All
+        // futures complete — success or failure — then the first
+        // failure fails the epoch with nothing left running.
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            inserts.map(_.transform(scala.util.Success(_)))),
           scala.concurrent.duration.Duration.Inf)
-        maxLsn = results.flatMap(_.lsn).reduceOption(_ max _)
+        settled.collectFirst { case scala.util.Failure(e) => e }
+          .foreach(e => throw e)
+        maxLsn = settled.collect { case scala.util.Success(r) => r }
+          .flatMap(_.lsn).reduceOption(_ max _)
       }
     }
     // truncates are position-stamped markers: ordering against the

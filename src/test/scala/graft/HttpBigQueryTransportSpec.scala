@@ -208,6 +208,26 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("transient insertError WITHOUT an index resends the full batch, not nothing") {
+    // an index-less transient entry cannot be mapped to a row;
+    // dropping it would silently un-deliver data — the loop must fall
+    // back to the idempotent full-batch resend
+    val noIndex =
+      """{"insertErrors":[{"errors":[{"reason":"timeout","message":"x"}]}]}"""
+    withServer(respond = (i, path, _) =>
+      if (path.endsWith("/insertAll") && i == 0) (200, noIndex)
+      else (200, "{}")) { (endpoint, requests) =>
+      val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+      t.insertRows("example_raw",
+        Iterator("""{"lsn":1}""", """{"lsn":2}"""))
+      val inserts = requests().filter(_._1.endsWith("/insertAll"))
+      assert(inserts.size == 2)
+      // the resend carries the FULL batch
+      assert(inserts(1)._3.contains(""""lsn":1""") &&
+        inserts(1)._3.contains(""""lsn":2"""))
+    }
+  }
+
   test("transient subset retry still spends the backoff budget") {
     // every attempt fails rows transiently → budget exhausts, loudly
     val alwaysTransient =
