@@ -253,10 +253,20 @@ class ReplicationSoakSpec extends AnyFunSuite {
     // ---- ack monotonicity, within each connection and ACROSS the
     // reconnect boundary (a regressed ack would move
     // confirmed_flush_lsn backwards on a real slot)
-    val ackSeq = {
+    // the mock's ack-reader threads drain their sockets ASYNCHRONOUSLY
+    // — the final StandbyStatusUpdate is written by the tailer just
+    // before run() returns and may still be in flight when the run
+    // loop exits, so give the queue a bounded settle window before
+    // snapshotting (a flake under suite-wide CPU contention otherwise)
+    def snapshot(): Vector[(Int, Long)] = {
       import scala.jdk.CollectionConverters._
       mock.acks.asScala.toVector
     }
+    val settleDeadline = System.currentTimeMillis() + 5000
+    while (!snapshot().exists(_._2 == finalPos) &&
+        System.currentTimeMillis() < settleDeadline)
+      Thread.sleep(20)
+    val ackSeq = snapshot()
     assert(ackSeq.size >= 1000,
       s"soak expected >=1000 ack epochs, saw ${ackSeq.size}")
     // within each connection the TCP stream preserves order, so the
