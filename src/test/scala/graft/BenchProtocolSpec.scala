@@ -28,9 +28,15 @@ class BenchProtocolSpec extends AnyFunSuite {
     // ALL successful runs including cold, cold_undercut flagged
     assert(Bench.protocolName ==
       s"noop-full-plan,min${Protocol.minWarm1x}warm,stabilize20pct," +
-        "floorMinWarm,coldMin")
+        "floorMinWarm,coldMin,retime3.3")
     assert(Protocol.agreeRatio == 1.2 &&
       math.round((Protocol.agreeRatio - 1) * 100) == 20)
+  }
+
+  test("30x retime selection: strictly above the 10%-over-linear bar") {
+    val ratios = Seq("a" -> 2.9, "b" -> 3.3, "c" -> 3.31, "d" -> 10.19)
+    assert(Protocol.retimeCandidates(ratios) == Seq("c", "d"))
+    assert(Protocol.retimeCandidates(Seq.empty) == Seq.empty)
   }
 
   test("cold-undercut flag: converged-slow warm history with a fast cold run") {
