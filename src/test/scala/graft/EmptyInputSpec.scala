@@ -144,4 +144,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.SimilarityOps.semDedupTwoLevel(
       emb0, "vec_id", "embedding", threshold = 0.9).count() == 0)
   }
+
+  test("round-11: cellRecall accepts an empty corpus and an empty query sample") {
+    val emb = graft.sources.ImportSource.table(spark, sf, "embeddings")
+    val emb0 = emb.where(lit(false))
+    // empty corpus: empty assignment → empty recall frame, no throw
+    val a0 = graft.ops.SimilarityOps.twoLevelAssign(emb0, "vec_id", "embedding")
+    val r0 = graft.ops.SimilarityOps.cellRecall(
+      a0, "id", "vec", "cell", lit(true), k = 5)
+    assert(r0.columns.toSeq == Seq("qid", "n_hits", "recall"))
+    assert(r0.count() == 0)
+    // non-empty corpus, predicate matching NO queries: also empty
+    val a = graft.ops.SimilarityOps.twoLevelAssign(
+      emb.limit(40), "vec_id", "embedding")
+    assert(graft.ops.SimilarityOps.cellRecall(
+      a, "id", "vec", "cell", lit(false), k = 5).count() == 0)
+  }
 }
