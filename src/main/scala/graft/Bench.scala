@@ -152,11 +152,15 @@ object Bench {
     * are the min over ALL successful runs INCLUDING cold, with
     * >2×-undercut rows flagged in `cold_undercut` — warm
     * stabilization alone can converge on a slow JIT mode, r10's q17
-    * at 30x). */
+    * at 30x). r12 appended `paired` to the retime token: retime
+    * ratios now divide a drained-context 30x numerator by a
+    * drained-context re-timed 10x denominator (`retime_10x` in the
+    * detail), not by the sweep's 10x row — a sweep-inflated
+    * denominator can no longer understate growth. */
   def protocolName: String =
     s"noop-full-plan,min${Protocol.minWarm1x}warm," +
       s"stabilize${math.round((Protocol.agreeRatio - 1) * 100)}pct," +
-      s"floorMinWarm,coldMin,retime${Protocol.retimeBar30x}"
+      s"floorMinWarm,coldMin,retime${Protocol.retimeBar30x}paired"
 
   private def loadavg(): String =
     try {
@@ -375,6 +379,17 @@ object Bench {
     val loadStart = loadavg()
     val floorStart = measureFloor()
 
+    // Per-LEVEL host fingerprint (loadavg + a re-measured noop floor
+    // taken immediately before each sweep level): every cross-round
+    // perf dispute so far (r10's q145 drift, q149's 10x wobble, the
+    // r11 +7% band) resolved via loadavg archaeology quoted in
+    // SCALING prose — this puts the sweep-context evidence in the
+    // artifact itself, so a level whose readings drifted can be read
+    // against the load the host was under WHEN that level ran.
+    val levelHost = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    def levelFingerprint(level: String): Unit =
+      levelHost += ((level, loadavg(), measureFloor()))
+
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") != "0"
 
@@ -382,6 +397,7 @@ object Bench {
     // protocol input every earlier round used and the one the DuckDB
     // oracle times against, so totals stay round-over-round and
     // engine-vs-oracle comparable.
+    levelFingerprint("1x")
     val results = sweep(allNames, sfDir, Protocol.minWarm1x, None,
       recordJobs = true)
     val byName1 = results.map(r => r._1 -> r._2).toMap
@@ -403,6 +419,7 @@ object Bench {
       else {
         val oneDir = Scale10x.ensure(spark, sfDir, 1)
         hygiene()
+        levelFingerprint("1x_32file")
         sweep(allNames, oneDir, Protocol.minWarm1x, None)
       }
     val byName1L = results1L.map(r => r._1 -> r._2).toMap
@@ -419,6 +436,7 @@ object Bench {
       else {
         val bigDir = Scale10x.ensure(spark, sfDir)
         hygiene()
+        levelFingerprint("10x")
         sweep(allNames, bigDir, Protocol.minWarmScale, Some(150))
       }
     val denom1: Map[String, Double] =
@@ -444,6 +462,7 @@ object Bench {
       else {
         val bigDir = Scale10x.ensure(spark, sfDir, 30)
         hygiene()
+        levelFingerprint("30x")
         sweep(heavy30, bigDir, Protocol.minWarmScale, Some(300))
       }
     val byName10 = results10.map(r => r._1 -> r._2).toMap
@@ -472,11 +491,29 @@ object Bench {
         val bigDir = Scale10x.ensure(spark, sfDir, 30)
         hygiene()
         Thread.sleep(1000) // let the cleaner fully drain post-sweep
+        levelFingerprint("retime_30x")
         sweep(retimeNames, bigDir, Protocol.minWarmScale, Some(300))
       }
+    // Re-time the 10x DENOMINATOR for the same rows: a retime ratio
+    // pairing a drained-context 30x numerator with a sweep-context
+    // 10x denominator UNDERSTATES growth whenever the sweep inflated
+    // the 10x reading too (the pre-round ADVICE asymmetry). Both
+    // sides of the retime ratio now come from drained post-sweep
+    // context; the sweep ratio keeps its own internally-consistent
+    // pair, and the shipped ratio is the best (min) of the two.
+    val retimed10: Seq[(String, Double, Seq[Double])] =
+      if (retimeNames.isEmpty) Seq.empty
+      else {
+        val tenDir = Scale10x.ensure(spark, sfDir)
+        hygiene()
+        levelFingerprint("retime_10x")
+        sweep(retimeNames, tenDir, Protocol.minWarmScale, Some(150))
+      }
     val retimeOf = retimed30.map(r => r._1 -> r._2).toMap
+    val retime10Of = retimed10.map(r => r._1 -> r._2).toMap
     val ratios30: Seq[(String, Double)] = ratios30raw.map { case (n, r) =>
-      (byName10.get(n), retimeOf.get(n)) match {
+      val denom = retime10Of.get(n).filter(_ > 0).orElse(byName10.get(n))
+      (denom, retimeOf.get(n)) match {
         case (Some(t10), Some(tr)) if tr > 0 && t10 > 0 =>
           n -> math.min(r, tr / t10)
         case _ => n -> r
@@ -491,9 +528,15 @@ object Bench {
     // on UNTOUCHED queries while the floor itself moved) — subtracting
     // n·floor reads engine cost, not host weather. Both numbers ship.
     val totalMinusFloor = math.max(0.0, total - nRan * floor)
+    // per-level load context beside the global start/end pair: the
+    // fingerprint taken immediately before each sweep level ran
+    val levelHostJson = levelHost.map { case (lvl, load, f) =>
+      "\"" + lvl + "\":{\"loadavg\":\"" + load + "\",\"floor\":" + fmt(f) + "}"
+    }.mkString("{", ",", "}")
     val hostJson =
       s""""host":{"loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-        s""""floor_start":${fmt(floorStart)},"floor_end":${fmt(floorEnd)}}"""
+        s""""floor_start":${fmt(floorStart)},"floor_end":${fmt(floorEnd)},""" +
+        s""""levels":$levelHostJson}"""
 
     def pair(rs: Seq[(String, Double, Seq[Double])]): Seq[(String, Double)] =
       rs.map(r => r._1 -> r._2)
@@ -614,7 +657,12 @@ object Bench {
          s""","ratios_30x_vs_10x_sweep":${jsonOf(ratios30raw)}""" +
          (if (retimed30.isEmpty) ""
           else s""","retime_30x":${jsonOf(pair(retimed30))}""" +
-            s""","retime_30x_runs":${jsonRuns(retimed30)}""")) +
+            s""","retime_30x_runs":${jsonRuns(retimed30)}""" +
+            // the paired drained-context 10x denominators (retimePaired
+            // protocol token): retime ratios divide retime_30x by
+            // THESE, not by the sweep's queries_10x rows
+            s""","retime_10x":${jsonOf(pair(retimed10))}""" +
+            s""","retime_10x_runs":${jsonRuns(retimed10)}""")) +
       s""","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")

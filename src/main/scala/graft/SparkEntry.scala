@@ -174,6 +174,40 @@ object SparkEntry {
        |  ON x.qid = b.qid AND x.vec_id = b.vec_id
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** Oracle twin of SimilarityOps.cellRecallProbe over twoLevelProbe
+    * probe sets (q191–q193): the [[duckTwoLevelAssign]] chain at the
+    * shipped oversample=2, the probe set re-derived as the query's
+    * `nprobe` best fine cells (fasg's rank ≤ nprobe — the same
+    * (dot DESC, fid ASC) ranking the assignment takes rank 1 of), and
+    * recall@10 of the probed candidate rule vs the exact scan with
+    * the q187 ranking discipline. nprobe=1 must equal
+    * [[duckTwoLevelRecall]](2) row for row. */
+  private def duckTwoLevelProbeRecall(nprobe: Int): String =
+    s"""WITH ${duckTwoLevelAssign(2)},
+       |pl AS (SELECT vec_id,
+       |    CAST(coarse AS BIGINT) * 4294967296 + fid AS cell
+       |  FROM fasg WHERE rn <= $nprobe),
+       |qp AS (SELECT vec_id AS qid, list(cell) AS pcells
+       |  FROM pl GROUP BY vec_id),
+       |q AS (SELECT tl.vec_id AS qid, tl.v AS qv, qp.pcells
+       |  FROM tl JOIN qp ON tl.vec_id = qp.qid
+       |  WHERE tl.vec_id % 10 = 0 AND tl.vec_id < 20000),
+       |p AS (SELECT q.qid, tl.vec_id,
+       |    round(${duckCosine("tl.v", "q.qv")}, 6) AS c,
+       |    list_contains(q.pcells, tl.cell) AS probed
+       |  FROM tl CROSS JOIN q),
+       |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+       |  FROM p) WHERE r <= 10),
+       |blocked AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+       |  FROM p WHERE probed) WHERE r <= 10)
+       |SELECT x.qid, CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+       |  round(count(b.vec_id) / 10.0, 6) AS recall
+       |FROM exact x LEFT JOIN blocked b
+       |  ON x.qid = b.qid AND x.vec_id = b.vec_id
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** DuckDB cosine over two DOUBLE[] expressions — the exact
     * arithmetic of the native VectorCosine (double products in index
     * order, zero-norm guard), as proven cross-engine by q34. */
@@ -1972,6 +2006,51 @@ object SparkEntry {
       SimilarityOps.cellRecall(assigned, "id", "vec", "cell",
           col("id") % 10 === 0 && col("id") < 20000, k = 10)
         .orderBy(col("qid"))
+    }),
+    // ----- multi-probe recall@10, the nprobe dial's recall side:
+    // q189/q190 made the own-cell rule's ~0.19-0.20 recall honest;
+    // these rows measure what probing the 2 and 4 nearest fine cells
+    // buys back (q194 prices the pair-cost side of the same curve).
+    // q191 (nprobe=1) must hash-match q190 exactly — the probe
+    // machinery's own-cell degeneration is itself oracle-checked -----
+    "q191_two_level_recall_np1" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelProbe(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 1)
+      SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
+    }),
+    "q192_two_level_recall_np2" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelProbe(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 2)
+      SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
+    }),
+    "q193_two_level_recall_np4" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelProbe(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 4)
+      SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
+    }),
+    // ----- the pair-COST side of the multi-probe curve: candidate
+    // pairs the probe rule implies at nprobe 1/2/4 (Σ cells of
+    // probers × owners — the number requireProbePairBudget enforces),
+    // from ONE assignment at nprobe=4 whose probe-list PREFIX is the
+    // lower dials' probe set by the ranking contract -----
+    "q194_probe_pair_cost" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelProbe(
+          t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 4)
+        .localCheckpoint()
+      Seq(1, 2, 4).map { np =>
+        SimilarityOps.probePairCost(
+            assigned.withColumn("probe_cells",
+              slice(col("probe_cells"), 1, np)),
+            "cell", "probe_cells")
+          .select(lit(np).as("nprobe"), col("n_cells"),
+            col("pairs").cast("long").as("pairs"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
     }),
     // ----- ANN store upsert: base write + generation append to the
     // cell-partitioned IVF store, read back merge-on-read (latest
@@ -4043,6 +4122,23 @@ object SparkEntry {
     },
     "q189_two_level_recall_os1" -> duckTwoLevelRecall(1),
     "q190_two_level_recall_os2" -> duckTwoLevelRecall(2),
+    "q191_two_level_recall_np1" -> duckTwoLevelProbeRecall(1),
+    "q192_two_level_recall_np2" -> duckTwoLevelProbeRecall(2),
+    "q193_two_level_recall_np4" -> duckTwoLevelProbeRecall(4),
+    "q194_probe_pair_cost" ->
+      s"""WITH ${duckTwoLevelAssign(2)},
+         |pl AS (SELECT vec_id, rn,
+         |    CAST(coarse AS BIGINT) * 4294967296 + fid AS cell
+         |  FROM fasg WHERE rn <= 4),
+         |own AS (SELECT cell, count(*) AS c FROM tl GROUP BY cell),
+         |np AS (SELECT * FROM (VALUES (1), (2), (4)) AS v(nprobe)),
+         |pr AS (SELECT np.nprobe, pl.cell, count(*) AS p
+         |  FROM np JOIN pl ON pl.rn <= np.nprobe
+         |  GROUP BY np.nprobe, pl.cell)
+         |SELECT pr.nprobe, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(pr.p * own.c) AS BIGINT) AS pairs
+         |FROM pr JOIN own ON pr.cell = own.cell
+         |GROUP BY pr.nprobe ORDER BY pr.nprobe""".stripMargin,
     "q142_ann_upsert" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |base AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),

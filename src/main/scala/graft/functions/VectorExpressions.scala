@@ -403,6 +403,169 @@ case class VectorArgmaxDotCells(vec: Expression, cents: Expression)
   }
 }
 
+/** [[VectorArgmaxDotCells]] generalized from argmax to TOP-N: the
+  * indices of the `n` highest-dot centroids in the column-borne
+  * matrix, ranked (dot DESC, index ASC) — the multi-probe dial of
+  * the two-level cell-blocked family (SimilarityOps.twoLevelProbe).
+  * Probing the row's `n` nearest fine cells instead of only its own
+  * buys back the recall the blocked candidate rule trades (measured
+  * ~0.19-0.20@10 at nprobe=1 by q189/q190) at a linear pair-cost
+  * factor, the standard IVF recall/cost curve.
+  *
+  * Contract: element 0 equals [[VectorArgmaxDotCells]]'s result
+  * whenever the result is non-empty (same strict-> first-max rule,
+  * same skip rules for null/length-mismatched centroid rows), and
+  * equal scores rank the LOWER index first. Returns an empty array —
+  * never null — for a null vector, a null vector element, a null
+  * centroid list, or no matching centroid; fewer than `n` valid
+  * centroids return all of them. `n` is a plan-time constant (the
+  * dial is an operator parameter, not data).
+  */
+case class VectorTopDotCells(vec: Expression, cents: Expression, n: Int)
+    extends BinaryExpression {
+
+  require(n > 0, "VectorTopDotCells: n must be positive")
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def prettyName: String = "vector_top_dot_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorTopDotCells =
+    copy(vec = newLeft, cents = newRight)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cents.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<array<double>>), " +
+          s"got (${v.catalogString}, ${c.catalogString})")
+    }
+
+  private def isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def empty: ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyIntArray)
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val m = cents.eval(input)
+    if (v == null || m == null) return empty
+    val a = v.asInstanceOf[ArrayData]
+    val rows = m.asInstanceOf[ArrayData]
+    val nd = a.numElements()
+    var i = 0
+    while (i < nd) { if (a.isNullAt(i)) return empty; i += 1 }
+    val f = isFloat
+    // descending-ordered top-n by (score DESC, index ASC): iterating
+    // j ascending with a STRICT > displacement keeps equal scores in
+    // index order, matching argmax's first-max rule at slot 0
+    val scores = new Array[Double](n)
+    val idx = new Array[Int](n)
+    var cnt = 0
+    var j = 0
+    while (j < rows.numElements()) {
+      if (!rows.isNullAt(j)) {
+        val row = rows.getArray(j)
+        if (row.numElements() == nd) {
+          var d = 0.0
+          var ok = true
+          var k = 0
+          while (ok && k < nd) {
+            if (row.isNullAt(k)) ok = false
+            else {
+              d += (if (f) a.getFloat(k).toDouble else a.getDouble(k)) *
+                row.getDouble(k)
+              k += 1
+            }
+          }
+          if (ok) {
+            var pos = cnt
+            while (pos > 0 && d > scores(pos - 1)) pos -= 1
+            if (pos < n) {
+              val last = math.min(cnt, n - 1)
+              var s = last
+              while (s > pos) { scores(s) = scores(s - 1); idx(s) = idx(s - 1); s -= 1 }
+              scores(pos) = d; idx(pos) = j
+              if (cnt < n) cnt += 1
+            }
+          }
+        }
+      }
+      j += 1
+    }
+    if (cnt == 0) empty
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(idx, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vecGen = vec.genCode(ctx)
+    val centsGen = cents.genCode(ctx)
+    val a = ctx.freshName("arr"); val rows = ctx.freshName("rows")
+    val nd = ctx.freshName("nd"); val i = ctx.freshName("i")
+    val j = ctx.freshName("j"); val k = ctx.freshName("k")
+    val d = ctx.freshName("dotv"); val ok = ctx.freshName("ok")
+    val scores = ctx.freshName("scores"); val idx = ctx.freshName("idx")
+    val cnt = ctx.freshName("cnt"); val pos = ctx.freshName("pos")
+    val s = ctx.freshName("s"); val last = ctx.freshName("last")
+    val anyNull = ctx.freshName("anyNull"); val row = ctx.freshName("cent")
+    val res = ctx.freshName("res")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val block = code"""
+      ${vecGen.code}
+      ${centsGen.code}
+      int $cnt = 0;
+      double[] $scores = new double[$n];
+      int[] $idx = new int[$n];
+      if (!${vecGen.isNull} && !${centsGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${vecGen.value};
+        org.apache.spark.sql.catalyst.util.ArrayData $rows = ${centsGen.value};
+        final int $nd = $a.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $nd; $i++) {
+          if ($a.isNullAt($i)) { $anyNull = true; break; }
+        }
+        if (!$anyNull) {
+          for (int $j = 0; $j < $rows.numElements(); $j++) {
+            if ($rows.isNullAt($j)) continue;
+            org.apache.spark.sql.catalyst.util.ArrayData $row = $rows.getArray($j);
+            if ($row.numElements() != $nd) continue;
+            double $d = 0.0;
+            boolean $ok = true;
+            for (int $k = 0; $ok && $k < $nd; $k++) {
+              if ($row.isNullAt($k)) { $ok = false; }
+              else { $d += (double) $a.$get($k) * $row.getDouble($k); }
+            }
+            if (!$ok) continue;
+            int $pos = $cnt;
+            while ($pos > 0 && $d > $scores[$pos - 1]) $pos--;
+            if ($pos < $n) {
+              final int $last = java.lang.Math.min($cnt, $n - 1);
+              for (int $s = $last; $s > $pos; $s--) {
+                $scores[$s] = $scores[$s - 1]; $idx[$s] = $idx[$s - 1];
+              }
+              $scores[$pos] = $d; $idx[$pos] = $j;
+              if ($cnt < $n) $cnt++;
+            }
+          }
+        }
+      }
+      final org.apache.spark.sql.catalyst.util.ArrayData $res =
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($idx, $cnt));
+      final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $res;
+    """
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+}
+
 /** Dense vector×matrixᵀ as ONE expression: the k dot products of the
   * input vector against a k×d matrix held in the codegen references
   * array — [[VectorArgmaxDot]]'s carrier applied to the PROJECTION
@@ -552,6 +715,13 @@ object VectorExpressions {
       org.apache.spark.sql.graftbridge.Bridge.expression(vec),
       org.apache.spark.sql.graftbridge.Bridge.expression(cents)))
 
+  /** Column over the per-row TOP-N dot ranking (the multi-probe dial:
+    * the n nearest fine cells, element 0 = the argmax cell). */
+  def topDotCells(vec: Column, cents: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorTopDotCells(
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+      org.apache.spark.sql.graftbridge.Bridge.expression(cents), n))
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
 
@@ -590,6 +760,20 @@ object VectorExpressions {
         "vector_argmax_dot_cells(v, cents) - index of the centroid in cents " +
           "(array<array<double>>) with the largest dot(v, c); -1 when none matches"),
       (es: Seq[Expression]) => VectorArgmaxDotCells(es(0), es(1))),
+    (FunctionIdentifier("vector_top_dot_cells"),
+      info("vector_top_dot_cells",
+        "vector_top_dot_cells(v, cents, n) - indices of the n centroids in " +
+          "cents (array<array<double>>) with the largest dot(v, c), ranked " +
+          "(dot DESC, index ASC); empty array when none matches"),
+      (es: Seq[Expression]) => {
+        val n = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"vector_top_dot_cells needs a literal n, got $other")
+        }
+        VectorTopDotCells(es(0), es(1), n)
+      }),
     (FunctionIdentifier("vector_outer_sum"),
       info("vector_outer_sum",
         "vector_outer_sum(v) - upper-triangle sum of x*x^T in int128 picounit cells " +

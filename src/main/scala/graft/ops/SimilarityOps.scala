@@ -296,6 +296,53 @@ object SimilarityOps {
     recallFromPairs(pairs, idCol, k)
   }
 
+  /** [[cellRecall]] for a MULTI-PROBE candidate rule: the query's
+    * candidates are corpus rows in ANY of its `probeCol` cells (the
+    * [[twoLevelProbe]] probe set), so this measures the recall the
+    * `nprobe` dial buys back — at nprobe=1 it equals [[cellRecall]]
+    * on the same assignment exactly (probe_cells[0] is the own cell).
+    * Same one-pass shape: assignment pinned once for both consumers,
+    * bounded query sample broadcast, probe membership a map-side
+    * array_contains on the scored pair. */
+  def cellRecallProbe(assigned: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, probeCol: String, queryPred: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "cellRecallProbe: k must be positive")
+    val corpus = Parallelism.ensure(
+      assigned.select(col(idCol), col(vecCol), col(cellCol), col(probeCol)))
+      .localCheckpoint()
+    val qside = broadcast(corpus.where(queryPred)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+        col(probeCol).as("_qprobe")))
+    val pairs = corpus.crossJoin(qside)
+      .select(col("_qid"), col(idCol),
+        round(cosine(col(vecCol), col("_qv")), 6).as("_cos"),
+        array_contains(col("_qprobe"), col(cellCol)).as("_probed"))
+    recallFromPairs(pairs, idCol, k)
+  }
+
+  /** The pair-COST side of the multi-probe curve: the candidate-pair
+    * count the probe rule implies — Σ over cells of (rows probing the
+    * cell) × (rows assigned to it) — from two cheap aggregations over
+    * the assignment, no pair is ever materialized. This is the number
+    * [[requireProbePairBudget]] enforces and the denominator a caller
+    * trades against [[cellRecallProbe]]'s recall when choosing
+    * `nprobe`. Counts ordered (prober, owner) pairs including the
+    * self pair each row contributes to its own cell — a stable
+    * definition the SQL oracle mirrors closed-form. One row:
+    * (n_cells, pairs). */
+  def probePairCost(assigned: DataFrame, cellCol: String,
+      probeCol: String): DataFrame = {
+    val probes = assigned.select(explode(col(probeCol)).as("_cell"))
+      .groupBy(col("_cell")).agg(count(lit(1)).as("_p"))
+    val owners = assigned.select(col(cellCol).as("_cell"))
+      .groupBy(col("_cell")).agg(count(lit(1)).as("_c"))
+    owners.join(probes, Seq("_cell"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("_p").cast("decimal(38,0)") * col("_c").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("pairs"))
+  }
+
   /** Flat argmax over score expressions: each score is evaluated
     * exactly once, then `array_position(scores, array_max(scores))`
     * picks the winner (ties to the lower index, -1 when every score
@@ -438,17 +485,88 @@ object SimilarityOps {
     * Output: (id, vec, cell) with cell = coarse·2³² + fine.
     */
   def twoLevelAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      maxSeeds: Int = 4096, oversample: Int = 2): DataFrame = {
-    require(maxSeeds > 0, "twoLevelAssign: maxSeeds must be positive")
-    require(oversample > 0, "twoLevelAssign: oversample must be positive")
+      maxSeeds: Int = 4096, oversample: Int = 2): DataFrame =
+    twoLevelPrepare(embeddings, idCol, vecCol, maxSeeds, oversample,
+      "twoLevelAssign") match {
+      case Left(base) =>
+        base.select(col("id"), col("vec"), lit(-1L).as("cell"))
+      case Right(joined) =>
+        // argmaxDotCells returns -1 when no sub-centroid matches the
+        // row's dimensionality (mixed-dimension degenerate rows). The
+        // raw composite coarse·2³² + (−1) would alias into the PREVIOUS
+        // coarse cell's fine-0xFFFFFFFF slot, silently co-blocking
+        // degenerate rows with a neighbor cell — map them to the same
+        // dedicated −1 sentinel the k₁=0 branch uses instead.
+        joined.withColumn("_fine", graft.functions.VectorExpressions
+            .argmaxDotCells(col("vec"), col("_subcents")).cast("long"))
+          .select(col("id"), col("vec"),
+            when(col("_fine") < 0L, lit(-1L))
+              .otherwise(col("_coarse").cast("long") * lit(4294967296L) +
+                col("_fine"))
+              .as("cell"))
+    }
+
+  /** [[twoLevelAssign]] with the multi-probe dial: beside the row's
+    * own composite cell, emit `probe_cells` — the `nprobe` nearest
+    * FINE cells within the row's coarse cell, ranked (dot DESC, fine
+    * id ASC) via [[graft.functions.VectorTopDotCells]] (element 0 is
+    * always the own cell, so nprobe=1 degenerates to the plain
+    * assignment). Probing neighbors of the own fine cell is the
+    * standard IVF answer to blocked-rule recall loss: q189/q190
+    * measured the own-cell rule at ~0.19–0.20 recall@10, and each
+    * extra probe buys recall back at a linear pair-cost factor
+    * (q191–q194 put both sides of that curve under the DuckDB
+    * oracle). Every ranking input is the same pure function of the
+    * data as the assignment itself, so the oracle re-derives the
+    * probe sets exactly.
+    *
+    * Output: (id, vec, cell, probe_cells) — degenerate rows (empty
+    * corpus, no dimension-matching sub-centroid) carry cell = −1 and
+    * probe_cells = [−1], keeping the sentinel rule aligned with
+    * [[twoLevelAssign]].
+    */
+  def twoLevelProbe(embeddings: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, maxSeeds: Int = 4096, oversample: Int = 2): DataFrame = {
+    require(nprobe > 0, "twoLevelProbe: nprobe must be positive")
+    twoLevelPrepare(embeddings, idCol, vecCol, maxSeeds, oversample,
+      "twoLevelProbe") match {
+      case Left(base) =>
+        base.select(col("id"), col("vec"), lit(-1L).as("cell"),
+          array(lit(-1L)).as("probe_cells"))
+      case Right(joined) =>
+        joined.withColumn("_fines", graft.functions.VectorExpressions
+            .topDotCells(col("vec"), col("_subcents"), nprobe))
+          .select(col("id"), col("vec"),
+            when(size(col("_fines")) === 0, lit(-1L))
+              .otherwise(col("_coarse").cast("long") * lit(4294967296L) +
+                element_at(col("_fines"), 1).cast("long"))
+              .as("cell"),
+            when(size(col("_fines")) === 0, array(lit(-1L)))
+              .otherwise(transform(col("_fines"), f =>
+                col("_coarse").cast("long") * lit(4294967296L) +
+                  f.cast("long")))
+              .as("probe_cells"))
+    }
+  }
+
+  /** The shared head of the two-level family: coarse literal
+    * assignment + per-cell broadcast sub-centroids, up to (but not
+    * including) the fine scoring — [[twoLevelAssign]] finishes it
+    * with an argmax, [[twoLevelProbe]] with a top-nprobe ranking.
+    * Left(base) = the degenerate empty-corpus branch (k₁ = 0).
+    */
+  private def twoLevelPrepare(embeddings: DataFrame, idCol: String,
+      vecCol: String, maxSeeds: Int, oversample: Int,
+      op: String): Either[DataFrame, DataFrame] = {
+    require(maxSeeds > 0, s"$op: maxSeeds must be positive")
+    require(oversample > 0, s"$op: oversample must be positive")
     val base = Parallelism.ensure(
       embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val n = base.count()
     val t = math.ceil(math.sqrt(n.toDouble)).toLong
     val k1 = math.min(math.ceil(math.sqrt(t.toDouble)).toLong,
       maxSeeds.toLong).toInt
-    if (k1 == 0)
-      return base.select(col("id"), col("vec"), lit(-1L).as("cell"))
+    if (k1 == 0) return Left(base)
     val coarse: Seq[Seq[Float]] = base
       .withColumn("_h", md5(col("id").cast("string")))
       .orderBy(col("_h"), col("id")).limit(k1)
@@ -484,20 +602,7 @@ object SimilarityOps {
       .groupBy(col("_coarse"))
       .agg(transform(sort_array(collect_list(struct(col("_r"), col("_cv")))),
         x => x.getField("_cv")).as("_subcents"))
-    // argmaxDotCells returns -1 when no sub-centroid matches the
-    // row's dimensionality (mixed-dimension degenerate rows). The
-    // raw composite coarse·2³² + (−1) would alias into the PREVIOUS
-    // coarse cell's fine-0xFFFFFFFF slot, silently co-blocking
-    // degenerate rows with a neighbor cell — map them to the same
-    // dedicated −1 sentinel the k₁=0 branch uses instead.
-    val joined = assigned.join(broadcast(subcents), Seq("_coarse"))
-      .withColumn("_fine", graft.functions.VectorExpressions
-        .argmaxDotCells(col("vec"), col("_subcents")).cast("long"))
-    joined.select(col("id"), col("vec"),
-      when(col("_fine") < 0L, lit(-1L))
-        .otherwise(col("_coarse").cast("long") * lit(4294967296L) +
-          col("_fine"))
-        .as("cell"))
+    Right(assigned.join(broadcast(subcents), Seq("_coarse")))
   }
 
   /** Default in-cell ordered-pair budget for the cell-blocked
@@ -979,6 +1084,52 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** [[knnJoinTwoLevel]] with the multi-probe dial: each vector's
+    * candidates come from its `nprobe` nearest fine cells
+    * ([[twoLevelProbe]]), not just its own — recall rises along the
+    * q191–q193 curve while the pair stream grows by at most the
+    * probe factor, and [[requireProbePairBudget]] enforces the grown
+    * budget BEFORE the join exactly like the single-probe family.
+    * Shuffle profile: the probe side explodes to nprobe rows per
+    * vector and exchanges on the probed cell; the owner side
+    * exchanges on its one assigned cell — still never all-pairs.
+    * Same rank rule (cosine DESC 6 dp, neighbor id ASC); nprobe=1
+    * returns exactly [[knnJoinTwoLevel]]'s rows. */
+  def knnJoinTwoLevelProbe(embeddings: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, maxSeeds: Int = 4096,
+      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame = {
+    val assigned = twoLevelProbe(embeddings, idCol, vecCol, nprobe,
+      maxSeeds, oversample).localCheckpoint()
+    requireProbePairBudget(assigned, "knnJoinTwoLevelProbe", maxPairs)
+    val a = assigned.select(col("id"), col("vec"),
+      explode(col("probe_cells")).as("_pcell"))
+    val b = assigned.select(col("id").as("_nid"), col("vec").as("_nvec"),
+      col("cell").as("_ncell"))
+    val pairs = a.join(b,
+        col("_pcell") === col("_ncell") && col("id") =!= col("_nid"))
+      .select(col("id"), col("_nid").as("neighbor_id"),
+        round(cosine(col("vec"), col("_nvec")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** [[requirePairBudget]] for the multi-probe rule: the implied
+    * candidate stream is Σ over cells of probers × owners (the
+    * [[probePairCost]] number), estimated from two cheap aggregations
+    * before any join runs. */
+  private def requireProbePairBudget(assigned: DataFrame, op: String,
+      maxPairs: Long): Unit = {
+    if (maxPairs == Long.MaxValue) return
+    val est = probePairCost(assigned, "cell", "probe_cells").collect()(0)
+    val pairs = if (est.isNullAt(1)) BigDecimal(0)
+      else BigDecimal(est.getDecimal(1))
+    require(pairs <= BigDecimal(maxPairs),
+      s"$op: the probe rule implies $pairs candidate pairs (> maxPairs=" +
+        s"$maxPairs). Lower nprobe, derive the blocking from corpus " +
+        "size, or raise maxPairs deliberately.")
   }
 
   /** Contrastive training-pair mining over the same IVF blocking as

@@ -263,16 +263,16 @@ final class HttpBigQueryTransport(
             s"BigQuery POST $path returned 2xx but failed: $msg")
         case Right(BodyRetryRows(indices, msg)) =>
           attempt = backoffOrFail(path, attempt, msg)
-          // checkInsertResponse guarantees a non-empty, in-range
-          // index list for this verdict; the bound check is defense
-          // against a server echoing indices past the sent batch
-          pending = indices.collect {
-            case i if i >= 0 && i < pending.size => pending(i)
-          }.toIndexedSeq
-          if (pending.isEmpty) throw new java.io.IOException(
-            s"BigQuery POST $path: transient insertErrors carried only " +
-              "out-of-range row indices — cannot identify the rows to " +
-              s"resend: $msg")
+          // checkInsertResponse guarantees a non-empty index list for
+          // this verdict, but a server echoing ANY index past the sent
+          // batch poisons the whole mapping: the in-range subset may
+          // not be the full set of not-inserted rows, so resending
+          // only it would silently un-deliver the row behind the bad
+          // index. Fall back to the idempotent full-batch resend
+          // (pending unchanged) exactly as the index-less case does —
+          // upstream dedup-at-read absorbs the replay.
+          if (indices.forall(i => i >= 0 && i < pending.size))
+            pending = indices.map(pending).toIndexedSeq
         case Right(BodyRetry(msg)) =>
           attempt = backoffOrFail(path, attempt, msg)
         case Right(_: BodyPoll) =>

@@ -150,13 +150,21 @@ object FrameStreamPipeline {
       val localProps = Seq("spark.jobGroup.id", "spark.job.description",
         "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
       locally {
-        val inserts = byTable.map { case (table, ms) =>
-          // schema from this batch, or the builder's cache when the
-          // Relation message arrived in an earlier flush epoch —
-          // resolved BEFORE the future so schema errors fail in order
+        // Resolve EVERY table's schema before creating ANY future: a
+        // Future submits on construction, so resolving inside the same
+        // map would let a missing-schema throw escape this block while
+        // earlier tables' inserts are still in flight — exactly the
+        // orphaned-write vs supervisor-replay race the settle-all
+        // barrier below exists to prevent. Schema comes from this
+        // batch, or the builder's cache when the Relation message
+        // arrived in an earlier flush epoch.
+        val resolved = byTable.map { case (table, ms) =>
           val schema = schemas.getOrElse(table, builder.schemaOf(table)
             .getOrElse(throw new IllegalStateException(
               s"no schema known for $table: relation must precede rows")))
+          (schema, ms)
+        }
+        val inserts = resolved.map { case (schema, ms) =>
           scala.concurrent.Future {
             localProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
             val payloadType = schema.payloadStruct

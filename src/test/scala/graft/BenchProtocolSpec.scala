@@ -25,10 +25,13 @@ class BenchProtocolSpec extends AnyFunSuite {
     // `floorMinWarm`: floor = cold + min-of-two-warm (r10's method,
     // tokenized in r11 so overhead_floor comparisons across rounds
     // are machine-distinguishable); `coldMin`: readings are min over
-    // ALL successful runs including cold, cold_undercut flagged
+    // ALL successful runs including cold, cold_undercut flagged;
+    // `retime3.3paired` (r12): post-sweep retimes re-time BOTH the
+    // 30x numerator and the 10x denominator, so a sweep-inflated
+    // denominator cannot understate growth
     assert(Bench.protocolName ==
       s"noop-full-plan,min${Protocol.minWarm1x}warm,stabilize20pct," +
-        "floorMinWarm,coldMin,retime3.3")
+        "floorMinWarm,coldMin,retime3.3paired")
     assert(Protocol.agreeRatio == 1.2 &&
       math.round((Protocol.agreeRatio - 1) * 100) == 20)
   }

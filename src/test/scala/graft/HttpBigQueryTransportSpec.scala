@@ -228,6 +228,31 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("ANY out-of-range transient index falls back to the full-batch resend") {
+    // indices are relative to the body just sent; a server echoing one
+    // past the batch poisons the whole mapping — resending only the
+    // in-range subset would silently un-deliver the row behind the bad
+    // index, so the loop must resend the FULL batch (idempotent
+    // upstream), exactly as the index-less case does
+    val mixedRange =
+      """{"insertErrors":[
+        |  {"index":0,"errors":[{"reason":"timeout","message":"x"}]},
+        |  {"index":7,"errors":[{"reason":"timeout","message":"x"}]}
+        |]}""".stripMargin
+    withServer(respond = (i, path, _) =>
+      if (path.endsWith("/insertAll") && i == 0) (200, mixedRange)
+      else (200, "{}")) { (endpoint, requests) =>
+      val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+      t.insertRows("example_raw",
+        Iterator("""{"lsn":1}""", """{"lsn":2}"""))
+      val inserts = requests().filter(_._1.endsWith("/insertAll"))
+      assert(inserts.size == 2)
+      // the resend carries BOTH rows, not just the in-range index 0
+      assert(inserts(1)._3.contains(""""lsn":1""") &&
+        inserts(1)._3.contains(""""lsn":2"""))
+    }
+  }
+
   test("transient subset retry still spends the backoff budget") {
     // every attempt fails rows transiently → budget exhausts, loudly
     val alwaysTransient =

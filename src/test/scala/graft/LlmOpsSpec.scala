@@ -956,6 +956,91 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 2L, 0.666667)), s"got ${got.toSeq}")
   }
 
+  test("cellRecallProbe: hand-computed multi-probe recall@k; degenerates to cellRecall at one probe") {
+    // the cellRecall fixture with probe sets: q = id 0 probes cells
+    // {10, 20} → candidates {0,1,2,4,5}; exact top-3 {0, 4, 1} is now
+    // fully candidate → recall 1.0. With probe = own cell only the
+    // result must equal cellRecall's 2/3.
+    val assigned = Seq(
+      (0L, Seq(1.0f, 0.0f), 10L, Seq(10L, 20L)),
+      (1L, Seq(1.0f, 0.1f), 10L, Seq(10L)),
+      (2L, Seq(0.9f, 0.3f), 10L, Seq(10L)),
+      (3L, Seq(0.0f, 1.0f), 10L, Seq(10L)),
+      (4L, Seq(1.0f, 0.05f), 20L, Seq(20L)),
+      (5L, Seq(0.0f, 1.0f), 20L, Seq(20L))
+    ).toDF("id", "vec", "cell", "probe_cells")
+    val got = SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
+        "probe_cells", col("id") === 0L, k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0L, 3L, 1.0)), s"got ${got.toSeq}")
+    val own = SimilarityOps.cellRecallProbe(
+        assigned.withColumn("probe_cells", array($"cell")),
+        "id", "vec", "cell", "probe_cells", col("id") === 0L, k = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(own.toSeq == Seq((0L, 2L, 0.666667)), s"got ${own.toSeq}")
+  }
+
+  test("twoLevelProbe: nprobe=1 IS twoLevelAssign; recall and pair cost rise together with nprobe") {
+    // probe element 0 must be the own cell — nprobe=1 row-identical
+    // to the plain assignment on real embeddings
+    val plain = SimilarityOps.twoLevelAssign(
+        embeddings, "vec_id", "embedding")
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    val probed = SimilarityOps.twoLevelProbe(
+        embeddings, "vec_id", "embedding", nprobe = 1)
+      .select($"id", $"cell", $"probe_cells")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(probed.length == plain.size)
+    probed.foreach { case (id, cell, pcs) =>
+      assert(cell == plain(id), s"id=$id cell=$cell plain=${plain(id)}")
+      assert(pcs == Seq(cell), s"id=$id probe=$pcs cell=$cell")
+    }
+    // monotone dials: recall@10 and implied pair cost both
+    // non-decreasing in nprobe (the q191-q194 curve's law)
+    def curve(np: Int): (Double, BigDecimal) = {
+      val a = SimilarityOps.twoLevelProbe(
+        embeddings, "vec_id", "embedding", nprobe = np).localCheckpoint()
+      val r = SimilarityOps.cellRecallProbe(a, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0, k = 10)
+        .agg(avg($"recall")).as[Double].collect()(0)
+      val c = BigDecimal(SimilarityOps.probePairCost(a, "cell", "probe_cells")
+        .collect()(0).getDecimal(1))
+      (r, c)
+    }
+    val (r1, c1) = curve(1)
+    val (r2, c2) = curve(2)
+    assert(r2 >= r1, s"recall fell: np1=$r1 np2=$r2")
+    assert(c2 >= c1, s"pair cost fell: np1=$c1 np2=$c2")
+    assert(r1 > 0.0 && c1 > 0)
+  }
+
+  test("knnJoinTwoLevelProbe: nprobe=1 equals knnJoinTwoLevel; probe budget enforced") {
+    val single = SimilarityOps.knnJoinTwoLevel(
+        embeddings, "vec_id", "embedding", k = 3)
+      .select($"id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val probed = SimilarityOps.knnJoinTwoLevelProbe(
+        embeddings, "vec_id", "embedding", k = 3, nprobe = 1)
+      .select($"id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed == single)
+    // wider probes can only add candidates: every id keeps at least
+    // its single-probe neighbor count
+    val wide = SimilarityOps.knnJoinTwoLevelProbe(
+        embeddings, "vec_id", "embedding", k = 3, nprobe = 3)
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    val narrow = single.groupBy(_._1).view.mapValues(_.size).toMap
+    narrow.foreach { case (id, n) =>
+      assert(wide.getOrElse(id, 0L) >= n, s"id=$id lost neighbors")
+    }
+    // the probe pair budget refuses before the join, naming the op
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnJoinTwoLevelProbe(
+        embeddings, "vec_id", "embedding", k = 3, nprobe = 3, maxPairs = 10L)
+    }
+    assert(e.getMessage.contains("knnJoinTwoLevelProbe"))
+  }
+
   test("two-level oversample dial: recall side — os1 recalls at least as much as os2 on real embeddings") {
     // the dial's documented trade (TwoLevelProbe measured its COST
     // side in pair counts): oversample=1 → fewer, larger subcells →

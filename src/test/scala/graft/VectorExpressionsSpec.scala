@@ -382,6 +382,77 @@ class VectorExpressionsSpec extends AnyFunSuite {
         "array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS c").head().getInt(0) == 1)
   }
 
+  test("VectorTopDotCells: top-n (dot DESC, index ASC); element 0 equals argmax") {
+    import graft.functions.VectorExpressions
+    // foldable matrix: ranking, ties, and the argmax-consistency
+    // contract (element 0 == argmaxDotCells whenever non-empty)
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 1.0, 0.0), Seq(0.5, 0.5, 0.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(1.0f), Some(0.0f)))),
+      (2L, Some(Seq(Some(1.0f), Some(5.0f), Some(0.0f)))), // tie 1/2 -> 1 then 2
+      (3L, Some(Seq(Some(0.0f), Some(0.0f), Some(0.0f)))), // all-zero: index order
+      (4L, Some(Seq(Some(1.0f), None, Some(2.0f)))),       // null element -> empty
+      (5L, None),                                          // null vector -> empty
+      (6L, Some(Seq(Some(1.0f), Some(2.0f))))              // length mismatch -> empty
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorExpressions.topDotCells(col("v"), typedLit(cents), 3).as("t"),
+        VectorExpressions.argmaxDotCells(col("v"), typedLit(cents)).as("a"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toList, r.getInt(2))))
+      .toMap
+    // id 1: dots (3, 1, 1, 2) -> 0, 3, then tie (1,2) -> 1
+    assert(got(1L)._1 == List(0, 3, 1))
+    // id 2: dots (1, 5, 5, 3) -> tie at 5 ranks lower index first
+    assert(got(2L)._1 == List(1, 2, 3))
+    // id 3: all dots equal -> pure index order
+    assert(got(3L)._1 == List(0, 1, 2))
+    // degenerates: empty, and argmax says -1
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(got(id)._1.isEmpty && got(id)._2 == -1, s"id=$id")
+    }
+    // element 0 == argmax whenever non-empty
+    got.values.foreach { case (t, a) =>
+      if (t.nonEmpty) assert(t.head == a)
+    }
+    // n larger than the matrix returns all valid indices
+    assert(df.where(col("id") === 1L)
+      .select(VectorExpressions.topDotCells(col("v"), typedLit(cents), 10))
+      .head().getSeq[Int](0).size == 4)
+    // n=1 IS argmax for every non-degenerate row
+    df.select(VectorExpressions.topDotCells(col("v"), typedLit(cents), 1).as("t"),
+        VectorExpressions.argmaxDotCells(col("v"), typedLit(cents)).as("a"))
+      .collect().foreach { r =>
+        val t = r.getSeq[Int](0)
+        assert(if (r.getInt(1) == -1) t.isEmpty else t == Seq(r.getInt(1)))
+      }
+
+    // non-foldable per-row matrices (codegen path): null rows /
+    // mismatches skipped, empty list -> empty result
+    val rows = Seq(
+      (Seq(1.0f, 0.0f),
+        Seq(Some(Seq(Some(0.0), Some(1.0))), Some(Seq(Some(1.0), Some(0.0)))),
+        Seq(1, 0)),
+      (Seq(1.0f, 0.0f),
+        Seq(None, Some(Seq(Some(1.0), Some(0.0)))), Seq(1)),
+      (Seq(1.0f, 0.0f),
+        Seq(Some(Seq(Some(1.0))), Some(Seq(Some(0.5), Some(0.0)))), Seq(1)),
+      (Seq(1.0f, 0.0f), Seq.empty[Option[Seq[Option[Double]]]], Seq.empty[Int])
+    ).toDF("v", "m", "want")
+    rows.select(VectorExpressions.topDotCells(col("v"), col("m"), 2).as("got"),
+        col("want"))
+      .collect().foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"got ${r.getSeq[Int](0)} want ${r.getSeq[Int](1)}"))
+
+    // SQL spelling after registration
+    GraftSparkExtensions.register(spark)
+    assert(spark.sql(
+      "SELECT vector_top_dot_cells(array(cast(0.0 as float), cast(2.0 as float)), " +
+        "array(array(1.0d, 0.0d), array(0.0d, 1.0d), array(0.0d, 0.5d)), 2) AS t")
+      .head().getSeq[Int](0) == Seq(1, 2))
+  }
+
   test("VectorMatmul: identical to array(k VectorDots); degenerates are all-null arrays") {
     import graft.functions.VectorExpressions
     val matrix = Seq(Seq(1.0, 0.0, 2.0), Seq(-1.0, 0.5, 0.0))
