@@ -48,7 +48,9 @@ object GraphOps {
     * @param damping quantized to hundredths (85/100 by default).
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1)
     val p = math.round(damping * 100) // damping = p/q exactly
     val q = 100L
@@ -61,15 +63,25 @@ object GraphOps {
     // orders⋈lineitem edge graph at sf0.1: 6.6s -> 2.1s for 3
     // iterations). localCheckpoint also truncates lineage, which is
     // exactly the caller note below about deep iteration chains.
+    // `storage` defaults to the SERIALIZED block form: each iteration
+    // re-reads the pinned edge table, so at the big decades the
+    // checkpoint's footprint competes with the shuffle working set
+    // for one host's memory + page cache — deserialized row blocks
+    // (localCheckpoint's own default) are several times the
+    // serialized size for narrow long pairs, and the r11 audit's one
+    // above-law row (q149 at 100x: 30x ratio 5.26 vs linear 3.33)
+    // read 59.1 -> 44.8s isolated (-24%, ratio back at-or-below
+    // linear) from this one change, with the 1x/30x decades unmoved
+    // (see SCALING round 12).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, storage)
     // node universe = sources ∪ sinks; out_deg 0 for pure sinks
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val base = nodes.join(outDegrees(e).withColumnRenamed("src", "id"),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-      .localCheckpoint()
+      .localCheckpoint(true, storage)
     val n = base.count()
     def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
     val teleport = halfUp((q - p) * scale, q * n)

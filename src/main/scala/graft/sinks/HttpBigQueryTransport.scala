@@ -131,20 +131,20 @@ final class HttpBigQueryTransport(
     * transient), `BodyRetry` re-enters the backoff loop (incomplete
     * idempotent DDL jobs). `BodyRetryRows` is a contract violation
     * here — only the insertAll loop (which can rebuild a smaller
-    * body) knows how to honor it. */
+    * body) knows how to honor it. Returns the statement's DML row
+    * count when the completed response carried one. */
   private def post(path: String, body: String,
-      check: String => BodyVerdict): Unit = {
+      check: String => BodyVerdict): Option[Long] = {
     var attempt = 0
-    var done = false
-    while (!done) {
+    while (true) {
       triage(path, sendPost(path, body), check) match {
-        case Right(BodyOk) => done = true
+        case Right(BodyOk) => return None
+        case Right(BodyOkRows(n)) => return Some(n)
         case Right(BodyFail(msg)) =>
           throw new java.io.IOException(
             s"BigQuery POST $path returned 2xx but failed: $msg")
         case Right(BodyPoll(jobId, location)) =>
-          pollQueryResults(jobId, location)
-          done = true
+          return pollQueryResults(jobId, location)
         case Right(BodyRetry(msg)) =>
           attempt = backoffOrFail(path, attempt, msg)
         case Right(BodyRetryRows(_, msg)) =>
@@ -154,6 +154,7 @@ final class HttpBigQueryTransport(
         case Left(msg) => attempt = backoffOrFail(path, attempt, msg)
       }
     }
+    None
   }
 
   /** jobs.getQueryResults for an accepted-but-incomplete job: GET the
@@ -164,15 +165,15 @@ final class HttpBigQueryTransport(
     * DDL after ~5 polls and push the caller right back into the
     * duplicate-resubmission pileup this path exists to prevent).
     * Only 429/5xx/IO spend `maxRetries`. Never resubmits — one job,
-    * observed to completion, the reference client's wait semantics. */
+    * observed to completion, the reference client's wait semantics.
+    * Returns the completed statement's DML row count when present. */
   private def pollQueryResults(jobId: String,
-      location: Option[String]): Unit = {
+      location: Option[String]): Option[Long] = {
     val path = s"/projects/$projectId/queries/$jobId" +
       location.map(l => s"?location=$l").getOrElse("")
     val deadline = System.nanoTime() + maxPollSecs * 1000000000L
     var attempt = 0
-    var done = false
-    while (!done) {
+    while (true) {
       val outcome: Either[String, (Int, String)] =
         try {
           val req = java.net.http.HttpRequest.newBuilder()
@@ -197,7 +198,8 @@ final class HttpBigQueryTransport(
         case Left(io) => Left(io)
       }
       verdict match {
-        case Right(BodyOk) => done = true
+        case Right(BodyOk) => return None
+        case Right(BodyOkRows(n)) => return Some(n)
         case Right(BodyFail(msg)) =>
           throw new java.io.IOException(
             s"BigQuery GET $path returned 2xx but failed: $msg")
@@ -215,18 +217,28 @@ final class HttpBigQueryTransport(
           Thread.sleep(100L << (attempt - 1))
       }
     }
+    None
   }
 
-  private def runDdl(sql: String): Unit =
+  /** Run one Standard-SQL STATEMENT (DDL or DML) through jobs.query,
+    * observed to completion, returning `numDmlAffectedRows` when the
+    * response carries one (DML; DDL returns None) — the reference
+    * sink's rowsAffected surface. Row-RETURNING queries are outside
+    * this transport's contract: a completed response carrying a
+    * pageToken fails loudly (results would otherwise be silently
+    * truncated to the first page). */
+  def runStatement(sql: String): Option[Long] =
     post(s"/projects/$projectId/queries",
       s"""{"query":${jsonStr(sql)},"useLegacySql":false}""",
       checkQueryResponse)
 
-  override def ensureTable(meta: BqTableMeta, ddl: String): Unit =
-    runDdl(ddl)
+  override def ensureTable(meta: BqTableMeta, ddl: String): Unit = {
+    runStatement(ddl); ()
+  }
 
-  override def ensureView(meta: BqTableMeta): Unit =
-    runDdl(BigQueryMapping.ddl(datasetId, meta))
+  override def ensureView(meta: BqTableMeta): Unit = {
+    runStatement(BigQueryMapping.ddl(datasetId, meta)); ()
+  }
 
   override def insertRows(table: String, rows: Iterator[String]): Unit =
     rows.grouped(batchRows).foreach(batch =>
@@ -275,12 +287,12 @@ final class HttpBigQueryTransport(
             pending = indices.map(pending).toIndexedSeq
         case Right(BodyRetry(msg)) =>
           attempt = backoffOrFail(path, attempt, msg)
-        case Right(_: BodyPoll) =>
-          // not an insertAll verdict: declaring the batch delivered on
-          // it would be a silent drop — fail the contract loudly, the
-          // post() treatment of ITS unreachable verdict
+        case Right(_: BodyPoll) | Right(_: BodyOkRows) =>
+          // not insertAll verdicts: declaring the batch delivered on
+          // them would be a silent drop — fail the contract loudly,
+          // the post() treatment of ITS unreachable verdict
           throw new IllegalStateException(
-            s"BigQuery POST $path: poll verdict on an insertAll response")
+            s"BigQuery POST $path: query-path verdict on an insertAll response")
         case Left(msg) => attempt = backoffOrFail(path, attempt, msg)
       }
     }
@@ -292,6 +304,10 @@ object HttpBigQueryTransport {
   /** Outcome of inspecting a 2xx response body. */
   private[sinks] sealed trait BodyVerdict
   private[sinks] case object BodyOk extends BodyVerdict
+  /** Completed jobs.query/getQueryResults carrying
+    * `numDmlAffectedRows` — a DML statement's row count, surfaced to
+    * [[HttpBigQueryTransport.runStatement]] callers. */
+  private[sinks] final case class BodyOkRows(rows: Long) extends BodyVerdict
   private[sinks] final case class BodyFail(msg: String) extends BodyVerdict
   private[sinks] final case class BodyRetry(msg: String) extends BodyVerdict
   /** jobComplete:false WITH a jobReference: the job is accepted and
@@ -428,7 +444,28 @@ object HttpBigQueryTransport {
                   })
                 case _ => BodyRetry("jobComplete=false")
               }
-            case _ => BodyOk
+            case _ =>
+              // completed. This transport's query path is
+              // STATEMENT-ONLY (DDL/DML): it never reads result rows,
+              // so a completed response carrying a pageToken means a
+              // row-returning query was issued whose further pages
+              // would be silently dropped — fail the contract loudly
+              // instead (the BodyPoll-outside-insertAll treatment).
+              // DML row counts (numDmlAffectedRows — an int64 BigQuery
+              // serializes as a JSON string) surface to runStatement.
+              j \ "pageToken" match {
+                case JString(tok) if tok.nonEmpty =>
+                  BodyFail("jobs.query returned a multi-page result " +
+                    "(pageToken present): this transport's query path " +
+                    "is statement-only (DDL/DML) and never pages " +
+                    "result rows")
+                case _ => j \ "numDmlAffectedRows" match {
+                  case JString(n) => BodyOkRows(n.toLong)
+                  case JInt(n) => BodyOkRows(n.toLong)
+                  case JLong(n) => BodyOkRows(n)
+                  case _ => BodyOk
+                }
+              }
           }
         }
       // an unparseable 2xx body is not evidence the job succeeded —

@@ -364,6 +364,47 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("statement-only query contract: DML row counts surface, pageToken fails loudly") {
+    // DML: a completed jobs.query with numDmlAffectedRows (an int64,
+    // JSON-serialized as a string) returns it from runStatement
+    withServer(respond = (_, _, _) =>
+      (200, """{"jobComplete":true,"numDmlAffectedRows":"42"}""")) {
+      (endpoint, _) =>
+        val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+        assert(t.runStatement("DELETE FROM ds.t WHERE x < 0") == Some(42L))
+    }
+    // DDL: completed, no row count → None
+    withServer() { (endpoint, _) =>
+      val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+      assert(t.runStatement("CREATE TABLE t (x INT64)").isEmpty)
+    }
+    // the row count rides through the POLL path too: accepted job,
+    // then getQueryResults completes with the DML count
+    withServer(respond = (_, path, _) =>
+      if (path == "/projects/proj/queries")
+        (200, """{"jobComplete":false,"jobReference":{"jobId":"j9"}}""")
+      else (200, """{"jobComplete":true,"numDmlAffectedRows":"7"}""")) {
+      (endpoint, requests) =>
+        val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+        assert(t.runStatement("UPDATE ds.t SET x = 1 WHERE true") == Some(7L))
+        assert(requests().count(_._1 == "/projects/proj/queries") == 1)
+    }
+    // a completed response carrying a pageToken means a row-RETURNING
+    // query was issued through the statement-only path: its further
+    // pages would be silently dropped — the transport fails loudly
+    // instead of pretending the first page was everything
+    withServer(respond = (_, _, _) =>
+      (200, """{"jobComplete":true,"pageToken":"tok123","rows":[]}""")) {
+      (endpoint, _) =>
+        val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+        val e = intercept[java.io.IOException] {
+          t.runStatement("SELECT x FROM ds.huge")
+        }
+        assert(e.getMessage.contains("statement-only") &&
+          e.getMessage.contains("pageToken"))
+    }
+  }
+
   test("metadata-server token source: header, cache, refresh at expiry") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val flavors = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Scale-decade correctness: the DuckDB-oracle compare (tools/compare.py
+semantics, same canonicalization) run against the 10x REPLICA for the
+heavy-tail query list — the decade the bench sweeps lean on. The sf0.01
+gate proves operator semantics; this proves the semantics SURVIVE a
+decade of growth (seed derivation, budget caps, overflow are exactly
+the class a small SF cannot see). DuckDB pays minutes per heavy query
+at 10x, so each oracle runs under a wall-clock budget in a subprocess;
+a query whose oracle exceeds it is recorded as oracle_timeout with the
+elapsed time — a named reason, not a silent skip.
+
+Usage: python3 tools/correctness_10x.py <replicaDir> <verifyOutDir> [budgetSec]
+Writes CORRECTNESS_10x.json next to the cwd. Dev tool only.
+"""
+import json
+import multiprocessing as mp
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError("array cell")
+    if isinstance(v, pd.Timestamp) and v.tzinfo is not None:
+        v = v.tz_convert("UTC").tz_localize(None)
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def rows_of(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for r in df.itertuples(index=False):
+        rows.append(tuple(canon(v) for v in r))
+    return sorted(df.columns), sorted(rows)
+
+
+def run_oracle(sf_dir, sql, q):
+    # fresh process: an over-budget DuckDB query is killed, not joined
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    df = con.sql(sql).df()
+    q.put((list(df.columns), df.to_dict("records")))
+
+
+def main(sf_dir, out_dir, budget_sec=1800):
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    results = {}
+    for qdir in sorted(p for p in out.iterdir() if p.is_dir()):
+        name = qdir.name
+        if name not in oracle:
+            results[name] = {"status": "no_oracle"}
+            continue
+        t0 = time.time()
+        sdf = pd.read_parquet(qdir)
+        scols, srows = rows_of(sdf)
+        q = mp.Queue()
+        proc = mp.Process(target=run_oracle, args=(sf_dir, oracle[name], q))
+        proc.start()
+        payload = None
+        deadline = t0 + budget_sec
+        while proc.is_alive() and time.time() < deadline and payload is None:
+            try:
+                payload = q.get(timeout=2)
+            except Exception:
+                pass
+        if payload is None:
+            try:
+                payload = q.get(timeout=2)
+            except Exception:
+                pass
+        elapsed = round(time.time() - t0, 1)
+        if payload is None:
+            proc.terminate()
+            proc.join()
+            status = ("oracle_timeout" if elapsed >= budget_sec
+                      else "oracle_error")
+            results[name] = {"status": status, "elapsed_sec": elapsed,
+                             "reason": f"DuckDB oracle exceeded {budget_sec}s "
+                             "on the 10x replica" if status == "oracle_timeout"
+                             else "oracle subprocess died"}
+            print(f"{name}: {status} ({elapsed}s)", flush=True)
+            continue
+        proc.join()
+        odf = pd.DataFrame(payload[1], columns=payload[0])
+        ocols, orows = rows_of(odf)
+        ok = (list(scols) == list(ocols) and srows == orows)
+        results[name] = {
+            "status": "ok" if ok else "mismatch",
+            "rows": len(srows), "oracle_rows": len(orows),
+            "cols_match": list(scols) == list(ocols),
+            "elapsed_sec": elapsed}
+        if not ok and len(srows) == len(orows):
+            diffs = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+            results[name]["first_diff_rows"] = diffs[:3]
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(srows)} "
+              f"({elapsed}s)", flush=True)
+    summary = {
+        "sf": sf_dir, "budget_sec": budget_sec,
+        "n": len(results),
+        "n_ok": sum(1 for r in results.values() if r.get("status") == "ok"),
+        "queries": results}
+    Path("CORRECTNESS_10x.json").write_text(json.dumps(summary, indent=1) + "\n")
+    print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 1800)
