@@ -162,6 +162,18 @@ object Example {
           .agg(avg(col("recall"))).collect()(0).getDouble(0)
       println(f"two-level recall@10: oversample=1 ${blockedRecall(1)}%.3f" +
         f" vs oversample=2 ${blockedRecall(2)}%.3f")
+      // and the MULTI-PROBE dial (q191-q194): probing the nprobe
+      // nearest fine cells buys recall back at a linear pair-cost
+      // factor — the recall/cost curve a caller tunes nprobe on
+      def probedRecall(np: Int): Double =
+        SimilarityOps.cellRecallProbe(
+            SimilarityOps.twoLevelProbe(emb, "vec_id", "embedding",
+              nprobe = np),
+            "id", "vec", "cell", "probe_cells",
+            col("id") % 10 === 0, k = 10)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"two-level multi-probe recall@10: nprobe=1 " +
+        f"${probedRecall(1)}%.3f vs nprobe=4 ${probedRecall(4)}%.3f")
     }
     // partitioned ANN store lifecycle: base write → generation append
     // (the daily delta) → directory-pruned probe resolving upserts

@@ -68,11 +68,16 @@ object GraphOps {
     // checkpoint's footprint competes with the shuffle working set
     // for one host's memory + page cache — deserialized row blocks
     // (localCheckpoint's own default) are several times the
-    // serialized size for narrow long pairs, and the r11 audit's one
-    // above-law row (q149 at 100x: 30x ratio 5.26 vs linear 3.33)
-    // read 59.1 -> 44.8s isolated (-24%, ratio back at-or-below
-    // linear) from this one change, with the 1x/30x decades unmoved
-    // (see SCALING round 12).
+    // serialized size for narrow long pairs. Measured on the r11
+    // audit's one above-law row (q149 at 100x, 120M edges,
+    // GraphScaleProbe): deserialized runs are BIMODAL 42.9-90.4s
+    // (page-cache lottery — the 5.26-vs-linear-3.33 ratio r11
+    // flagged was the slow mode), serialized runs read a stable
+    // 52.1/52.8/55.1s and the 100x/30x decade ratio drops to 3.06,
+    // at-or-below linear; 1x is unchanged (~2.4s warm both ways).
+    // Stability under memory pressure is the property a fourth-decade
+    // run needs; the ~20% best-case penalty is the price (SCALING
+    // round 12).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true, storage)
     // node universe = sources ∪ sinks; out_deg 0 for pure sinks

@@ -40,19 +40,23 @@ class ExampleDriftSpec extends AnyFunSuite {
 
   // dial positions (1-based) per family form:
   //   twoLevelAssign(emb, id, vec, maxSeeds=4, oversample=5)
+  //   twoLevelProbe(emb, id, vec, nprobe, maxSeeds=5, oversample=6)
   //   semDedupTwoLevel(emb, id, vec, threshold, maxSeeds=5, maxPairs=6, oversample=7)
   //   knnJoinTwoLevel(emb, id, vec, k, maxSeeds=5, maxPairs=6, oversample=7)
+  //   knnJoinTwoLevelProbe(emb, id, vec, k, nprobe, maxSeeds=6, maxPairs=7, oversample=8)
   //   contrastivePairsTwoLevel(emb, id, vec, kPos, kNeg, posMin, negMax,
   //     maxSeeds=8, maxPairs=9, oversample=10)
   private val oversamples = Seq(
-    "twoLevelAssign" -> 5, "semDedupTwoLevel" -> 7,
-    "knnJoinTwoLevel" -> 7, "contrastivePairsTwoLevel" -> 10)
+    "twoLevelAssign" -> 5, "twoLevelProbe" -> 6, "semDedupTwoLevel" -> 7,
+    "knnJoinTwoLevel" -> 7, "knnJoinTwoLevelProbe" -> 8,
+    "contrastivePairsTwoLevel" -> 10)
   private val maxSeeds = Seq(
-    "twoLevelAssign" -> 4, "semDedupTwoLevel" -> 5,
-    "knnJoinTwoLevel" -> 5, "contrastivePairsTwoLevel" -> 8)
+    "twoLevelAssign" -> 4, "twoLevelProbe" -> 5, "semDedupTwoLevel" -> 5,
+    "knnJoinTwoLevel" -> 5, "knnJoinTwoLevelProbe" -> 6,
+    "contrastivePairsTwoLevel" -> 8)
   private val maxPairs = Seq(
     "semDedupTwoLevel" -> 6, "knnJoinTwoLevel" -> 6,
-    "contrastivePairsTwoLevel" -> 9)
+    "knnJoinTwoLevelProbe" -> 7, "contrastivePairsTwoLevel" -> 9)
 
   test("the two-level family's dial defaults agree across every form") {
     def values(dial: Seq[(String, Int)]): Seq[Any] =
@@ -87,5 +91,19 @@ class ExampleDriftSpec extends AnyFunSuite {
     assert(exampleSrc.contains("oversample = os") ||
       exampleSrc.contains("blockedRecall(1)"),
       "Example's recall demo no longer sweeps the dial")
+  }
+
+  test("Example drives the multi-probe dial across its measured curve") {
+    // the r12 nprobe dial: the demo must sweep twoLevelProbe +
+    // cellRecallProbe at more than one probe width, so the
+    // recall-vs-cost curve (q191-q194's oracle surface) stays a
+    // driven, demonstrated capability — not a dormant parameter
+    assert(exampleSrc.contains("twoLevelProbe"),
+      "Example no longer drives twoLevelProbe")
+    assert(exampleSrc.contains("cellRecallProbe"),
+      "Example no longer measures multi-probe recall")
+    assert(exampleSrc.contains("probedRecall(1)") &&
+      exampleSrc.contains("probedRecall(4)"),
+      "Example's multi-probe demo no longer sweeps nprobe")
   }
 }

@@ -32,7 +32,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q183_kmv_algebra",                             // 1-row sketch × 1-row sketch combine
     "q187_ann_recall",                              // corpus × FIXED-SIZE query sample (id-capped, ≤200 at any corpus size), query side broadcast
     "q189_two_level_recall_os1",                    // cellRecall: same shape as q187 — corpus × bounded query sample, query side broadcast
-    "q190_two_level_recall_os2")                    // cellRecall at the default oversample, same bounded cross
+    "q190_two_level_recall_os2",                    // cellRecall at the default oversample, same bounded cross
+    "q191_two_level_recall_np1",                    // cellRecallProbe: the q189 evaluation shape with a probe-set column on the broadcast query sample
+    "q192_two_level_recall_np2",                    // cellRecallProbe at nprobe=2, same bounded cross
+    "q193_two_level_recall_np4")                    // cellRecallProbe at nprobe=4, same bounded cross
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)

@@ -53,8 +53,12 @@ def run_oracle(sf_dir, sql, q):
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
+        # replica tables are Spark-written DIRECTORIES of part files;
+        # the original testdata is single parquet files — glob both
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     df = con.sql(sql).df()
     q.put((list(df.columns), df.to_dict("records")))
 
