@@ -2034,6 +2034,17 @@ object SparkEntry {
           "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
         .orderBy(col("qid"))
     }),
+    // ----- multi-probe semantic dedup: the q188 keep rule with
+    // candidate pairs from EITHER side's nprobe=2 probe set — the
+    // boundary-straddling near-dups the own-cell rule misses become
+    // candidates; larger id of any >= threshold pair drops -----
+    "q195_two_level_dedup_np2" -> ((s, dir) => {
+      SimilarityOps.semDedupTwoLevelProbe(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.3, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cell"),
+          col("kept").cast("int").as("kept"))
+        .orderBy(col("vec_id"))
+    }),
     // ----- the pair-COST side of the multi-probe curve: candidate
     // pairs the probe rule implies at nprobe 1/2/4 (Σ cells of
     // probers × owners — the number requireProbePairBudget enforces),
@@ -4125,6 +4136,18 @@ object SparkEntry {
     "q191_two_level_recall_np1" -> duckTwoLevelProbeRecall(1),
     "q192_two_level_recall_np2" -> duckTwoLevelProbeRecall(2),
     "q193_two_level_recall_np4" -> duckTwoLevelProbeRecall(4),
+    "q195_two_level_dedup_np2" ->
+      s"""WITH ${duckTwoLevelAssign(2)},
+         |pl AS (SELECT vec_id, v,
+         |    CAST(coarse AS BIGINT) * 4294967296 + fid AS cell
+         |  FROM fasg WHERE rn <= 2),
+         |p AS (SELECT greatest(x.vec_id, y.vec_id) AS dup_id,
+         |    round(${duckCosine("x.v", "y.v")}, 6) AS c
+         |  FROM pl x JOIN tl y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |d AS (SELECT DISTINCT dup_id FROM p WHERE c >= 0.3)
+         |SELECT tl.vec_id, tl.cell, CAST(d.dup_id IS NULL AS INTEGER) AS kept
+         |FROM tl LEFT JOIN d ON tl.vec_id = d.dup_id
+         |ORDER BY tl.vec_id""".stripMargin,
     "q194_probe_pair_cost" ->
       s"""WITH ${duckTwoLevelAssign(2)},
          |pl AS (SELECT vec_id, rn,

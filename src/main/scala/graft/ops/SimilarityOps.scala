@@ -862,6 +862,39 @@ object SimilarityOps {
         .localCheckpoint(),
       threshold, "semDedupTwoLevel", maxPairs)
 
+  /** [[semDedupTwoLevel]] with the multi-probe dial: candidate pairs
+    * are (prober, owner) pairs where EITHER vector's `nprobe` probe
+    * set ([[twoLevelProbe]]) contains the other's own cell — the
+    * boundary-straddling near-duplicates the own-cell rule's measured
+    * ~0.2 recall leaves uncaught become candidates at a linear
+    * pair-cost factor (the q191–q194 curve applied to dedup). The
+    * keep rule is unchanged: the LARGER id of any ≥threshold pair
+    * drops, so nprobe=1 returns [[semDedupTwoLevel]]'s rows exactly
+    * (probe_cells[0] is the own cell) and the kept set shrinks
+    * monotonically as probes widen. Budget enforced on the PROBE
+    * rule's implied pairs ([[probePairCost]]) before the join.
+    * Output: (id, cell, kept). */
+  def semDedupTwoLevelProbe(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nprobe: Int, maxSeeds: Int = 4096,
+      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame = {
+    val assigned = twoLevelProbe(embeddings, idCol, vecCol, nprobe,
+      maxSeeds, oversample).localCheckpoint()
+    requireProbePairBudget(assigned, "semDedupTwoLevelProbe", maxPairs)
+    val a = assigned.select(col("id"), col("vec"),
+      explode(col("probe_cells")).as("_pcell"))
+    val b = assigned.select(col("id").as("_oid"), col("vec").as("_ovec"),
+      col("cell").as("_ocell"))
+    // the join enumerates BOTH directions (a probes b's cell and b
+    // probes a's), so greatest(id) per qualifying pair is the full
+    // symmetric drop rule without a union
+    val dups = a.join(b, col("_pcell") === col("_ocell") &&
+        col("id") =!= col("_oid"))
+      .where(round(cosine(col("vec"), col("_ovec")), 6) >= threshold)
+      .select(greatest(col("id"), col("_oid")).as("id")).distinct()
+    assigned.join(dups.withColumn("_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("_dup").isNull.as("kept"))
+  }
+
   /** The semDedup keep rule over any (id, vec, cell) assignment:
     * budget-check the blocking, join within cells, drop every vector
     * with a ≥threshold-cosine neighbor of smaller id. */

@@ -42,20 +42,24 @@ class ExampleDriftSpec extends AnyFunSuite {
   //   twoLevelAssign(emb, id, vec, maxSeeds=4, oversample=5)
   //   twoLevelProbe(emb, id, vec, nprobe, maxSeeds=5, oversample=6)
   //   semDedupTwoLevel(emb, id, vec, threshold, maxSeeds=5, maxPairs=6, oversample=7)
+  //   semDedupTwoLevelProbe(emb, id, vec, threshold, nprobe, maxSeeds=6, maxPairs=7, oversample=8)
   //   knnJoinTwoLevel(emb, id, vec, k, maxSeeds=5, maxPairs=6, oversample=7)
   //   knnJoinTwoLevelProbe(emb, id, vec, k, nprobe, maxSeeds=6, maxPairs=7, oversample=8)
   //   contrastivePairsTwoLevel(emb, id, vec, kPos, kNeg, posMin, negMax,
   //     maxSeeds=8, maxPairs=9, oversample=10)
   private val oversamples = Seq(
     "twoLevelAssign" -> 5, "twoLevelProbe" -> 6, "semDedupTwoLevel" -> 7,
+    "semDedupTwoLevelProbe" -> 8,
     "knnJoinTwoLevel" -> 7, "knnJoinTwoLevelProbe" -> 8,
     "contrastivePairsTwoLevel" -> 10)
   private val maxSeeds = Seq(
     "twoLevelAssign" -> 4, "twoLevelProbe" -> 5, "semDedupTwoLevel" -> 5,
+    "semDedupTwoLevelProbe" -> 6,
     "knnJoinTwoLevel" -> 5, "knnJoinTwoLevelProbe" -> 6,
     "contrastivePairsTwoLevel" -> 8)
   private val maxPairs = Seq(
-    "semDedupTwoLevel" -> 6, "knnJoinTwoLevel" -> 6,
+    "semDedupTwoLevel" -> 6, "semDedupTwoLevelProbe" -> 7,
+    "knnJoinTwoLevel" -> 6,
     "knnJoinTwoLevelProbe" -> 7, "contrastivePairsTwoLevel" -> 9)
 
   test("the two-level family's dial defaults agree across every form") {

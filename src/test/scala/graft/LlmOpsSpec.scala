@@ -1014,6 +1014,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r1 > 0.0 && c1 > 0)
   }
 
+  test("semDedupTwoLevelProbe: nprobe=1 equals semDedupTwoLevel; kept set shrinks monotonically") {
+    val single = SimilarityOps.semDedupTwoLevel(
+        embeddings, "vec_id", "embedding", threshold = 0.3)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    val probed1 = SimilarityOps.semDedupTwoLevelProbe(
+        embeddings, "vec_id", "embedding", threshold = 0.3, nprobe = 1)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(probed1 == single)
+    // wider probes can only DISCOVER more near-dup pairs: every id
+    // dropped at nprobe=1 stays dropped at nprobe=3
+    val probed3 = SimilarityOps.semDedupTwoLevelProbe(
+        embeddings, "vec_id", "embedding", threshold = 0.3, nprobe = 3)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(probed3.keySet == probed1.keySet)
+    probed1.foreach { case (id, kept) =>
+      if (!kept) assert(!probed3(id), s"id=$id resurrected at nprobe=3")
+    }
+    // and on this corpus the wider rule actually finds MORE dups at a
+    // low threshold (the boundary-straddling pairs exist)
+    val dropped1 = probed1.count(!_._2)
+    val dropped3 = probed3.count(!_._2)
+    assert(dropped3 >= dropped1)
+  }
+
   test("knnJoinTwoLevelProbe: nprobe=1 equals knnJoinTwoLevel; probe budget enforced") {
     val single = SimilarityOps.knnJoinTwoLevel(
         embeddings, "vec_id", "embedding", k = 3)

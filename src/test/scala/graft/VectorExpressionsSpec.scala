@@ -420,6 +420,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.where(col("id") === 1L)
       .select(VectorExpressions.topDotCells(col("v"), typedLit(cents), 10))
       .head().getSeq[Int](0).size == 4)
+    // PREFIX property: top-m is exactly the first m of top-n for every
+    // m <= n (ties ranked by index are total, so the ranking is one
+    // fixed permutation) — q194 derives the nprobe 1/2 probe sets by
+    // slicing ONE nprobe=4 assignment on exactly this contract
+    (1 to 4).foreach { m =>
+      val wide = df.select(col("id"),
+        VectorExpressions.topDotCells(col("v"), typedLit(cents), 4).as("w"),
+        VectorExpressions.topDotCells(col("v"), typedLit(cents), m).as("n"))
+        .collect()
+      wide.foreach { r =>
+        assert(r.getSeq[Int](1).take(m) == r.getSeq[Int](2),
+          s"id=${r.getLong(0)} m=$m: top-4 prefix != top-$m")
+      }
+    }
     // n=1 IS argmax for every non-degenerate row
     df.select(VectorExpressions.topDotCells(col("v"), typedLit(cents), 1).as("t"),
         VectorExpressions.argmaxDotCells(col("v"), typedLit(cents)).as("a"))
