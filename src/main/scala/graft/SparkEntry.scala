@@ -208,6 +208,55 @@ object SparkEntry {
        |  ON x.qid = b.qid AND x.vec_id = b.vec_id
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  /** Oracle twin of cellRecallProbe over twoLevelProbeWide (q196) —
+    * FULL two-level multi-probe: the coarse beam widens to the
+    * query's `nc` best coarse cells (casg rank ≤ nc), each
+    * candidate's fine sub-centroids are scored with the chain's exact
+    * dot, per-candidate top-`nf` fines merge globally by (dot DESC,
+    * composite cell ASC), own cell excluded then prepended — the
+    * probe set twoLevelProbeWide emits, re-derived end to end. */
+  private def duckTwoLevelWideRecall(nc: Int, nf: Int): String =
+    s"""WITH ${duckTwoLevelAssign(2)},
+       |ccand AS (SELECT vec_id, v, CAST(cid AS INTEGER) AS coarse, rn AS cr
+       |  FROM casg WHERE rn <= $nc),
+       |fsc AS (SELECT c.vec_id, c.coarse, s.fid,
+       |    list_aggregate(list_transform(range(len(c.v)),
+       |      d -> c.v[d+1] * s.cv[d+1]), 'sum') AS dt
+       |  FROM ccand c JOIN sub s ON c.coarse = s.coarse),
+       |ftop AS (SELECT vec_id, coarse, fid, dt,
+       |    row_number() OVER (PARTITION BY vec_id, coarse
+       |      ORDER BY dt DESC, fid) AS fr
+       |  FROM fsc),
+       |mrg AS (SELECT vec_id,
+       |    CAST(coarse AS BIGINT) * 4294967296 + fid AS cell, dt
+       |  FROM ftop WHERE fr <= $nf),
+       |plx AS (SELECT m.vec_id, m.cell,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY m.dt DESC, m.cell) AS gr
+       |  FROM mrg m JOIN tl o ON m.vec_id = o.vec_id AND m.cell <> o.cell),
+       |probe AS (SELECT vec_id, cell FROM plx WHERE gr <= $nf - 1
+       |  UNION ALL SELECT vec_id, cell FROM tl),
+       |qp AS (SELECT vec_id AS qid, list(cell) AS pcells
+       |  FROM probe GROUP BY vec_id),
+       |q AS (SELECT tl.vec_id AS qid, tl.v AS qv, qp.pcells
+       |  FROM tl JOIN qp ON tl.vec_id = qp.qid
+       |  WHERE tl.vec_id % 10 = 0 AND tl.vec_id < 20000),
+       |p AS (SELECT q.qid, tl.vec_id,
+       |    round(${duckCosine("tl.v", "q.qv")}, 6) AS c,
+       |    list_contains(q.pcells, tl.cell) AS probed
+       |  FROM tl CROSS JOIN q),
+       |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+       |  FROM p) WHERE r <= 10),
+       |blocked AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+       |  FROM p WHERE probed) WHERE r <= 10)
+       |SELECT x.qid, CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+       |  round(count(b.vec_id) / 10.0, 6) AS recall
+       |FROM exact x LEFT JOIN blocked b
+       |  ON x.qid = b.qid AND x.vec_id = b.vec_id
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   /** DuckDB cosine over two DOUBLE[] expressions — the exact
     * arithmetic of the native VectorCosine (double products in index
     * order, zero-norm guard), as proven cross-engine by q34. */
@@ -2030,6 +2079,19 @@ object SparkEntry {
     "q193_two_level_recall_np4" -> ((s, dir) => {
       val assigned = SimilarityOps.twoLevelProbe(
         t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 4)
+      SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
+    }),
+    // ----- FULL two-level multi-probe recall: the coarse beam widens
+    // too (nprobeCoarse=2, nprobe=4) — fine-only probing (q193) is
+    // ceilinged by the coarse assignment's recall, since a true
+    // neighbor in a DIFFERENT coarse cell can never become a
+    // candidate; this row measures what removing that ceiling buys -----
+    "q196_two_level_recall_wide" -> ((s, dir) => {
+      val assigned = SimilarityOps.twoLevelProbeWide(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nprobeCoarse = 2, nprobe = 4)
       SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
           "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
         .orderBy(col("qid"))
@@ -4136,6 +4198,7 @@ object SparkEntry {
     "q191_two_level_recall_np1" -> duckTwoLevelProbeRecall(1),
     "q192_two_level_recall_np2" -> duckTwoLevelProbeRecall(2),
     "q193_two_level_recall_np4" -> duckTwoLevelProbeRecall(4),
+    "q196_two_level_recall_wide" -> duckTwoLevelWideRecall(2, 4),
     "q195_two_level_dedup_np2" ->
       s"""WITH ${duckTwoLevelAssign(2)},
          |pl AS (SELECT vec_id, v,

@@ -403,6 +403,143 @@ case class VectorArgmaxDotCells(vec: Expression, cents: Expression)
   }
 }
 
+/** [[VectorArgmaxDot]] generalized from argmax to TOP-N: the indices
+  * of the `n` highest-dot centroids in the LITERAL matrix, ranked
+  * (dot DESC, index ASC) — the coarse half of full two-level
+  * multi-probe (SimilarityOps.twoLevelProbeWide): a row probes its
+  * `n` nearest coarse cells, then the fine ranking merges across
+  * them. Same carrier as the argmax (matrix in the codegen
+  * references array, constant-size generated loop) — the composed
+  * matmul + sort_array form would push a k-element interpreted sort
+  * through every row.
+  *
+  * Contract: element 0 equals [[VectorArgmaxDot]]'s result whenever
+  * the result is non-empty (same strict-> first-max rule, same
+  * length-mismatch skip), equal scores rank the lower index first,
+  * and top-m is the m-prefix of top-n for every m <= n. Returns an
+  * empty array — never null — for a null vector, a null element, or
+  * no matching centroid.
+  */
+case class VectorTopDot(child: Expression, centroids: Seq[Seq[Double]],
+    n: Int) extends UnaryExpression {
+
+  require(n > 0, "VectorTopDot: n must be positive")
+
+  override def prettyName: String = "vector_top_dot"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorTopDot = copy(child = newChild)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def empty: ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyIntArray)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return empty
+    val a = v.asInstanceOf[ArrayData]
+    val nd = a.numElements()
+    var i = 0
+    while (i < nd) { if (a.isNullAt(i)) return empty; i += 1 }
+    val f = isFloat
+    val scores = new Array[Double](n)
+    val idx = new Array[Int](n)
+    var cnt = 0
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      if (row.length == nd) {
+        var d = 0.0
+        var k = 0
+        while (k < nd) {
+          d += (if (f) a.getFloat(k).toDouble else a.getDouble(k)) * row(k)
+          k += 1
+        }
+        var pos = cnt
+        while (pos > 0 && d > scores(pos - 1)) pos -= 1
+        if (pos < n) {
+          val last = math.min(cnt, n - 1)
+          var s = last
+          while (s > pos) { scores(s) = scores(s - 1); idx(s) = idx(s - 1); s -= 1 }
+          scores(pos) = d; idx(pos) = j
+          if (cnt < n) cnt += 1
+        }
+      }
+      j += 1
+    }
+    if (cnt == 0) empty
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(idx, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val m = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    val a = ctx.freshName("arr"); val nd = ctx.freshName("nd")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val k = ctx.freshName("k"); val d = ctx.freshName("dotv")
+    val scores = ctx.freshName("scores"); val idx = ctx.freshName("idx")
+    val cnt = ctx.freshName("cnt"); val pos = ctx.freshName("pos")
+    val s = ctx.freshName("s"); val last = ctx.freshName("last")
+    val anyNull = ctx.freshName("anyNull"); val row = ctx.freshName("cent")
+    val res = ctx.freshName("res")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val block = code"""
+      ${childGen.code}
+      int $cnt = 0;
+      double[] $scores = new double[$n];
+      int[] $idx = new int[$n];
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+        final int $nd = $a.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $nd; $i++) {
+          if ($a.isNullAt($i)) { $anyNull = true; break; }
+        }
+        if (!$anyNull) {
+          for (int $j = 0; $j < $m.length; $j++) {
+            final double[] $row = $m[$j];
+            if ($row.length != $nd) continue;
+            double $d = 0.0;
+            for (int $k = 0; $k < $nd; $k++) {
+              $d += (double) $a.$get($k) * $row[$k];
+            }
+            int $pos = $cnt;
+            while ($pos > 0 && $d > $scores[$pos - 1]) $pos--;
+            if ($pos < $n) {
+              final int $last = java.lang.Math.min($cnt, $n - 1);
+              for (int $s = $last; $s > $pos; $s--) {
+                $scores[$s] = $scores[$s - 1]; $idx[$s] = $idx[$s - 1];
+              }
+              $scores[$pos] = $d; $idx[$pos] = $j;
+              if ($cnt < $n) $cnt++;
+            }
+          }
+        }
+      }
+      final org.apache.spark.sql.catalyst.util.ArrayData $res =
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($idx, $cnt));
+      final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $res;
+    """
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+}
+
 /** [[VectorArgmaxDotCells]] generalized from argmax to TOP-N: the
   * indices of the `n` highest-dot centroids in the column-borne
   * matrix, ranked (dot DESC, index ASC) — the multi-probe dial of
@@ -721,6 +858,12 @@ object VectorExpressions {
     org.apache.spark.sql.graftbridge.Bridge.column(VectorTopDotCells(
       org.apache.spark.sql.graftbridge.Bridge.expression(vec),
       org.apache.spark.sql.graftbridge.Bridge.expression(cents), n))
+
+  /** Column over the literal-matrix TOP-N dot ranking (coarse
+    * multi-probe: the n nearest coarse cells, element 0 = argmax). */
+  def topDot(vec: Column, cents: Seq[Seq[Double]], n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorTopDot(
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec), cents, n))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")

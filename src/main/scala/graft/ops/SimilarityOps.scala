@@ -549,15 +549,29 @@ object SimilarityOps {
     }
   }
 
+  /** The two-level family's shared pieces: the (id, vec) base, the
+    * coarse literal seed matrix, the coarse-assigned frame, and the
+    * per-cell sub-centroid table. */
+  private final case class TwoLevelParts(base: DataFrame,
+      coarse: Seq[Seq[Float]], assigned: DataFrame, subcents: DataFrame)
+
   /** The shared head of the two-level family: coarse literal
     * assignment + per-cell broadcast sub-centroids, up to (but not
     * including) the fine scoring — [[twoLevelAssign]] finishes it
-    * with an argmax, [[twoLevelProbe]] with a top-nprobe ranking.
-    * Left(base) = the degenerate empty-corpus branch (k₁ = 0).
+    * with an argmax, [[twoLevelProbe]] with a top-nprobe ranking,
+    * [[twoLevelProbeWide]] with a merged ranking over several coarse
+    * candidates. Left(base) = the degenerate empty-corpus branch
+    * (k₁ = 0).
     */
   private def twoLevelPrepare(embeddings: DataFrame, idCol: String,
       vecCol: String, maxSeeds: Int, oversample: Int,
-      op: String): Either[DataFrame, DataFrame] = {
+      op: String): Either[DataFrame, DataFrame] =
+    twoLevelParts(embeddings, idCol, vecCol, maxSeeds, oversample, op)
+      .map(p => p.assigned.join(broadcast(p.subcents), Seq("_coarse")))
+
+  private def twoLevelParts(embeddings: DataFrame, idCol: String,
+      vecCol: String, maxSeeds: Int, oversample: Int,
+      op: String): Either[DataFrame, TwoLevelParts] = {
     require(maxSeeds > 0, s"$op: maxSeeds must be positive")
     require(oversample > 0, s"$op: oversample must be positive")
     val base = Parallelism.ensure(
@@ -602,7 +616,80 @@ object SimilarityOps {
       .groupBy(col("_coarse"))
       .agg(transform(sort_array(collect_list(struct(col("_r"), col("_cv")))),
         x => x.getField("_cv")).as("_subcents"))
-    Right(assigned.join(broadcast(subcents), Seq("_coarse")))
+    Right(TwoLevelParts(base, coarse, assigned, subcents))
+  }
+
+  /** [[twoLevelProbe]] widened to the COARSE level — full two-level
+    * multi-probe: each row considers its `nprobeCoarse` nearest
+    * coarse cells ([[graft.functions.VectorTopDot]], the literal-
+    * matrix top-n), scores each candidate's fine sub-centroids, and
+    * probes its own cell plus the `nprobe`−1 best remaining
+    * (candidate, fine) cells merged by (dot DESC, composite cell ASC).
+    * Fine-level probing alone ([[twoLevelProbe]]) is ceilinged by the
+    * coarse assignment's recall — a true neighbor in a DIFFERENT
+    * coarse cell can never become a candidate; widening the coarse
+    * beam removes that ceiling at an nprobeCoarse-linear cost.
+    *
+    * Contracts: nprobeCoarse=1 returns [[twoLevelProbe]]'s rows
+    * exactly (the merged ranking over one candidate IS the fine
+    * ranking); `cell` is always the plain two-stage assignment
+    * ([[twoLevelAssign]]) and probe_cells[0] = cell, so every
+    * consumer's keep/rank rules are unchanged. Every ranking input is
+    * a pure function of the data — the oracle re-derives candidate
+    * sets, fine scores, and the merged order (q196).
+    *
+    * Shuffle profile vs [[twoLevelProbe]]: the broadcast join fans
+    * out ×nprobeCoarse (explode on the candidate list), and merging
+    * adds ONE id-keyed aggregation; still no corpus×corpus surface
+    * anywhere. Output: (id, vec, cell, probe_cells).
+    */
+  def twoLevelProbeWide(embeddings: DataFrame, idCol: String,
+      vecCol: String, nprobeCoarse: Int, nprobe: Int, maxSeeds: Int = 4096,
+      oversample: Int = 2): DataFrame = {
+    require(nprobeCoarse > 0, "twoLevelProbeWide: nprobeCoarse must be positive")
+    require(nprobe > 0, "twoLevelProbeWide: nprobe must be positive")
+    twoLevelParts(embeddings, idCol, vecCol, maxSeeds, oversample,
+      "twoLevelProbeWide") match {
+      case Left(base) =>
+        base.select(col("id"), col("vec"), lit(-1L).as("cell"),
+          array(lit(-1L)).as("probe_cells"))
+      case Right(p) =>
+        val cands = p.base.select(col("id"), col("vec"),
+          posexplode(graft.functions.VectorExpressions.topDot(col("vec"),
+            unitCentroids(p.coarse), nprobeCoarse))
+            .as(Seq("_cr", "_coarse")))
+        val composite = col("_coarse").cast("long") * lit(4294967296L)
+        val scored = cands.join(broadcast(p.subcents), Seq("_coarse"))
+          .withColumn("_fines", graft.functions.VectorExpressions
+            .topDotCells(col("vec"), col("_subcents"), nprobe))
+          .select(col("id"), col("_cr"),
+            // (−dot, cell) structs: ascending struct order = dot DESC
+            // with lower-cell tie-break; the dot re-evaluates the
+            // winner's exact left-to-right accumulation
+            transform(col("_fines"), f => struct(
+              (-graft.functions.VectorExpressions.dot(col("vec"),
+                element_at(col("_subcents"), f + 1))).as("ns"),
+              (composite + f.cast("long")).as("cell"))).as("_scored"),
+            when(col("_cr") === 0,
+              when(size(col("_fines")) === 0, lit(-1L))
+                .otherwise(composite +
+                  element_at(col("_fines"), 1).cast("long")))
+              .as("_own"))
+        val merged = scored.groupBy(col("id")).agg(
+          // only the rank-0 candidate carries _own; max ignores nulls
+          max(col("_own")).as("_own"),
+          flatten(collect_list(col("_scored"))).as("_all"))
+        val others = transform(
+          array_sort(filter(col("_all"), x => x.getField("cell") =!= col("_own"))),
+          x => x.getField("cell"))
+        p.base.join(merged, Seq("id"))
+          .select(col("id"), col("vec"),
+            coalesce(col("_own"), lit(-1L)).as("cell"),
+            when(col("_own").isNull || col("_own") === -1L, array(lit(-1L)))
+              .otherwise(concat(array(col("_own")),
+                slice(others, 1, nprobe - 1)))
+              .as("probe_cells"))
+    }
   }
 
   /** Default in-cell ordered-pair budget for the cell-blocked

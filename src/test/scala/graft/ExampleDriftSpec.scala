@@ -48,13 +48,13 @@ class ExampleDriftSpec extends AnyFunSuite {
   //   contrastivePairsTwoLevel(emb, id, vec, kPos, kNeg, posMin, negMax,
   //     maxSeeds=8, maxPairs=9, oversample=10)
   private val oversamples = Seq(
-    "twoLevelAssign" -> 5, "twoLevelProbe" -> 6, "semDedupTwoLevel" -> 7,
-    "semDedupTwoLevelProbe" -> 8,
+    "twoLevelAssign" -> 5, "twoLevelProbe" -> 6, "twoLevelProbeWide" -> 7,
+    "semDedupTwoLevel" -> 7, "semDedupTwoLevelProbe" -> 8,
     "knnJoinTwoLevel" -> 7, "knnJoinTwoLevelProbe" -> 8,
     "contrastivePairsTwoLevel" -> 10)
   private val maxSeeds = Seq(
-    "twoLevelAssign" -> 4, "twoLevelProbe" -> 5, "semDedupTwoLevel" -> 5,
-    "semDedupTwoLevelProbe" -> 6,
+    "twoLevelAssign" -> 4, "twoLevelProbe" -> 5, "twoLevelProbeWide" -> 6,
+    "semDedupTwoLevel" -> 5, "semDedupTwoLevelProbe" -> 6,
     "knnJoinTwoLevel" -> 5, "knnJoinTwoLevelProbe" -> 6,
     "contrastivePairsTwoLevel" -> 8)
   private val maxPairs = Seq(

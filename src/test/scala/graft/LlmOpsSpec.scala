@@ -1014,6 +1014,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r1 > 0.0 && c1 > 0)
   }
 
+  test("twoLevelProbeWide: nprobeCoarse=1 IS twoLevelProbe; widening the coarse beam lifts recall") {
+    // one coarse candidate ⇒ the merged ranking IS the fine ranking:
+    // wide(nc=1, nf) must be row-identical to the fine-only probe
+    val fine = SimilarityOps.twoLevelProbe(
+        embeddings, "vec_id", "embedding", nprobe = 3)
+      .select($"id", $"cell", $"probe_cells")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val wide1 = SimilarityOps.twoLevelProbeWide(
+        embeddings, "vec_id", "embedding", nprobeCoarse = 1, nprobe = 3)
+      .select($"id", $"cell", $"probe_cells")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(wide1.toSeq == fine.toSeq)
+    // cell stays the plain two-stage assignment at ANY beam width,
+    // and probe_cells[0] = cell — consumers' keep/rank rules unchanged
+    val wide2 = SimilarityOps.twoLevelProbeWide(
+        embeddings, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 3)
+      .select($"id", $"cell", $"probe_cells")
+      .as[(Long, Long, Seq[Long])].collect()
+    val plain = fine.map(r => r._1 -> r._2).toMap
+    wide2.foreach { case (id, cell, pcs) =>
+      assert(cell == plain(id), s"id=$id cell moved under a wider beam")
+      assert(pcs.head == cell, s"id=$id probe_cells[0] != cell")
+      assert(pcs.size <= 3 && pcs.distinct.size == pcs.size)
+    }
+    // the measured point of the wider beam: recall at the SAME probe
+    // count must not fall when cross-coarse candidates join the set
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.cellRecallProbe(df, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0, k = 10)
+        .agg(avg($"recall")).as[Double].collect()(0)
+    val rFine = recall(SimilarityOps.twoLevelProbe(
+      embeddings, "vec_id", "embedding", nprobe = 4))
+    val rWide = recall(SimilarityOps.twoLevelProbeWide(
+      embeddings, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 4))
+    assert(rWide >= rFine,
+      s"coarse widening LOWERED recall: fine-only $rFine vs wide $rWide")
+  }
+
   test("semDedupTwoLevelProbe: nprobe=1 equals semDedupTwoLevel; kept set shrinks monotonically") {
     val single = SimilarityOps.semDedupTwoLevel(
         embeddings, "vec_id", "embedding", threshold = 0.3)

@@ -35,7 +35,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q190_two_level_recall_os2",                    // cellRecall at the default oversample, same bounded cross
     "q191_two_level_recall_np1",                    // cellRecallProbe: the q189 evaluation shape with a probe-set column on the broadcast query sample
     "q192_two_level_recall_np2",                    // cellRecallProbe at nprobe=2, same bounded cross
-    "q193_two_level_recall_np4")                    // cellRecallProbe at nprobe=4, same bounded cross
+    "q193_two_level_recall_np4",                    // cellRecallProbe at nprobe=4, same bounded cross
+    "q196_two_level_recall_wide")                   // cellRecallProbe over the coarse-widened probe set, same bounded cross
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)

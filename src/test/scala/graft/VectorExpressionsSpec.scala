@@ -467,6 +467,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .head().getSeq[Int](0) == Seq(1, 2))
   }
 
+  test("VectorTopDot: literal-matrix top-n; element 0 equals VectorArgmaxDot; prefix property") {
+    import graft.functions.VectorExpressions
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 1.0, 0.0), Seq(0.5, 0.5, 0.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(1.0f), Some(0.0f)))),
+      (2L, Some(Seq(Some(1.0f), Some(5.0f), Some(0.0f)))), // tie 1/2
+      (3L, Some(Seq(Some(1.0f), None, Some(2.0f)))),       // null elem -> empty
+      (4L, None),                                          // null vec -> empty
+      (5L, Some(Seq(Some(1.0f), Some(2.0f))))              // mismatch -> empty
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorExpressions.topDot(col("v"), cents, 3).as("t"),
+        VectorExpressions.argmaxDot(col("v"), cents).as("a"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toList, r.getInt(2))))
+      .toMap
+    assert(got(1L)._1 == List(0, 3, 1))
+    assert(got(2L)._1 == List(1, 2, 3)) // equal scores rank lower index first
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(got(id)._1.isEmpty && got(id)._2 == -1, s"id=$id")
+    }
+    got.values.foreach { case (t, a) => if (t.nonEmpty) assert(t.head == a) }
+    // prefix property, the same contract the fine-level top-n carries
+    (1 to 4).foreach { m =>
+      df.select(VectorExpressions.topDot(col("v"), cents, 4).as("w"),
+          VectorExpressions.topDot(col("v"), cents, m).as("n"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Int](0).take(m) == r.getSeq[Int](1))
+        }
+    }
+  }
+
   test("VectorMatmul: identical to array(k VectorDots); degenerates are all-null arrays") {
     import graft.functions.VectorExpressions
     val matrix = Seq(Seq(1.0, 0.0, 2.0), Seq(-1.0, 0.5, 0.0))
