@@ -567,7 +567,11 @@ object SimilarityOps {
       vecCol: String, maxSeeds: Int, oversample: Int,
       op: String): Either[DataFrame, DataFrame] =
     twoLevelParts(embeddings, idCol, vecCol, maxSeeds, oversample, op)
-      .map(p => p.assigned.join(broadcast(p.subcents), Seq("_coarse")))
+      // LEFT join: degenerate rows (_coarse = −1, never in subcents)
+      // survive with a null _subcents, which every downstream scorer
+      // (argmaxDotCells → −1, topDotCells → empty) maps to the −1
+      // sentinel — they are never silently dropped
+      .map(p => p.assigned.join(broadcast(p.subcents), Seq("_coarse"), "left"))
 
   private def twoLevelParts(embeddings: DataFrame, idCol: String,
       vecCol: String, maxSeeds: Int, oversample: Int,
@@ -581,10 +585,17 @@ object SimilarityOps {
     val k1 = math.min(math.ceil(math.sqrt(t.toDouble)).toLong,
       maxSeeds.toLong).toInt
     if (k1 == 0) return Left(base)
+    // seed candidates exclude degenerate vectors (null vec / null
+    // element — floatSeq would NPE at the driver); dimension-mixed
+    // but well-formed rows stay eligible (scorers skip mismatched
+    // centroids). Pure SQL predicate → the oracle re-derives the
+    // identical seed prefix.
     val coarse: Seq[Seq[Float]] = base
+      .where(col("vec").isNotNull && !exists(col("vec"), _.isNull))
       .withColumn("_h", md5(col("id").cast("string")))
       .orderBy(col("_h"), col("id")).limit(k1)
       .select(col("vec")).collect().map(floatSeq(_, 0)).toSeq
+    if (coarse.isEmpty) return Left(base)
     val assigned = base.select(col("id"), col("vec"),
       ivfAssign(col("vec"), coarse).as("_coarse"))
     val wCell = org.apache.spark.sql.expressions.Window
@@ -597,7 +608,12 @@ object SimilarityOps {
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     val unit = when(norm === lit(0.0), transform(col("vec"), _.cast("double")))
       .otherwise(transform(col("vec"), x => x.cast("double") / norm))
-    val subcents = assigned
+    // degenerate rows (_coarse = −1) never form a phantom cell: their
+    // "sub-centroids" would be junk (null / mixed-dim unit vectors)
+    // that could co-block them under a NEGATIVE composite cell the
+    // coarse-beam path can never emit — they take the −1 sentinel via
+    // the left join in twoLevelPrepare instead
+    val subcents = assigned.where(col("_coarse") >= 0)
       .withColumn("_r", row_number().over(wRank))
       // k₂ is capped at maxSeeds per cell: the per-cell sub-centroid
       // list rides ONE collect_list row, so uncapped ⌈oversample·c/t⌉
@@ -682,7 +698,12 @@ object SimilarityOps {
         val others = transform(
           array_sort(filter(col("_all"), x => x.getField("cell") =!= col("_own"))),
           x => x.getField("cell"))
-        p.base.join(merged, Seq("id"))
+        // LEFT join: a degenerate row (null vec, null element,
+        // mismatched dims) yields an empty topDot, so posexplode
+        // drops it from `cands` and it is absent from `merged` — the
+        // null branches below then produce the sentinel (cell=-1,
+        // probe_cells=[-1]) that twoLevelAssign/twoLevelProbe honor.
+        p.base.join(merged, Seq("id"), "left")
           .select(col("id"), col("vec"),
             coalesce(col("_own"), lit(-1L)).as("cell"),
             when(col("_own").isNull || col("_own") === -1L, array(lit(-1L)))

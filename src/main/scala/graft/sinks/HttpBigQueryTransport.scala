@@ -460,7 +460,15 @@ object HttpBigQueryTransport {
                     "is statement-only (DDL/DML) and never pages " +
                     "result rows")
                 case _ => j \ "numDmlAffectedRows" match {
-                  case JString(n) => BodyOkRows(n.toLong)
+                  // a malformed count is a body defect, not a crash:
+                  // surface it as BodyFail with context like every
+                  // other malformed-body case, instead of throwing
+                  // NumberFormatException out of the inspection layer
+                  case JString(n) => scala.util.Try(n.toLong) match {
+                    case scala.util.Success(v) => BodyOkRows(v)
+                    case scala.util.Failure(_) => BodyFail(
+                      s"unparseable numDmlAffectedRows: '$n'")
+                  }
                   case JInt(n) => BodyOkRows(n.toLong)
                   case JLong(n) => BodyOkRows(n)
                   case _ => BodyOk

@@ -403,6 +403,20 @@ class HttpBigQueryTransportSpec extends AnyFunSuite {
         assert(e.getMessage.contains("statement-only") &&
           e.getMessage.contains("pageToken"))
     }
+    // a malformed (non-numeric) numDmlAffectedRows is a body defect:
+    // it surfaces as the same loud failure with context as every
+    // other malformed-body case — never a bare NumberFormatException
+    // out of the inspection layer
+    withServer(respond = (_, _, _) =>
+      (200, """{"jobComplete":true,"numDmlAffectedRows":"not-a-number"}""")) {
+      (endpoint, _) =>
+        val t = new HttpBigQueryTransport(endpoint, "proj", "ds", () => "tok")
+        val e = intercept[java.io.IOException] {
+          t.runStatement("DELETE FROM ds.t WHERE x < 0")
+        }
+        assert(e.getMessage.contains("unparseable numDmlAffectedRows") &&
+          e.getMessage.contains("not-a-number"))
+    }
   }
 
   test("metadata-server token source: header, cache, refresh at expiry") {

@@ -907,12 +907,10 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("twoLevelAssign: dimension-mismatched rows get the -1 sentinel cell, never an alias") {
     // 60 clean d=4 rows plus one d=3 and one d=5 row: both mismatch
-    // every coarse literal (argmax -1 → coarse cell -1); whichever of
-    // the two is NOT picked as that cell's sub-seed then mismatches
-    // the sub-centroid too (fine -1). The raw composite coarse·2³²−1
-    // would alias into the NEIGHBOR coarse cell's fine-0xFFFFFFFF
-    // slot — the assignment must map it to the dedicated -1 sentinel
-    // instead.
+    // every coarse literal (argmax -1 → coarse cell -1). Degenerate
+    // rows form NO phantom cell (subcents excludes _coarse = -1) and
+    // take the dedicated -1 sentinel via the left join — never an
+    // aliased negative composite, never a junk co-block.
     val clean = (0L until 60L).map { i =>
       val v = Array.fill(4)(0.01f); v((i % 4).toInt) = 1.0f; (i, v.toSeq)
     }
@@ -923,11 +921,11 @@ class LlmOpsSpec extends AnyFunSuite {
         maxSeeds = 4)
       .select($"id", $"cell").as[(Long, Long)].collect().toMap
     assert(cells.size == 62)
-    // exactly one of the two mismatched rows is the -1-coarse cell's
-    // sub-seed (fine 0); the other must be the -1L sentinel
+    // BOTH mismatched rows must carry the -1L sentinel (no phantom
+    // -1-coarse cell exists to co-block them)
     val oddCells = Seq(cells(900L), cells(901L))
-    assert(oddCells.contains(-1L),
-      s"fine=-1 must map to the sentinel, got $oddCells")
+    assert(oddCells == Seq(-1L, -1L),
+      s"degenerate rows must map to the sentinel, got $oddCells")
     // no cell anywhere carries the old aliasing signature
     // (fine = 0xFFFFFFFF can only arise from the -1 composition here:
     // k2 per cell is far below 2^32)
@@ -1050,6 +1048,32 @@ class LlmOpsSpec extends AnyFunSuite {
       embeddings, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 4))
     assert(rWide >= rFine,
       s"coarse widening LOWERED recall: fine-only $rFine vs wide $rWide")
+    // degenerate rows (null vec, dimension-mismatched vec) must NOT
+    // be dropped: they carry the sentinel (cell=-1, probe_cells=[-1])
+    // and the nprobeCoarse=1 ≡ twoLevelProbe equivalence holds with
+    // them present (the regression the inner-join bug caused)
+    val dim = embeddings.select($"embedding").as[Seq[Float]].head.size
+    val degen = Seq(
+      (-1L, null.asInstanceOf[Seq[Float]]),
+      (-2L, Seq.fill(dim + 3)(0.5f))
+    ).toDF("vec_id", "embedding")
+    val aug = embeddings.select($"vec_id", $"embedding").unionByName(degen)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"cell", $"probe_cells")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val fineAug = rows(SimilarityOps.twoLevelProbe(
+      aug, "vec_id", "embedding", nprobe = 3))
+    val wideAug = rows(SimilarityOps.twoLevelProbeWide(
+      aug, "vec_id", "embedding", nprobeCoarse = 1, nprobe = 3))
+    assert(fineAug.length == embeddings.count() + 2,
+      "twoLevelProbe dropped a degenerate row")
+    assert(wideAug.toSeq == fineAug.toSeq,
+      "wide(nc=1) != probe with degenerate rows present")
+    Seq(-1L, -2L).foreach { id =>
+      val r = wideAug.find(_._1 == id).get
+      assert(r._2 == -1L && r._3 == Seq(-1L),
+        s"degenerate id=$id missing the sentinel: $r")
+    }
   }
 
   test("semDedupTwoLevelProbe: nprobe=1 equals semDedupTwoLevel; kept set shrinks monotonically") {

@@ -72,12 +72,17 @@ def main(sf_dir, out_dir, budget_sec=1800):
         if name not in oracle:
             results[name] = {"status": "no_oracle"}
             continue
-        t0 = time.time()
         sdf = pd.read_parquet(qdir)
         scols, srows = rows_of(sdf)
+        # the budget clock starts when the ORACLE subprocess starts —
+        # engine-result read + canonicalization above are not charged
+        # to the oracle's deadline (a heavy 10x output could otherwise
+        # burn minutes of the oracle's 30-min budget before DuckDB
+        # runs a single query)
         q = mp.Queue()
         proc = mp.Process(target=run_oracle, args=(sf_dir, oracle[name], q))
         proc.start()
+        t0 = time.time()
         payload = None
         deadline = t0 + budget_sec
         while proc.is_alive() and time.time() < deadline and payload is None:
