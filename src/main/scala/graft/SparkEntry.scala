@@ -2096,6 +2096,40 @@ object SparkEntry {
           "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
         .orderBy(col("qid"))
     }),
+    // ----- the RETRIEVAL-GRADE operating point (r12 top ask): the
+    // round-13 probe sweep measured BOTH surfaces through the common
+    // (cellRecallProbe, probePairCost) evaluators at sf0.01/sf0.1/10x;
+    // the single-level √n IVF dominates the two-level family at every
+    // recall ≥ 0.5 (10x: 0.807@34% of brute pairs at nprobe 48/142 vs
+    // the widest two-level's 0.861@46%), so retrieval is DECLARED on
+    // the single-level surface at the measured dial np = ⌈0.55·k⌉ —
+    // mean recall@10 ≥ 0.8 at every measured scale (0.836/0.864/≈0.92)
+    // — and the two-level family is declared the dedup/blocking
+    // surface (its win is driver state O(n^1/4·d), not recall). The
+    // full curve lives in SCALING.md round 13 -----
+    "q197_retrieval_operating_point" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
+      val np = math.ceil(0.55 * cents.size).toInt
+      val assigned = SimilarityOps.ivfProbe(emb, "vec_id", "embedding",
+        cents, np)
+      SimilarityOps.cellRecallProbe(assigned, "id", "vec", "cell",
+          "probe_cells", col("id") % 10 === 0 && col("id") < 20000, k = 10)
+        .orderBy(col("qid"))
+    }),
+    // ----- the declared point's pair-COST row (the q194 discipline
+    // on the single-level surface): what ⌈0.55·k⌉ probes pay, priced
+    // by the same in-plan estimate requirePairBudget enforces -----
+    "q198_retrieval_pair_cost" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
+      val np = math.ceil(0.55 * cents.size).toInt
+      SimilarityOps.probePairCost(
+          SimilarityOps.ivfProbe(emb, "vec_id", "embedding", cents, np),
+          "cell", "probe_cells")
+        .select(lit(np).as("nprobe"), col("n_cells"),
+          col("pairs").cast("long").as("pairs"))
+    }),
     // ----- multi-probe semantic dedup: the q188 keep rule with
     // candidate pairs from EITHER side's nprobe=2 probe set — the
     // boundary-straddling near-dups the own-cell rule misses become
@@ -4225,6 +4259,48 @@ object SparkEntry {
          |  CAST(sum(pr.p * own.c) AS BIGINT) AS pairs
          |FROM pr JOIN own ON pr.cell = own.cell
          |GROUP BY pr.nprobe ORDER BY pr.nprobe""".stripMargin,
+    // the declared retrieval operating point: the q187 recall scaffold
+    // over the √n-seed single-level assignment with the probe set
+    // re-derived as rn <= ⌈0.55·k⌉ of the SAME per-(vec_id, cid) dot
+    // ranking the assignment takes rank 1 of — every input a pure
+    // function of the data, both sides re-derive identical probe sets
+    "q197_retrieval_operating_point" ->
+      s"""WITH $duckSqrtAssign,
+         |np AS (SELECT CAST(ceil(0.55 * count(*)) AS BIGINT) AS np FROM cent),
+         |pl AS (SELECT g.vec_id, CAST(g.cid AS BIGINT) AS cell
+         |  FROM asg g, np WHERE g.rn <= np.np),
+         |qp AS (SELECT vec_id AS qid, list(cell) AS pcells
+         |  FROM pl GROUP BY vec_id),
+         |q AS (SELECT a.vec_id AS qid, a.v AS qv, qp.pcells
+         |  FROM a JOIN qp ON a.vec_id = qp.qid
+         |  WHERE a.vec_id % 10 = 0 AND a.vec_id < 20000),
+         |p AS (SELECT q.qid, a.vec_id,
+         |    round(${duckCosine("a.v", "q.qv")}, 6) AS c,
+         |    list_contains(q.pcells, CAST(a.cell AS BIGINT)) AS probed
+         |  FROM a CROSS JOIN q),
+         |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+         |  FROM p) WHERE r <= 10),
+         |blocked AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+         |  FROM p WHERE probed) WHERE r <= 10)
+         |SELECT x.qid, CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+         |  round(count(b.vec_id) / 10.0, 6) AS recall
+         |FROM exact x LEFT JOIN blocked b
+         |  ON x.qid = b.qid AND x.vec_id = b.vec_id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
+    // its cost row: Σ cells of probers × owners at the same dial
+    "q198_retrieval_pair_cost" ->
+      s"""WITH $duckSqrtAssign,
+         |np AS (SELECT CAST(ceil(0.55 * count(*)) AS BIGINT) AS np FROM cent),
+         |pl AS (SELECT g.vec_id, g.cid AS cell
+         |  FROM asg g, np WHERE g.rn <= np.np),
+         |own AS (SELECT cell, count(*) AS c FROM a GROUP BY cell),
+         |pr AS (SELECT cell, count(*) AS p FROM pl GROUP BY cell)
+         |SELECT (SELECT CAST(np AS INTEGER) FROM np) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(pr.p * own.c) AS BIGINT) AS pairs
+         |FROM pr JOIN own ON pr.cell = own.cell""".stripMargin,
     "q142_ann_upsert" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |base AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),

@@ -206,6 +206,41 @@ object SimilarityOps {
     * 6-dp rounded cosine with id tie-break, so ranks — and therefore
     * the recall numbers — are engine-exact.
     */
+  /** The single-level IVF surface expressed in the probe family's
+    * COMMON SHAPE — (id, vec, cell, probe_cells) — so the one pair of
+    * evaluators ([[cellRecallProbe]], [[probePairCost]]) measures the
+    * single-level store and the two-level family on identical terms.
+    * `cell` is the [[ivfAssign]] argmax (probe_cells[0] = cell: the
+    * native top-n's slot 0 shares argmax's first-max tie rule), the
+    * probe set is the row's `nprobe` nearest centroids by the same
+    * prenormalized dot — exactly [[annRecall]]'s candidate rule, so
+    * `cellRecallProbe(ivfProbe(...))` reproduces [[annRecall]]'s
+    * numbers (spec-pinned). Degenerate rows (null vec / null element
+    * / empty centroid set) carry the family's sentinel (cell = −1,
+    * probe_cells = [−1]) — never dropped, never junk-ranked.
+    *
+    * One map-side native expression over the corpus: no shuffle, no
+    * join — the probe assignment costs one scan at any corpus size.
+    */
+  def ivfProbe(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], nprobe: Int): DataFrame = {
+    require(nprobe > 0, "ivfProbe: nprobe must be positive")
+    val base = Parallelism.ensure(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val unit = unitCentroids(centroids)
+    if (unit.isEmpty)
+      return base.select(col("id"), col("vec"), lit(-1L).as("cell"),
+        array(lit(-1L)).as("probe_cells"))
+    base.withColumn("_top",
+        graft.functions.VectorExpressions.topDot(col("vec"), unit, nprobe))
+      .select(col("id"), col("vec"),
+        when(size(col("_top")) === 0, lit(-1L))
+          .otherwise(element_at(col("_top"), 1).cast("long")).as("cell"),
+        when(size(col("_top")) === 0, array(lit(-1L)))
+          .otherwise(transform(col("_top"), c => c.cast("long")))
+          .as("probe_cells"))
+  }
+
   def annRecall(embeddings: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       centroids: Seq[Seq[Float]], k: Int, nprobe: Int = 2): DataFrame = {

@@ -36,7 +36,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q191_two_level_recall_np1",                    // cellRecallProbe: the q189 evaluation shape with a probe-set column on the broadcast query sample
     "q192_two_level_recall_np2",                    // cellRecallProbe at nprobe=2, same bounded cross
     "q193_two_level_recall_np4",                    // cellRecallProbe at nprobe=4, same bounded cross
-    "q196_two_level_recall_wide")                   // cellRecallProbe over the coarse-widened probe set, same bounded cross
+    "q196_two_level_recall_wide",                   // cellRecallProbe over the coarse-widened probe set, same bounded cross
+    "q197_retrieval_operating_point")               // cellRecallProbe over the single-level ivfProbe assignment — same id-capped bounded cross
 
   test("no query plans a cartesian or nested-loop join (allowlisted tiny crosses aside)") {
     graft.functions.GraftSparkExtensions.register(spark)

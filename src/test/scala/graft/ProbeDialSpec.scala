@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SimilarityOps
+
+/** The probe-dial unification contract (VERDICT r12 ask #8): the
+  * single-level ANN surface ([[SimilarityOps.ivfProbe]], the store's
+  * nprobe dial) and the two-level family
+  * ([[SimilarityOps.twoLevelProbe]]/[[SimilarityOps.twoLevelProbeWide]])
+  * expose ONE dial language on ONE output shape, so a consumer can
+  * switch surfaces without re-learning the contract:
+  *
+  *  1. output shape (id, vec, cell, probe_cells) with
+  *     probe_cells[0] = cell on every surface;
+  *  2. nprobe = 1 degenerates to the surface's plain assignment;
+  *  3. degenerate rows (null vec, null element, mismatched dims)
+  *     carry the same sentinel (cell = −1, probe_cells = [−1]) —
+  *     never dropped, never junk-blocked;
+  *  4. the dial parameter NAMES agree across surfaces (reflection —
+  *     a rename on one surface alone is drift);
+  *  5. the recall evaluator composes identically: cellRecallProbe ∘
+  *     ivfProbe reproduces annRecall's numbers on the same dial.
+  */
+class ProbeDialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  def embeddings = graft.sources.ImportSource.table(spark, sf, "embeddings")
+
+  private def paramNames(method: String): Seq[String] = {
+    val ms = SimilarityOps.getClass.getMethods.filter(_.getName == method)
+    assert(ms.nonEmpty, s"no method $method")
+    ms.head.getParameters.map(_.getName).toSeq
+  }
+
+  test("dial names agree across the three probe surfaces") {
+    assert(paramNames("ivfProbe").contains("nprobe"))
+    assert(paramNames("twoLevelProbe").contains("nprobe"))
+    assert(paramNames("twoLevelProbeWide").contains("nprobe"))
+    assert(paramNames("twoLevelProbeWide").contains("nprobeCoarse"))
+    // the common output shape is pinned by the schema checks below
+  }
+
+  test("common output shape; probe_cells[0]=cell; nprobe=1 degenerates; shared sentinel") {
+    val dim = embeddings.select($"embedding").as[Seq[Float]].head.size
+    val degen = Seq(
+      (-1L, null.asInstanceOf[Seq[Float]]),
+      (-2L, Seq.fill(dim + 1)(1.0f))
+    ).toDF("vec_id", "embedding")
+    val aug = embeddings.select($"vec_id", $"embedding").unionByName(degen)
+    val cents = SimilarityOps.sqrtSeedCentroids(aug, "vec_id", "embedding")
+
+    val surfaces: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      "ivfProbe" -> ((np: Int) =>
+        SimilarityOps.ivfProbe(aug, "vec_id", "embedding", cents, np)),
+      "twoLevelProbe" -> ((np: Int) =>
+        SimilarityOps.twoLevelProbe(aug, "vec_id", "embedding", nprobe = np)),
+      "twoLevelProbeWide" -> ((np: Int) =>
+        SimilarityOps.twoLevelProbeWide(aug, "vec_id", "embedding",
+          nprobeCoarse = 2, nprobe = np)))
+
+    surfaces.foreach { case (name, mk) =>
+      val df = mk(3)
+      assert(df.columns.toSeq == Seq("id", "vec", "cell", "probe_cells"),
+        s"$name output shape drifted: ${df.columns.toSeq}")
+      val rows = df.select($"id", $"cell", $"probe_cells")
+        .as[(Long, Long, Seq[Long])].collect()
+      assert(rows.length == aug.count(), s"$name dropped rows")
+      rows.foreach { case (id, cell, pcs) =>
+        assert(pcs.head == cell, s"$name id=$id probe_cells[0] != cell")
+        assert(pcs.distinct.size == pcs.size, s"$name id=$id dup probes")
+      }
+      // shared sentinel on BOTH degenerate shapes
+      Seq(-1L, -2L).foreach { id =>
+        val r = rows.find(_._1 == id).get
+        assert(r._2 == -1L && r._3 == Seq(-1L),
+          s"$name degenerate id=$id: $r (want sentinel)")
+      }
+      // nprobe=1 IS the plain assignment: probe set collapses to the cell
+      mk(1).select($"cell", $"probe_cells").as[(Long, Seq[Long])]
+        .collect().foreach { case (cell, pcs) =>
+          assert(pcs == Seq(cell), s"$name nprobe=1 probe=$pcs cell=$cell")
+        }
+    }
+    // ivfProbe's nprobe=1 cell IS ivfAssign (the store's argmax rule)
+    val viaProbe = SimilarityOps.ivfProbe(aug, "vec_id", "embedding", cents, 1)
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    val viaAssign = aug.select(col("vec_id").as("id"),
+        SimilarityOps.ivfAssign(col("embedding"), cents).cast("long").as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaProbe == viaAssign, "ivfProbe(np=1) != ivfAssign")
+  }
+
+  test("cellRecallProbe ∘ ivfProbe reproduces annRecall on the same dial") {
+    val emb = embeddings
+    val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
+    val pred = col("id") % 10 === 0
+    val assigned = SimilarityOps.ivfProbe(emb, "vec_id", "embedding", cents, 2)
+    val viaCommon = SimilarityOps.cellRecallProbe(assigned, "id", "vec",
+        "cell", "probe_cells", pred, k = 5)
+      .select($"qid", $"recall").as[(Long, Double)].collect().sortBy(_._1)
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val viaAnn = SimilarityOps.annRecall(emb, "vec_id", "embedding",
+        queries, "qid", "embedding", cents, k = 5, nprobe = 2)
+      .select($"qid", $"recall").as[(Long, Double)].collect().sortBy(_._1)
+    assert(viaCommon.toSeq == viaAnn.toSeq,
+      s"evaluator split-brain: common=${viaCommon.take(5).toSeq} " +
+        s"ann=${viaAnn.take(5).toSeq}")
+  }
+}
