@@ -330,8 +330,14 @@ object DedupOps {
     * scanned and tokenized ONCE — the verification projection sits
     * above the shared exchange and ReuseExchange dedupes it. */
   private def verifyByJaccard(
-      pairs: DataFrame, tok: DataFrame, threshold: Double): DataFrame = {
-    val toks = tok.select(col("id"), array_distinct(col("_t")).as("toks"))
+      pairs: DataFrame, tok: DataFrame, threshold: Double): DataFrame =
+    verifyDistinctByJaccard(pairs,
+      tok.select(col("id"), array_distinct(col("_t")).as("toks")), threshold)
+
+  /** The exact token-Jaccard confirm over an already-distinct
+    * (id, toks) frame — candidate pairs join it once per side. */
+  private def verifyDistinctByJaccard(
+      pairs: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
     val union = size(array_union(col("toks_a"), col("toks_b"))).cast("double")
     pairs
@@ -371,15 +377,37 @@ object DedupOps {
   /** N-gram-Jaccard near-duplicates with single-fingerprint blocking
     * ([[fingerprintCandidatePairs]]), then exact token-Jaccard
     * verification. One aggregation on a 32-byte key plus two id hash
-    * joins over ONE shared tokenization pass; no step is quadratic in
-    * the corpus.
+    * joins; no step is quadratic in the corpus.
+    *
+    * Plan shape (adopted from Q44ScaleProbe's 30x A/B, round 13): the
+    * fingerprint is computed MAP-SIDE from the text — its groupBy(fp)
+    * exchange carries only (id, 32-byte fp) — and the verify joins'
+    * exchange carries `array_distinct` tokens (all Jaccard needs),
+    * never the raw token arrays. The previous shape shared one keyed
+    * exchange of RAW token arrays across all three consumers: 148 MB
+    * of shuffle at 30x vs this shape's 43 MB, and the allocation
+    * pressure of re-reading it made 30x timings a GC lottery (runs
+    * 3.4–21.2s with up to 5.2s of measured GC per run; this shape
+    * reads 5.0–8.4s with the same median — the wobble, not the
+    * median, is what the restructure buys). Cost: the text is
+    * tokenized twice (fp pass + verify pass), pure map-side CPU that
+    * scales embarrassingly.
     */
   def jaccardNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
-    val tok = tokenized(df, idCol, textCol)
-    verifyByJaccard(fingerprintCandidatePairsOfTokens(tok, shingleSize),
-      tok, threshold)
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("id"), col(textCol).as("_text")))
+    val fp = base.select(col("id"),
+      TextOps.minShingleFingerprintOfTokens(
+        TextOps.tokens(col("_text")), shingleSize).as("fp"))
+    val pairs = pairsWithinGroups(fp, col("fp"), col("id"),
+      op = "fingerprintCandidatePairs")
+    val toks = Parallelism.ensureKeyed(
+      base.select(col("id"),
+        array_distinct(TextOps.tokens(col("_text"))).as("toks")),
+      col("id"))
+    verifyDistinctByJaccard(pairs, toks, threshold)
   }
 
   /** Test-set decontamination: drop corpus documents that share ANY

@@ -62,11 +62,19 @@ object Q44ScaleProbe {
     def docs(dir: String): DataFrame =
       ImportSource.table(spark, dir, "documents")
 
-    // ---- variant A: the declared q44 ----
-    def vA(dir: String): DataFrame =
-      DedupOps.jaccardNearDuplicates(docs(dir), "doc_id", "text",
-          threshold = 0.0)
-        .orderBy(col("id_a"), col("id_b"))
+    // ---- variant A: the r12-and-earlier shipped shape (kept inline
+    // so the A/B stays re-runnable after B's adoption into
+    // DedupOps.jaccardNearDuplicates in round 13) ----
+    def vA(dir: String): DataFrame = {
+      val tok = Parallelism.ensureKeyed(
+        docs(dir).select(col("doc_id").as("id"),
+          TextOps.tokens(col("text")).as("_t")),
+        col("id"))
+      val fp = tok.select(col("id"),
+        TextOps.minShingleFingerprintOfTokens(col("_t"), 3).as("fp"))
+      val toks = tok.select(col("id"), array_distinct(col("_t")).as("toks"))
+      verify(pairsOf(fp), toks)
+    }
 
     // shared verify tail over a (id, toks[distinct]) frame
     def verify(pairs: DataFrame, toks: DataFrame): DataFrame = {
@@ -139,7 +147,15 @@ object Q44ScaleProbe {
       (dt, shufRead.get, shufWrite.get)
     }
 
-    Seq(30).foreach { factor =>
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .stream.mapToLong(_.getCollectionTime).sum
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
+    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 30)
+    factors.foreach { factor =>
       val dir = Scale10x.ensure(spark, sf, factor)
       // identical output across variants, once
       val ca = vA(dir).count(); val cb = vB(dir).count()
@@ -147,20 +163,37 @@ object Q44ScaleProbe {
       println(s"q44 ${factor}x rows A=$ca B=$cb C=$cc")
       require(ca == cb && cb == cc, "variant outputs differ")
       hygiene()
-      Seq("A", "B", "C").foreach { v =>
-        val runs = (1 to 3).map { _ =>
+      // INTERLEAVED rounds (A,B,C per round): weather hits all
+      // variants equally instead of whichever ran last; per-run GC
+      // time + loadavg separate JVM stalls from host contention
+      val mb = 1024.0 * 1024.0
+      val results = collection.mutable.Map[String,
+        collection.mutable.ArrayBuffer[(Double, Long, Long, Long, Double)]]()
+      (1 to 5).foreach { round =>
+        Seq("A", "B", "C").foreach { v =>
+          val la = loadavg()
+          val gc0 = gcMillis()
           val r = v match {
             case "A" => time(vA(dir))
             case "B" => time(vB(dir))
             case "C" => val (df, clean) = vC(dir); time(df, clean)
           }
-          hygiene(); r
+          val gc = gcMillis() - gc0
+          results.getOrElseUpdate(v, collection.mutable.ArrayBuffer())
+            .append((r._1, r._2, r._3, gc, la))
+          hygiene()
         }
-        val mb = 1024.0 * 1024.0
+      }
+      Seq("A", "B", "C").foreach { v =>
+        val rs = results(v)
+        val ts = rs.map(_._1).sorted
         println(f"q44 ${factor}x $v runs=${
-          runs.map(r => f"${r._1}%.2f").mkString(",")} min=${
-          runs.map(_._1).min}%.2f shufRead=${
-          runs.head._2 / mb}%.0fMB shufWrite=${runs.head._3 / mb}%.0fMB")
+          rs.map(r => f"${r._1}%.2f").mkString(",")} min=${ts.head}%.2f " +
+          f"med=${ts(ts.size / 2)}%.2f gcMs=${
+          rs.map(_._4).mkString(",")} loadavg=${
+          rs.map(r => f"${r._5}%.1f").mkString(",")} shufRead=${
+          rs.map(r => f"${r._2 / mb}%.0f").mkString(",")}MB shufWrite=${
+          rs.head._3 / mb}%.0fMB")
       }
     }
     spark.stop()
