@@ -2103,7 +2103,7 @@ object SparkEntry {
     // recall ≥ 0.5 (10x: 0.807@34% of brute pairs at nprobe 48/142 vs
     // the widest two-level's 0.861@46%), so retrieval is DECLARED on
     // the single-level surface at the measured dial np = ⌈0.55·k⌉ —
-    // mean recall@10 ≥ 0.8 at every measured scale (0.836/0.864/≈0.92)
+    // mean recall@10 ≥ 0.8 at every measured scale (0.836/0.864/0.938)
     // — and the two-level family is declared the dedup/blocking
     // surface (its win is driver state O(n^1/4·d), not recall). The
     // full curve lives in SCALING.md round 13 -----
@@ -2872,10 +2872,11 @@ object SparkEntry {
         |  CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(list_aggregate(list_transform(toks, w -> CAST(len(w) AS BIGINT)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS wl
         |FROM t)
-        |SELECT doc_id, round(
+        |SELECT doc_id, floor((
         |  0.3 * least(n / 64.0, 1.0) + 0.3 * alpha +
         |  0.2 * least((CASE WHEN n = 0 THEN 0.0 ELSE hits / n END) * 4.0, 1.0) +
-        |  0.2 * (CASE WHEN wl >= 2.5 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+        |  0.2 * (CASE WHEN wl >= 2.5 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END)
+        |  ) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "q25_minhash" ->
       """WITH t AS (SELECT doc_id,
@@ -4168,10 +4169,11 @@ object SparkEntry {
         |  CASE WHEN len(toks) = 0 THEN 0.0
         |    ELSE CAST(list_aggregate(list_transform(toks, w -> CAST(len(w) AS BIGINT)), 'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS wl
         |FROM t),
-        |q AS (SELECT doc_id, lang, source, text, n, round(
+        |q AS (SELECT doc_id, lang, source, text, n, floor((
         |    0.3 * least(n / 64.0, 1.0) + 0.3 * alpha +
         |    0.2 * least((CASE WHEN n = 0 THEN 0.0 ELSE hits / n END) * 4.0, 1.0) +
-        |    0.2 * (CASE WHEN wl >= 2.5 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END), 6) AS quality
+        |    0.2 * (CASE WHEN wl >= 2.5 AND wl <= 8.0 THEN 1.0 ELSE 0.0 END)
+        |    ) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |  FROM m),
         |f AS (SELECT doc_id, lang, source, quality,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -96,10 +96,19 @@ object TextOps {
       stopwordHits(text, languageProfiles.flatMap(_._2)).cast("double") / nTokens)
     val wordLen = meanTokenLength(text)
     val wordLenScore = when(wordLen >= 2.5 && wordLen <= 8.0, 1.0).otherwise(0.0)
-    round(
-      lit(0.3) * lengthScore + lit(0.3) * alpha +
-        lit(0.2) * least(stopRatio * 4.0, lit(1.0)) + lit(0.2) * wordLenScore,
-      6)
+    // 6-dp rounding spelled as PURE double arithmetic, not round():
+    // Spark's round(DOUBLE, 6) goes through Double.toString +
+    // BigDecimal HALF_UP while DuckDB rounds the binary value, and a
+    // score landing on an exact .xxxxxx5 boundary makes the two
+    // disagree by one ulp of the 6th decimal (18 of 50k rows at the
+    // 10x replica — caught by the round-13 decade-gate rotation).
+    // floor(x·10⁶ + 0.5)/10⁶ is the SAME IEEE expression on both
+    // sides, so the engines cannot diverge on any input; score ∈ [0,1]
+    // so the away-from-zero/half-up distinction never binds.
+    floor((lit(0.3) * lengthScore + lit(0.3) * alpha +
+        lit(0.2) * least(stopRatio * 4.0, lit(1.0)) +
+        lit(0.2) * wordLenScore) * lit(1000000.0) + lit(0.5))
+      .cast("double") / lit(1000000.0)
   }
 
   /** Word n-gram shingles (the unit for minhash/jaccard dedup). */
