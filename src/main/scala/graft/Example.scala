@@ -174,6 +174,19 @@ object Example {
           .agg(avg(col("recall"))).collect()(0).getDouble(0)
       println(f"two-level multi-probe recall@10: nprobe=1 " +
         f"${probedRecall(1)}%.3f vs nprobe=4 ${probedRecall(4)}%.3f")
+      // the DECLARED retrieval operating point (q197, round 13): the
+      // single-level surface at np = ceil(0.55*k) — the measured-
+      // dominant dial for retrieval-grade recall; the two-level dial
+      // above is the dedup/blocking surface (SURVEY 2.12 split)
+      val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
+      val np = math.ceil(0.55 * cents.size).toInt
+      val opPoint = SimilarityOps.cellRecallProbe(
+          SimilarityOps.ivfProbe(emb, "vec_id", "embedding", cents, np),
+          "id", "vec", "cell", "probe_cells",
+          col("id") % 10 === 0, k = 10)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      println(f"retrieval operating point (single-level, np=$np/" +
+        f"${cents.size}): recall@10 $opPoint%.3f")
     }
     // partitioned ANN store lifecycle: base write → generation append
     // (the daily delta) → directory-pruned probe resolving upserts

@@ -1098,6 +1098,24 @@ class LlmOpsSpec extends AnyFunSuite {
     val dropped1 = probed1.count(!_._2)
     val dropped3 = probed3.count(!_._2)
     assert(dropped3 >= dropped1)
+    // degenerate rows (null vec) flow through the consumer too: they
+    // carry the -1 sentinel cell, pair with nothing (null cosine
+    // never reaches the threshold), and are KEPT — an undecodable
+    // row must never be silently deduplicated away
+    val dim = embeddings.select($"embedding").as[Seq[Float]].head.size
+    val degen = Seq((-1L, null.asInstanceOf[Seq[Float]]),
+        (-2L, Seq.fill(dim + 2)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val aug = embeddings.select($"vec_id", $"embedding").unionByName(degen)
+    val out = SimilarityOps.semDedupTwoLevelProbe(
+        aug, "vec_id", "embedding", threshold = 0.3, nprobe = 2)
+      .select($"id", $"cell", $"kept").as[(Long, Long, Boolean)]
+      .collect()
+    assert(out.length == aug.count(), "consumer dropped rows")
+    val nullRow = out.find(_._1 == -1L).get
+    assert(nullRow._2 == -1L && nullRow._3,
+      s"null-vec row not kept with the sentinel: $nullRow")
+    assert(out.find(_._1 == -2L).get._2 == -1L)
   }
 
   test("knnJoinTwoLevelProbe: nprobe=1 equals knnJoinTwoLevel; probe budget enforced") {
