@@ -7,7 +7,12 @@
 #     "1.2B-row" estimate was wrong)
 #   - the round's new rows q197/q198
 #   - a 22-row ROTATION across the cheap surface (families never
-#     10x-hash-checked before; rotate each round per ask #7)
+#     10x-hash-checked before; rotate each round per ask #7).
+#     r13's rotation caught q24's one-ulp rounding divergence.
+#     r14 candidates (still never 10x-checked): q02/q03/q06 envelope
+#     plane, q10-q16 control plane, q30s window family, q50s TPC-H
+#     shapes, q60s text stats, q90s retention/gini, q100s order
+#     analytics, q129/q139/q140 scalar families, q16x sampling rows.
 # Usage: bash tools/run_10x_gate.sh [budget_sec]
 set -e
 cd "$(dirname "$0")/.."
