@@ -1019,17 +1019,36 @@ object SimilarityOps {
     * Output: (id, cell, kept). */
   def semDedupTwoLevelProbe(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double, nprobe: Int, maxSeeds: Int = 4096,
-      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame = {
-    val assigned = twoLevelProbe(embeddings, idCol, vecCol, nprobe,
-      maxSeeds, oversample).localCheckpoint()
-    requireProbePairBudget(assigned, "semDedupTwoLevelProbe", maxPairs)
+      maxPairs: Long = DefaultPairBudget, oversample: Int = 2): DataFrame =
+    semDedupProbed(
+      twoLevelProbe(embeddings, idCol, vecCol, nprobe, maxSeeds, oversample),
+      threshold, maxPairs, op = "semDedupTwoLevelProbe")
+
+  /** The multi-probe dedup keep rule over ANY assignment in the probe
+    * family's common shape (id, vec, cell, probe_cells) — the
+    * consumer half of the round-13 dial unification: feed it
+    * [[twoLevelProbe]] (≡ [[semDedupTwoLevelProbe]]),
+    * [[twoLevelProbeWide]] (cross-coarse boundary straddlers become
+    * candidates too), or [[ivfProbe]] (single-level probed dedup; at
+    * nprobe=1 row-identical to [[semDedup]] on the same centroids).
+    * Candidate pairs come from EITHER side's probe set (the join
+    * enumerates both directions, so greatest(id) per qualifying pair
+    * is the full symmetric larger-id-drops rule without a union);
+    * the probe pair budget is enforced before the join; degenerate
+    * rows (sentinel cell −1, probe_cells [−1]) pair with nothing
+    * above threshold and are kept. Output: (id, cell, kept).
+    */
+  def semDedupProbed(probeAssigned: DataFrame, threshold: Double,
+      maxPairs: Long = DefaultPairBudget,
+      op: String = "semDedupProbed"): DataFrame = {
+    val assigned = Parallelism.ensure(probeAssigned
+        .select(col("id"), col("vec"), col("cell"), col("probe_cells")))
+      .localCheckpoint()
+    requireProbePairBudget(assigned, op, maxPairs)
     val a = assigned.select(col("id"), col("vec"),
       explode(col("probe_cells")).as("_pcell"))
     val b = assigned.select(col("id").as("_oid"), col("vec").as("_ovec"),
       col("cell").as("_ocell"))
-    // the join enumerates BOTH directions (a probes b's cell and b
-    // probes a's), so greatest(id) per qualifying pair is the full
-    // symmetric drop rule without a union
     val dups = a.join(b, col("_pcell") === col("_ocell") &&
         col("id") =!= col("_oid"))
       .where(round(cosine(col("vec"), col("_ovec")), 6) >= threshold)

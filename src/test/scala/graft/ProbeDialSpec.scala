@@ -94,6 +94,35 @@ class ProbeDialSpec extends AnyFunSuite {
     assert(viaProbe == viaAssign, "ivfProbe(np=1) != ivfAssign")
   }
 
+  test("semDedupProbed consumes every probe surface: wrapper equivalence + single-level degeneracy") {
+    val emb = embeddings
+    import org.apache.spark.sql.DataFrame
+    def kept(df: DataFrame): Map[Long, Boolean] =
+      df.select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    // the two-level wrapper IS semDedupProbed over twoLevelProbe
+    val viaWrapper = kept(SimilarityOps.semDedupTwoLevelProbe(
+      emb, "vec_id", "embedding", threshold = 0.3, nprobe = 2))
+    val viaCommon = kept(SimilarityOps.semDedupProbed(
+      SimilarityOps.twoLevelProbe(emb, "vec_id", "embedding", nprobe = 2),
+      threshold = 0.3))
+    assert(viaWrapper == viaCommon)
+    // fed the WIDE surface at nprobeCoarse=1 it matches the fine form
+    val viaWide1 = kept(SimilarityOps.semDedupProbed(
+      SimilarityOps.twoLevelProbeWide(emb, "vec_id", "embedding",
+        nprobeCoarse = 1, nprobe = 2), threshold = 0.3))
+    assert(viaWide1 == viaCommon)
+    // fed the SINGLE-level surface at nprobe=1 it is semDedup on the
+    // same centroids (probe set collapses to the own cell)
+    val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
+    val viaIvf1 = kept(SimilarityOps.semDedupProbed(
+      SimilarityOps.ivfProbe(emb, "vec_id", "embedding", cents, 1),
+      threshold = 0.3))
+    val viaPlain = kept(SimilarityOps.semDedup(
+      emb, "vec_id", "embedding", cents, threshold = 0.3))
+    assert(viaIvf1 == viaPlain,
+      "semDedupProbed(ivfProbe, np=1) != semDedup on the same centroids")
+  }
+
   test("cellRecallProbe ∘ ivfProbe reproduces annRecall on the same dial") {
     val emb = embeddings
     val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
