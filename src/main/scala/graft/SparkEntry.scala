@@ -56,7 +56,11 @@ object SparkEntry {
     * where cell is the raw-double argmax of dot(v, ĉ) with ties to
     * the lower cid — bit-for-bit the arithmetic and tie-break of
     * SimilarityOps.ivfAssign (array_position picks the FIRST
-    * maximal score). */
+    * maximal score). The seed subquery carries sqrtSeedCentroids'
+    * degenerate-vector exclusion (v IS NOT NULL, no NULL element) so
+    * both engines pick the same seed prefix even on corpora with
+    * degenerate rows; k still derives from the FULL count, matching
+    * the Spark side. */
   private def duckSqrtAssign: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (
@@ -71,6 +75,7 @@ object SparkEntry {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
        |      v AS cv
        |    FROM e
+       |    WHERE v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) = 0
        |    QUALIFY row_number() OVER (
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
        |      <= least(CAST(ceil(sqrt((SELECT count(*) FROM e))) AS BIGINT),
@@ -96,7 +101,13 @@ object SparkEntry {
     * collect_list position Spark's broadcast argmax scores), and
     * `tl` (vec_id, v, cell = coarse·2³² + fine via the same
     * dot-DESC-fid tie-break). Every constant re-derives from COUNT,
-    * so both engines compute identical composite cells at any SF. */
+    * so both engines compute identical composite cells at any SF.
+    * The cent CTE carries twoLevelParts' degenerate-vector seed
+    * exclusion; downstream of the seeds this oracle assumes a clean
+    * corpus (a NULL vector would assign to some cell here where
+    * Spark emits the −1 sentinel — that sentinel path is spec'd
+    * Spark-side in ProbeDialSpec, and the test corpora carry no
+    * degenerate rows). */
   private def duckTwoLevelAssign(oversample: Int = 2): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |nn AS (SELECT count(*) AS n,
@@ -113,6 +124,7 @@ object SparkEntry {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
        |      v AS cv
        |    FROM e
+       |    WHERE v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) = 0
        |    QUALIFY row_number() OVER (
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
        |      <= least(CAST(ceil(sqrt((SELECT t FROM nn))) AS BIGINT),
@@ -2129,6 +2141,38 @@ object SparkEntry {
           "cell", "probe_cells")
         .select(lit(np).as("nprobe"), col("n_cells"),
           col("pairs").cast("long").as("pairs"))
+    }),
+    // ----- SELF-SCALING SRP near-dup pairs (r13 top ask): q34's
+    // surface with planes = max(8, ⌈log₂ n⌉) derived from COUNT (the
+    // sqrtSeedCentroids discipline), so the in-bucket pair stream
+    // n²/2^planes is ≤ n by construction — the catalog's one declared
+    // quadratic becomes ~linear. The oracle re-derives the identical
+    // width from the same count -----
+    "q199_neardups_selfscaling" -> ((s, dir) => {
+      SimilarityOps.bucketedNeighborPairsAuto(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ----- the declared retrieval operating point SERVED FROM THE
+    // PERSISTED STORE (r13 ask #7): write the √n-cell IVF store, read
+    // top-k back at the DEFAULT dial — ivfTopKPartitioned resolves
+    // nprobe=0 to retrievalNprobe(k) = ⌈0.55·k⌉, the q197 candidate
+    // rule — so what a consumer gets without dialing anything IS the
+    // measured operating point. Oracled as cosine top-k restricted to
+    // the query's np nearest cells, every input re-derived from the
+    // data -----
+    "q200_store_retrieval_dial" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = sqrtCents(s, dir)
+      val path = "/tmp/graft_q200_store_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      SimilarityOps.writeIvfPartitioned(emb, "vec_id", "embedding",
+        cents, path)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      SimilarityOps.ivfTopKPartitioned(s, path, "vec_id", "embedding",
+        query, cents, k = 20)
     }),
     // ----- multi-probe semantic dedup: the q188 keep rule with
     // candidate pairs from EITHER side's nprobe=2 probe set — the
@@ -4303,6 +4347,40 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_cells,
          |  CAST(sum(pr.p * own.c) AS BIGINT) AS pairs
          |FROM pr JOIN own ON pr.cell = own.cell""".stripMargin,
+    // q34's bucketing with the plane count re-derived from COUNT —
+    // greatest(8, ceil(log2(n))) mirrors selfScalingPlanes' integer
+    // spelling (C log2 is exact on powers of two, the only boundary
+    // where a float log could disagree with 64−nlz(n−1))
+    "q199_neardups_selfscaling" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pw AS (SELECT greatest(8, CAST(ceil(log2(count(*))) AS INTEGER)) AS planes FROM e),
+        |b AS (SELECT vec_id, v,
+        |  CAST(list_aggregate(list_transform(range(planes), p -> CASE WHEN
+        |    list_aggregate(list_transform(range(len(v)), d ->
+        |      v[d+1] * (((('0x' || substr(md5('plane' || p::VARCHAR || '|' || d::VARCHAR), 1, 8))::UBIGINT)::BIGINT::DOUBLE / 2147483648.0) - 1.0)
+        |    ), 'sum') >= 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END), 'sum') AS BIGINT) AS bucket
+        |  FROM e, pw),
+        |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |    round(CASE WHEN sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        |               sqrt(list_aggregate(list_transform(b2.v, x -> x*x), 'sum')) = 0 THEN 0.0
+        |      ELSE list_aggregate(list_transform(range(len(a.v)), d -> a.v[d+1] * b2.v[d+1]), 'sum') /
+        |        (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum')) *
+        |         sqrt(list_aggregate(list_transform(b2.v, x -> x*x), 'sum'))) END, 6) AS cosine
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // store-served top-k at the default dial: rows whose √n-seed cell
+    // is among the query's ⌈0.55·k⌉ nearest cells (the asg ranking at
+    // vec_id 0 — the same per-(vec_id, cid) dot order the assignment
+    // takes rank 1 of), exact cosine top-20 over that slice
+    "q200_store_retrieval_dial" ->
+      s"""WITH $duckSqrtAssign,
+         |np AS (SELECT CAST(ceil(0.55 * count(*)) AS BIGINT) AS np FROM cent),
+         |qc AS (SELECT g.cid FROM asg g, np WHERE g.vec_id = 0 AND g.rn <= np.np),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT a.vec_id, round(${duckCosine("a.v", "q.qv")}, 6) AS cosine
+         |FROM a JOIN qc ON a.cell = qc.cid CROSS JOIN q
+         |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
     "q142_ann_upsert" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |base AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),

@@ -137,6 +137,14 @@ object SimilarityOps {
     * query's bucket (multi-probe: optionally also buckets at Hamming
     * distance 1). Falls back to fewer results when the bucket is
     * small — recall/cost is tuned by `planes` and `probe`.
+    *
+    * RETRIEVAL consumers should prefer the single-level IVF surface
+    * at the declared operating point ([[ivfTopK]] /
+    * [[ivfTopKPartitioned]] at [[retrievalNprobe]]): the round-13
+    * ProbeSweep measured it dominating at every recall ≥ 0.5. The
+    * SRP family's declared role is dedup/blocking
+    * ([[bucketedNeighborPairsAuto]]) where hash-bucket equality, not
+    * ranked recall, is the contract.
     */
   def annTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -452,7 +460,16 @@ object SimilarityOps {
     val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
       maxSeeds.toLong).toInt
     if (k == 0) return Seq.empty
-    base.withColumn("_h", md5(col("_id").cast("string")))
+    // seed candidates exclude degenerate vectors (null vec / null
+    // element — floatSeq would NPE at the driver), the same pure SQL
+    // predicate twoLevelParts applies to its coarse seeds; k still
+    // derives from the FULL count (the blocking law sizes cells for
+    // the whole corpus, degenerate rows included). The oracle twins
+    // (duckSqrtAssign / duckTwoLevelAssign) carry the identical
+    // predicate in their seed CTEs, so both engines pick the same
+    // seed prefix even on corpora with degenerate rows.
+    base.where(col("_v").isNotNull && !exists(col("_v"), _.isNull))
+      .withColumn("_h", md5(col("_id").cast("string")))
       .orderBy(col("_h"), col("_id")).limit(k)
       .select(col("_v")).collect()
       .map(floatSeq(_, 0)).toSeq
@@ -811,13 +828,37 @@ object SimilarityOps {
     centroids
   }
 
+  /** The DECLARED retrieval operating point (round-13 ProbeSweep,
+    * SCALING round 13; shipped oracle-green as q197/q198): on the
+    * single-level √n IVF surface, probing the query's ⌈0.55·k⌉
+    * nearest cells reads mean recall@10 ≥ 0.8 at every measured
+    * scale (0.836 / 0.864 / 0.938 at sf0.01 / sf0.1 / 10x) at ~34%
+    * of brute-force pair cost — the dial a retrieval consumer gets
+    * when they don't pick one themselves ([[ivfTopK]] /
+    * [[ivfTopKPartitioned]] default). The SRP family ([[annTopK]])
+    * and the two-level family are the DEDUP/BLOCKING surfaces; the
+    * measured split is recorded in SURVEY §2.12.
+    */
+  def retrievalNprobe(nCentroids: Int): Int =
+    math.max(1, math.ceil(0.55 * nCentroids).toInt)
+
+  /** nprobe = 0 (the default) means "the declared retrieval
+    * operating point" — [[retrievalNprobe]] of the centroid count. */
+  private def resolveNprobe(nprobe: Int, nCentroids: Int, op: String): Int = {
+    require(nprobe >= 0,
+      s"$op: nprobe must be >= 0 (0 = declared retrieval operating point)")
+    if (nprobe == 0) retrievalNprobe(nCentroids) else nprobe
+  }
+
   /** ANN top-k via IVF: score only vectors in the query's `nprobe`
-    * nearest cells. */
+    * nearest cells. nprobe defaults to the declared retrieval
+    * operating point ([[retrievalNprobe]]). */
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], centroids: Seq[Seq[Float]],
-      k: Int, nprobe: Int = 2): DataFrame = {
-    val probeCells = ivfCellOf(query, centroids).take(nprobe)
+      k: Int, nprobe: Int = 0): DataFrame = {
+    val probeCells = ivfCellOf(query, centroids)
+      .take(resolveNprobe(nprobe, centroids.size, "ivfTopK"))
     val q = lit(query.toArray)
     Parallelism.ensure(embeddings.select(col(idCol), col(vecCol)))
       .withColumn("_cell", ivfAssign(col(vecCol), centroids))
@@ -1034,9 +1075,23 @@ object SimilarityOps {
     * Candidate pairs come from EITHER side's probe set (the join
     * enumerates both directions, so greatest(id) per qualifying pair
     * is the full symmetric larger-id-drops rule without a union);
-    * the probe pair budget is enforced before the join; degenerate
-    * rows (sentinel cell −1, probe_cells [−1]) pair with nothing
-    * above threshold and are kept. Output: (id, cell, kept).
+    * the probe pair budget is enforced before the join.
+    *
+    * Degenerate rows (sentinel cell −1, probe_cells [−1]) CO-BLOCK in
+    * the −1 cell, exactly as they do under [[semDedup]]'s own-cell
+    * rule (cell = −1 joins cell = −1) — the nprobe=1 ≡ [[semDedup]]
+    * equivalence ProbeDialSpec pins relies on the two paths agreeing
+    * here. Two caveats follow: (a) two dimension-MISMATCHED rows that
+    * happen to share the same (wrong) blocking dimension score a real
+    * cosine over the overlapping prefix and the larger id can drop —
+    * same-dimension corpora are the contract, mixed ones get the
+    * prefix semantics [[cosine]] defines; (b) a corpus with d
+    * degenerate rows contributes d² (prober, owner) pairs to the
+    * [[requireProbePairBudget]] estimate even though most can never
+    * clear the threshold — pre-filter degenerate vectors before
+    * dedup when d is material, rather than changing the blocking
+    * rule here (filtering −1 out of the join would silently break
+    * the np=1 equivalence). Output: (id, cell, kept).
     */
   def semDedupProbed(probeAssigned: DataFrame, threshold: Double,
       maxPairs: Long = DefaultPairBudget,
@@ -1434,6 +1489,49 @@ object SimilarityOps {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Count-derived SRP plane width: planes = max(minPlanes, ⌈log₂ n⌉)
+    * — the [[sqrtSeedCentroids]] discipline applied to the SRP
+    * family. With 2^planes ≥ n buckets the expected in-bucket pair
+    * stream n²/2^planes is ≤ n BY CONSTRUCTION, so the fixed-plane
+    * spelling's declared quadratic (SCALING round 13, q34:
+    * n²/2^planes with 2^planes a constant) holds ~linear instead.
+    * A pure function of COUNT, so any engine — including a SQL
+    * oracle (`greatest(minPlanes, ceil(log2(count(*))))`) —
+    * re-derives the identical width and therefore the identical
+    * bucketing. Integer-exact: ⌈log₂ n⌉ = 64 − nlz(n−1) for n ≥ 2,
+    * no float log to disagree with the oracle at power-of-two
+    * boundaries (C log2 is exact on powers of two, so the two
+    * spellings agree everywhere).
+    */
+  def selfScalingPlanes(n: Long, minPlanes: Int = 8): Int = {
+    require(minPlanes >= 1 && minPlanes <= 62,
+      "selfScalingPlanes: minPlanes must be in [1, 62]")
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+    // 62-plane ceiling keeps the packed bucket id a positive Long
+    // (n past 2^62 has outgrown a single-column bucket id anyway)
+    math.min(62, math.max(minPlanes, ceilLog2))
+  }
+
+  /** [[bucketedNeighborPairs]] with the plane count derived from the
+    * corpus COUNT ([[selfScalingPlanes]]) instead of fixed by the
+    * caller — the self-scaling spelling of the SRP near-dup surface:
+    * the pair stream stays ≤ n in expectation at ANY corpus size, so
+    * the decade law is ~linear by construction rather than
+    * n²/constant. The cost is recall — each extra plane halves the
+    * chance a true near-dup pair co-buckets — bought back, when the
+    * use is retrieval rather than dedup blocking, by the Hamming-1
+    * multi-probe ([[annTopK]]'s `probe` dial) or by the declared
+    * retrieval surface ([[ivfProbe]] at [[retrievalNprobe]]).
+    */
+  def bucketedNeighborPairsAuto(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.9, minPlanes: Int = 8): DataFrame = {
+    val planes = selfScalingPlanes(
+      embeddings.select(col(idCol)).count(), minPlanes)
+    bucketedNeighborPairs(embeddings, idCol, vecCol, planes, minCosine)
+  }
+
   /** Materialises the SRP bucket as a PARTITION COLUMN of the
     * embedding store — the physical scale path for ANN: a probe's
     * bucket predicate then prunes directories before a single vector
@@ -1534,13 +1632,17 @@ object SimilarityOps {
 
   /** IVF top-k against a cell-partitioned store written by
     * [[writeIvfPartitioned]] — [[ivfTopK]] semantics, directory-pruned.
+    * nprobe defaults to the declared retrieval operating point
+    * ([[retrievalNprobe]]), so a store consumer gets the measured
+    * ⌈0.55·k⌉ dial unless they dial it themselves.
     */
   def ivfTopKPartitioned(
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String,
       query: Seq[Float], centroids: Seq[Seq[Float]],
-      k: Int, nprobe: Int = 2): DataFrame = {
-    val probeCells = ivfCellOf(query, centroids).take(nprobe)
+      k: Int, nprobe: Int = 0): DataFrame = {
+    val probeCells = ivfCellOf(query, centroids)
+      .take(resolveNprobe(nprobe, centroids.size, "ivfTopKPartitioned"))
     val q = lit(query.toArray)
     latestVersions(spark.read.parquet(path)
         .where(col("cell").isin(probeCells: _*)), idCol, vecCol)

@@ -140,4 +140,81 @@ class ProbeDialSpec extends AnyFunSuite {
       s"evaluator split-brain: common=${viaCommon.take(5).toSeq} " +
         s"ann=${viaAnn.take(5).toSeq}")
   }
+
+  test("store default dial serves the declared operating point (ivfProbe spelling)") {
+    val emb = embeddings
+    val cents = SimilarityOps.sqrtSeedCentroids(emb, "vec_id", "embedding")
+    val np = SimilarityOps.retrievalNprobe(cents.size)
+    assert(np == math.max(1, math.ceil(0.55 * cents.size).toInt),
+      "retrievalNprobe must be the declared ⌈0.55·k⌉ dial (q197)")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_dial").toString + "/store"
+    SimilarityOps.writeIvfPartitioned(emb, "vec_id", "embedding", cents, dir)
+    val query = emb.where($"vec_id" === 3)
+      .select($"embedding").as[Seq[Float]].head
+    // what a consumer gets WITHOUT dialing anything
+    val served = SimilarityOps.ivfTopKPartitioned(
+        spark, dir, "vec_id", "embedding", query, cents, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // the q197 candidate rule in the ivfProbe spelling: the query
+    // row's probe set at np IS ivfCellOf(query).take(np) (the
+    // evaluator-equivalence contract above), candidates = rows whose
+    // OWN cell is in it, exact 6-dp cosine top-k over the candidates
+    val assigned = SimilarityOps.ivfProbe(emb, "vec_id", "embedding", cents, np)
+    val qcells = assigned.where($"id" === 3)
+      .select($"probe_cells").as[Seq[Long]].head
+    val q = lit(query.toArray)
+    val expected = assigned.where($"cell".isin(qcells: _*))
+      .select($"id", round(SimilarityOps.cosine($"vec", q), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == expected,
+      s"store default dial drifted from the declared operating point: " +
+        s"served=${served.take(5)} expected=${expected.take(5)}")
+    // and the explicit spelling of the same dial is identical
+    val explicit = SimilarityOps.ivfTopKPartitioned(
+        spark, dir, "vec_id", "embedding", query, cents, k = 10, nprobe = np)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == explicit)
+  }
+
+  test("selfScalingPlanes: integer-exact ceil(log2 n) with floor and ceiling") {
+    import SimilarityOps.selfScalingPlanes
+    assert(selfScalingPlanes(0) == 8 && selfScalingPlanes(1) == 8)
+    assert(selfScalingPlanes(256) == 8)   // floor binds through 2^8
+    assert(selfScalingPlanes(257) == 9)   // first count past the floor
+    assert(selfScalingPlanes(512) == 9)   // exact power: ceil(log2)=9
+    assert(selfScalingPlanes(513) == 10)
+    assert(selfScalingPlanes(2000) == 11)   // sf0.1 corpus
+    assert(selfScalingPlanes(20000) == 15)  // 10x replica
+    assert(selfScalingPlanes(1L << 40) == 40)
+    assert(selfScalingPlanes(Long.MaxValue) == 62) // bucket stays a Long
+    assert(selfScalingPlanes(100, minPlanes = 4) == 7)
+    // the law the spelling exists for: 2^planes >= n, so the expected
+    // in-bucket pair stream n²/2^planes <= n
+    Seq(1L, 300L, 2000L, 20000L, 1L << 20).foreach { n =>
+      assert(math.pow(2.0, selfScalingPlanes(n)) >= n)
+    }
+  }
+
+  test("bucketedNeighborPairsAuto ≡ bucketedNeighborPairs at the count-derived width") {
+    val emb = embeddings
+    val n = emb.count()
+    val planes = SimilarityOps.selfScalingPlanes(n)
+    val auto = SimilarityOps.bucketedNeighborPairsAuto(
+        emb, "vec_id", "embedding", minCosine = 0.2)
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    val explicit = SimilarityOps.bucketedNeighborPairs(
+        emb, "vec_id", "embedding", planes, minCosine = 0.2)
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(auto == explicit)
+    // pairs never cross the derived buckets
+    val dims = emb.select($"embedding").as[Seq[Float]].head.size
+    val buckets = emb.select($"vec_id",
+        SimilarityOps.srpBucket($"embedding", planes, dims).as("b"))
+      .as[(Long, Long)].collect().toMap
+    auto.foreach { case (a, b, _) => assert(buckets(a) == buckets(b)) }
+  }
 }

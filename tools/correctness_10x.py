@@ -9,8 +9,10 @@ at 10x, so each oracle runs under a wall-clock budget in a subprocess;
 a query whose oracle exceeds it is recorded as oracle_timeout with the
 elapsed time — a named reason, not a silent skip.
 
-Usage: python3 tools/correctness_10x.py <replicaDir> <verifyOutDir> [budgetSec]
-Writes CORRECTNESS_10x.json next to the cwd. Dev tool only.
+Usage: python3 tools/correctness_10x.py <replicaDir> <verifyOutDir> \
+    [budgetSec] [outJson]
+Writes CORRECTNESS_10x.json (or outJson — the r14 100x gate passes
+CORRECTNESS_100x.json) next to the cwd. Dev tool only.
 """
 import json
 import multiprocessing as mp
@@ -63,7 +65,7 @@ def run_oracle(sf_dir, sql, q):
     q.put((list(df.columns), df.to_dict("records")))
 
 
-def main(sf_dir, out_dir, budget_sec=1800):
+def main(sf_dir, out_dir, budget_sec=1800, out_json="CORRECTNESS_10x.json"):
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     results = {}
@@ -126,10 +128,11 @@ def main(sf_dir, out_dir, budget_sec=1800):
         "n": len(results),
         "n_ok": sum(1 for r in results.values() if r.get("status") == "ok"),
         "queries": results}
-    Path("CORRECTNESS_10x.json").write_text(json.dumps(summary, indent=1) + "\n")
+    Path(out_json).write_text(json.dumps(summary, indent=1) + "\n")
     print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
 
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
-         int(sys.argv[3]) if len(sys.argv) > 3 else 1800)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 1800,
+         sys.argv[4] if len(sys.argv) > 4 else "CORRECTNESS_10x.json")

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-14 100x correctness gate (VERDICT r13 ask #6): the 100x
+# replica has been TIMED for two rounds (Q44ScaleProbe, ScaleNProbe)
+# but never ORACLE-CHECKED — scale-dependent wrongness above 10x was
+# invisible. This hash-checks the ~10 rows whose 100x DuckDB oracle is
+# measured-cheap: the q44 output-bound dedup family and the
+# map-side/single-shuffle envelope + text rows. Heavier rows keep the
+# 10x gate + declared decade laws as their evidence (their 100x oracle
+# is the expensive side, not the engine).
+# Usage: bash tools/run_100x_gate.sh [budget_sec]
+set -e
+cd "$(dirname "$0")/.."
+SF=/tmp/graft_100x_sf0.1_v4
+OUT=/tmp/verify_100x_r14
+BUDGET=${1:-1800}
+
+ROWS="q01_agg,q04_latest_row,q05_txn_sequence,q11_fingerprint,q21_dedup_exact,q23_langid,q24_quality,q44_jaccard_dedup,q160_span_cut,q177_url_dedup"
+
+# build the replica if absent (Scale10x.ensure at factor 100)
+if [ ! -d "$SF" ]; then
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
+    "runMain graft.tools.EnsureReplica /root/testdata/sf0.1 100"
+fi
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
+  "runMain graft.Verify $SF $OUT $ROWS"
+python3 tools/correctness_10x.py "$SF" "$OUT" "$BUDGET" CORRECTNESS_100x.json
