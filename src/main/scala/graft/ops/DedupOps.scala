@@ -60,21 +60,24 @@ object DedupOps {
   /** Mersenne prime modulus for the affine hash family. */
   val MinhashPrime: Long = 2147483647L
 
-  /** (id, token array) behind the parallelism guard's exchange —
-    * the ONE tokenization pass every dedup pipeline stage shares.
-    * Tokenize BEFORE the guard: when the exchange fires, the token
-    * array materializes and the regex split runs once per doc
-    * instead of once per shingle lambda. Candidate generation and
-    * Jaccard verification both build on the same frame, so
-    * ReuseExchange collapses their scans into one.
+  /** (id, token array) computed MAP-SIDE above a round-robin text
+    * exchange — the r14 adoption of q44's Shape-B finding
+    * (DedupScaleProbe, SCALING round 14) applied family-wide: the
+    * pre-r14 shape put the RAW TOKEN ARRAYS through a keyed exchange
+    * so downstream per-doc aggregations were exchange-free, but that
+    * exchange is an allocation-pressure GC lottery (q25's A variant:
+    * 144 MB of shuffle and a 4.7s-GC cold mode at 30x vs this
+    * shape's 15 MB; q44 measured the same mechanism at 148 MB →
+    * bimodal 3.4–21.2s in r13). Here only the TEXT crosses the wire
+    * (one string per doc — far lighter to deserialize than its token
+    * array), tokens are computed where they're consumed, and the
+    * per-doc signature aggregation's partial agg means its exchange
+    * carries k longs per doc, never tokens.
     */
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // hash-partitioned on the id (not round-robin): per-doc signature
-    // aggregations downstream (groupBy(id), groupBy(id, ...)) are then
-    // exchange-free, and joins back on the id co-locate for free
-    Parallelism.ensureKeyed(
-      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_t")),
-      col("id"))
+    Parallelism.ensure(
+        df.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), TextOps.tokens(col("_text")).as("_t"))
 
   /** [[minhashSignatures]] over an already-tokenized (id, _t) frame. */
   def minhashSignaturesOfTokens(
@@ -315,24 +318,33 @@ object DedupOps {
     * verified by exact token Jaccard >= threshold. The join back to
     * text is by id — two broadcast-or-shuffle hash joins, never a
     * cross product.
+    *
+    * Plan shape (the q44 Shape-B restructure, adopted here from
+    * DedupScaleProbe's r14 30x A/B — SCALING round 14): signatures
+    * come from map-side tokens (their aggregation's exchange carries
+    * k partial mins per doc) and the verify joins consume an
+    * `array_distinct`-token keyed frame — all Jaccard needs — so no
+    * exchange anywhere carries raw token arrays. The pre-r14 shape
+    * shared ONE keyed raw-token exchange across the signature branch
+    * and both verify joins: 301 MB of 30x shuffle vs this shape's
+    * 140 MB, and a 4.5s GC-pressure worst mode vs 3.0s. Cost: the
+    * text tokenizes twice (signature pass + verify pass) — map-side
+    * CPU that scales embarrassingly.
     */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, bands: Int = 4, rows: Int = 4): DataFrame = {
-    val tok = tokenized(df, idCol, textCol)
-    verifyByJaccard(lshCandidatePairsOfTokens(tok, bands, rows, 3, 0),
-      tok, threshold)
+    val base = Parallelism.ensure(
+      df.select(col(idCol).as("id"), col(textCol).as("_text")))
+    val pairs = lshCandidatePairsOfTokens(
+      base.select(col("id"), TextOps.tokens(col("_text")).as("_t")),
+      bands, rows, 3, 0)
+    val toks = Parallelism.ensureKeyed(
+      base.select(col("id"),
+        array_distinct(TextOps.tokens(col("_text"))).as("toks")),
+      col("id"))
+    verifyDistinctByJaccard(pairs, toks, threshold)
   }
-
-  /** Exact-Jaccard verification of candidate pairs: join the token
-    * sets back by id (hash joins, never a cross product). `tok` is
-    * the same tokenized frame candidates came from, so the corpus is
-    * scanned and tokenized ONCE — the verification projection sits
-    * above the shared exchange and ReuseExchange dedupes it. */
-  private def verifyByJaccard(
-      pairs: DataFrame, tok: DataFrame, threshold: Double): DataFrame =
-    verifyDistinctByJaccard(pairs,
-      tok.select(col("id"), array_distinct(col("_t")).as("toks")), threshold)
 
   /** The exact token-Jaccard confirm over an already-distinct
     * (id, toks) frame — candidate pairs join it once per side. */
