@@ -53,7 +53,12 @@ object Bench {
     "q170_curation_pipeline", "q171_knn_join", "q173_contrastive_pairs",
     "q174_kn_bigram", "q183_kmv_algebra",
     "q181_jl_project", "q34_embedding_neardups", "q25_minhash",
-    "q158_covariance", "q188_two_level_dedup")
+    "q158_covariance", "q188_two_level_dedup",
+    // r14: the self-scaling SRP row rides the decade sweep beside its
+    // fixed-plane sibling — q199 adjudicates against ~linear
+    // (planes = ⌈log₂ n⌉ ⇒ pairs ≤ n), q34 against its declared
+    // n²/2^planes quadratic
+    "q199_neardups_selfscaling")
 
   /** Measurement-protocol constants. The protocol string shipped in
     * the JSON is DERIVED from these (see [[protocolName]]), so the

@@ -140,6 +140,11 @@ object Example {
       centroids, threshold = 0.3)
     println("semdedup kept: " + sem.where(org.apache.spark.sql.functions
       .col("kept")).count() + "/" + sem.count())
+    // SRP near-dup pairs with the COUNT-derived plane width — the
+    // self-scaling spelling whose pair stream stays ≤ n (q199)
+    println("srp near-dup pairs (auto planes): " +
+      SimilarityOps.bucketedNeighborPairsAuto(
+        emb, "vec_id", "embedding", minCosine = 0.2).count())
     // the beyond-maxSeeds form: identical keep rule over two-level
     // composite cells (coarse literals + broadcast sub-centroids).
     // `oversample` is the family's recall-vs-cost dial, driven here
@@ -200,6 +205,11 @@ object Example {
         "vec_id", "embedding", centroids, store, gen = 1L)
       println("ivf-store top-5: " + ids(SimilarityOps.ivfTopKPartitioned(
         spark, store, "vec_id", "embedding", qVec, centroids, 5, nprobe = 2)))
+      // the default dial: nprobe omitted → the declared retrieval
+      // operating point ⌈0.55·k⌉ (retrievalNprobe, q197/q200)
+      println("ivf-store top-5 @declared dial: " +
+        ids(SimilarityOps.ivfTopKPartitioned(
+          spark, store, "vec_id", "embedding", qVec, centroids, 5)))
       SimilarityOps.compactIvfPartitioned(spark, store, "vec_id", "embedding",
         centroids)
       println("ivf-store compacted rows: " + spark.read.parquet(store).count())
