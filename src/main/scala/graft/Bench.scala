@@ -161,11 +161,19 @@ object Bench {
     * ratios now divide a drained-context 30x numerator by a
     * drained-context re-timed 10x denominator (`retime_10x` in the
     * detail), not by the sweep's 10x row — a sweep-inflated
-    * denominator can no longer understate growth. */
+    * denominator can no longer understate growth. r14 added
+    * `retimeUnstable1x`: 1x rows that exhausted maxWarm without
+    * converging re-time once on the drained post-sweep host; the
+    * official reading is min(sweep, retime), the retime history
+    * appends to the row's runs, and `unstable` clears only if the
+    * best two runs overall agree — `queries`/`n_unstable` are not
+    * comparable to rounds without the token when retime_1x is
+    * present. */
   def protocolName: String =
     s"noop-full-plan,min${Protocol.minWarm1x}warm," +
       s"stabilize${math.round((Protocol.agreeRatio - 1) * 100)}pct," +
-      s"floorMinWarm,coldMin,retime${Protocol.retimeBar30x}paired"
+      s"floorMinWarm,coldMin,retime${Protocol.retimeBar30x}paired," +
+      s"retimeUnstable1x"
 
   private def loadavg(): String =
     try {
@@ -403,12 +411,12 @@ object Bench {
     // oracle times against, so totals stay round-over-round and
     // engine-vs-oracle comparable.
     levelFingerprint("1x")
-    val results = sweep(allNames, sfDir, Protocol.minWarm1x, None,
+    val results1Sweep = sweep(allNames, sfDir, Protocol.minWarm1x, None,
       recordJobs = true)
-    val byName1 = results.map(r => r._1 -> r._2).toMap
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
-    val nRan = results.size - nFailed
+    // ratio denominators keep the SWEEP reading (layout-consistent
+    // 32-file denominators are preferred anyway); the unstable-1x
+    // retime below only patches the official 1x readings
+    val byName1 = results1Sweep.map(r => r._1 -> r._2).toMap
 
     // ---- layout-consistent 1x denominators: the SAME rows against a
     // 32-file rewrite of the 1x input (Scale10x factor=1 — identical
@@ -525,6 +533,42 @@ object Bench {
       }
     }
 
+    // ---- post-sweep re-time of UNSTABLE 1x rows (VERDICT r13 ask
+    // #3): a row whose warm history exhausted maxWarm still
+    // disagreeing is usually sweep context — co-running load, GC /
+    // cleaner backlog, JIT-mode pollution from 200 other generated
+    // classes — not the plan (r13 shipped n_unstable=8 under loadavg
+    // ~20 and bench_delta.py attributed the round's drift to host
+    // context). Each such row gets ONE drained stabilized pass after
+    // every level has run; the shipped reading is the best (min) of
+    // sweep and retime, and the retime's runs APPEND to the row's
+    // history, so the `unstable` flag clears only when the best two
+    // runs overall agree — a retime that reads just as scattered
+    // stays flagged instead of being laundered.
+    val unstable1Names = results1Sweep.collect {
+      case (n, v, raw) if v >= 0 && !Protocol.converged(raw.drop(1)) => n
+    }
+    val retimed1: Seq[(String, Double, Seq[Double])] =
+      if (unstable1Names.isEmpty) Seq.empty
+      else {
+        hygiene()
+        Thread.sleep(1000) // let the cleaner fully drain post-sweep
+        levelFingerprint("retime_1x")
+        sweep(unstable1Names, sfDir, Protocol.minWarm1x, None)
+      }
+    val retime1Of = retimed1.map(r => r._1 -> (r._2, r._3)).toMap
+    val results: Seq[(String, Double, Seq[Double])] =
+      results1Sweep.map { case (n, v, raw) =>
+        retime1Of.get(n) match {
+          case Some((rv, rraw)) if rv >= 0 && v >= 0 =>
+            (n, math.min(v, rv), raw ++ rraw)
+          case _ => (n, v, raw)
+        }
+      }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    val nRan = results.size - nFailed
+
     val floorEnd = measureFloor()
     val loadEnd = loadavg()
     val floor = math.min(floorStart, floorEnd)
@@ -637,6 +681,9 @@ object Bench {
       s""""jobs_1x":$jobsJson,""" +
       s""""queries":${jsonOf(pair(results))},""" +
       s""""runs":${jsonRuns(results)}""" +
+      (if (retimed1.isEmpty) ""
+       else s""","retime_1x":${jsonOf(pair(retimed1))}""" +
+         s""","retime_1x_runs":${jsonRuns(retimed1)}""") +
       (if (results1L.isEmpty) ""
        else s""","queries_1x_32file":${jsonOf(pair(results1L))}""" +
          s""","runs_1x_32file":${jsonRuns(results1L)}""" +

@@ -28,10 +28,13 @@ class BenchProtocolSpec extends AnyFunSuite {
     // ALL successful runs including cold, cold_undercut flagged;
     // `retime3.3paired` (r12): post-sweep retimes re-time BOTH the
     // 30x numerator and the 10x denominator, so a sweep-inflated
-    // denominator cannot understate growth
+    // denominator cannot understate growth; `retimeUnstable1x` (r14):
+    // non-converged 1x rows re-time once on the drained post-sweep
+    // host, reading = min(sweep, retime), history appends so the
+    // unstable flag clears only when the best two runs overall agree
     assert(Bench.protocolName ==
       s"noop-full-plan,min${Protocol.minWarm1x}warm,stabilize20pct," +
-        "floorMinWarm,coldMin,retime3.3paired")
+        "floorMinWarm,coldMin,retime3.3paired,retimeUnstable1x")
     assert(Protocol.agreeRatio == 1.2 &&
       math.round((Protocol.agreeRatio - 1) * 100) == 20)
   }
