@@ -280,6 +280,112 @@ case class VectorArgmaxDot(child: Expression, centroids: Seq[Seq[Double]])
   }
 }
 
+/** SRP-LSH bucket id as ONE expression: the planes×d hyperplane
+  * matrix rides the `references` array and the generated code is a
+  * doubly-nested loop whose SIZE IS CONSTANT IN the plane count —
+  * the [[VectorArgmaxDot]] lesson applied to the SRP family. The
+  * composed form (Σ over p of when(vector_dot(v, lit(w_p)) ≥ 0,
+  * 2^p, 0)) inlines planes×d literal doubles, and at the
+  * count-derived width (planes = ⌈log₂ n⌉,
+  * graft.ops.SimilarityOps.selfScalingPlanes) its generated method
+  * grows with the corpus: measured at 10x (planes = 15), the q199
+  * sweep pinned warm runs at ~3.1s in the slow JIT mode that the
+  * constant-size loop removes (isolated converged runs: 0.7s).
+  *
+  * Contract — identical to the composed form on every input:
+  * per-plane dots accumulate left-to-right in double; bit p is set
+  * iff the dot is ≥ 0; a null vector, a null element, or a plane row
+  * whose length differs from the vector's contributes bit 0 for that
+  * plane (the composed when(null ≥ 0) falls to the otherwise-0 arm),
+  * so degenerate rows land in bucket 0 under both spellings.
+  */
+case class VectorSrpBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "vector_srp_bucket"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorSrpBucket = copy(child = newChild)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.catalogString}")
+  }
+
+  /** Seq in the tree (structural equality → canonicalization and
+    * exchange reuse); primitive arrays for the hot loop. */
+  @transient private lazy val matrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return 0L; i += 1 }
+    val f = isFloat
+    var bucket = 0L
+    var p = 0
+    while (p < matrix.length) {
+      val row = matrix(p)
+      if (row.length == n) {
+        var d = 0.0
+        var k = 0
+        while (k < n) {
+          d += (if (f) a.getFloat(k).toDouble else a.getDouble(k)) * row(k)
+          k += 1
+        }
+        if (d >= 0) bucket |= 1L << p
+      }
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val m = ctx.addReferenceObj("planes", matrix, "double[][]")
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val p = ctx.freshName("p")
+    val k = ctx.freshName("k"); val d = ctx.freshName("dotv")
+    val bucket = ctx.freshName("bucket")
+    val anyNull = ctx.freshName("anyNull"); val row = ctx.freshName("plane")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val block = code"""
+      ${childGen.code}
+      long $bucket = 0L;
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+        final int $n = $a.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { $anyNull = true; break; }
+        }
+        if (!$anyNull) {
+          for (int $p = 0; $p < $m.length; $p++) {
+            final double[] $row = $m[$p];
+            if ($row.length != $n) continue;
+            double $d = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              $d += (double) $a.$get($k) * $row[$k];
+            }
+            if ($d >= 0.0) $bucket |= 1L << $p;
+          }
+        }
+      }
+      final long ${ev.value} = $bucket;
+    """
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+}
+
 /** [[VectorArgmaxDot]] with the centroid matrix read from a COLUMN
   * (`array<array<double>>`) instead of baked into the plan — the
   * fine-assignment half of two-level IVF blocking
@@ -837,6 +943,12 @@ object VectorExpressions {
   def argmaxDot(vec: Column, cents: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(VectorArgmaxDot(
       org.apache.spark.sql.graftbridge.Bridge.expression(vec), cents))
+
+  /** Column over the native packed SRP bucket id (constant-size
+    * codegen whatever the plane count). */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(VectorSrpBucket(
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec), planes))
 
   /** Column over the native vector×matrixᵀ (k dots in one
     * constant-size-codegen expression). */

@@ -102,7 +102,7 @@ object SimilarityOps {
     * measured ~5s for 2k vectors at sf0.1; literals run in ~1 map
     * pass).
     */
-  private[ops] def srpWeight(p: Int, d: Int): Double = {
+  private[graft] def srpWeight(p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane$p|$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
@@ -113,10 +113,28 @@ object SimilarityOps {
     * sign of the projection; packs to a long. Vectors in the same
     * bucket are likely neighbors (cosine LSH).
     *
-    * @param dims embedding dimensionality (hyperplanes are baked as
-    *             literals, so the width must be known at plan time)
+    * ONE native expression ([[graft.functions.VectorSrpBucket]]):
+    * the hyperplane matrix travels in the codegen references array,
+    * so the generated method's size is constant in `planes`. The
+    * composed per-plane spelling ([[foldSrpBucket]], the executable
+    * spec) inlines planes×dims literal doubles — fine at the fixed
+    * planes=8, but at the count-derived width
+    * ([[selfScalingPlanes]]) it grows with the corpus and falls into
+    * the slow-JIT mode the argmax family already documented
+    * (measured: q199 at 10x/planes=15 read ~3.1s converged-warm in
+    * the sweep vs 0.7s once compiled).
+    *
+    * @param dims embedding dimensionality (the hyperplane matrix is
+    *             built at plan time, so the width must be known)
     */
-  def srpBucket(vec: Column, planes: Int, dims: Int): Column = {
+  def srpBucket(vec: Column, planes: Int, dims: Int): Column =
+    graft.functions.VectorExpressions.srpBucket(vec,
+      (0 until planes).map(p => (0 until dims).map(srpWeight(p, _))))
+
+  /** Composition-only twin of [[srpBucket]] (the [[foldDot]]
+    * convention): kept as the executable specification the native
+    * expression is spec-tested against. */
+  def foldSrpBucket(vec: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
       val w = lit((0 until dims).map(srpWeight(p, _)).toArray)
       val proj = dot(vec, w)
@@ -1570,8 +1588,20 @@ object SimilarityOps {
       .write.partitionBy("bucket").mode("append").parquet(path)
 
   private def stampedStore(df: DataFrame, idCol: String, vecCol: String,
-      part: Column, gen: Long): DataFrame =
-    df.select(col(idCol), col(vecCol), lit(gen).as("_gen"), part)
+      part: Column, gen: Long): DataFrame = {
+    val stamped = df.select(col(idCol), col(vecCol), lit(gen).as("_gen"), part)
+    // ONE hash shuffle on the partition key before the dynamic-
+    // partition write: without it every write task emits a part file
+    // into every cell it touches — tasks × cells files per write
+    // (measured: the q200 √n-cell store at 10x wrote 143 dirs × 32
+    // files ≈ 4.6k files and the write dominated the row at 10.1s;
+    // clustered, each cell lands in exactly one task ≈ one file per
+    // cell). A probe then opens O(generations) files per probed cell
+    // instead of O(generations × tasks) — the small-files arithmetic
+    // that decides whether a 100 TB store's read path survives its
+    // own maintenance schedule.
+    stamped.repartition(col(stamped.columns.last))
+  }
 
   /** ANN top-k against an SRP-partitioned store written by
     * [[writeSrpPartitioned]]: same probed-bucket semantics as

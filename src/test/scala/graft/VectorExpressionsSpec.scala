@@ -85,6 +85,51 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().forall(_.getInt(0) == -1))
   }
 
+  test("VectorSrpBucket: composed-form contract on the corpus + degenerates; codegen/eval parity") {
+    import graft.functions.VectorExpressions
+    // real corpus at a width past the literal form's comfort zone
+    val emb = graft.sources.ImportSource.table(
+      spark, "/root/testdata/sf0.001", "embeddings")
+    Seq(2, 8, 15).foreach { planes =>
+      val drift = emb.select(
+          SimilarityOps.srpBucket(col("embedding"), planes, 64).as("n"),
+          SimilarityOps.foldSrpBucket(col("embedding"), planes, 64).as("c"))
+        .where(col("n") =!= col("c")).count()
+      assert(drift == 0, s"native/composed drift at planes=$planes")
+    }
+    // degenerate rows: null vector / null element / length mismatch
+    // land in bucket 0 under BOTH spellings (the when(null>=0)
+    // otherwise-0 arm of the composed form)
+    val degen = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f), Some(3.0f)))),
+      (2L, Some(Seq(Some(1.0f), None, Some(2.0f)))),
+      (3L, None),
+      (4L, Some(Seq(Some(1.0f), Some(2.0f))))
+    ).toDF("id", "v")
+    val got = degen.select(col("id"),
+        SimilarityOps.srpBucket(col("v"), 4, 3).as("n"),
+        SimilarityOps.foldSrpBucket(col("v"), 4, 3).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, n, c) =>
+      assert(n == c, s"degenerate drift at id=$id: native=$n composed=$c")
+    }
+    assert(got.filter(_._1 >= 2).forall(_._2 == 0L),
+      "degenerate rows must land in bucket 0")
+    // interpreted eval agrees with codegen; driver-side twin agrees too
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val planeM = (0 until 4).map(p => (0 until 3).map(
+      d => SimilarityOps.srpWeight(p, d)))
+    val v = Seq(1.0f, -2.0f, 0.5f)
+    val evald = graft.functions.VectorSrpBucket(
+      CatLit.create(v, ArrayType(FloatType)), planeM).eval(null)
+    val viaDf = Seq(Tuple1(v)).toDF("v")
+      .select(SimilarityOps.srpBucket(col("v"), 4, 3)).head().getLong(0)
+    assert(evald == viaDf)
+    assert(SimilarityOps.srpBucketOf(v, 4) == viaDf,
+      "driver-side srpBucketOf must agree with the native expression")
+  }
+
   test("double arrays and mixed float/double sides work") {
     val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(df.select(SimilarityOps.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
