@@ -229,6 +229,16 @@ object DedupOps {
       .select(col("id"), col("sig"),
         posexplode(lshBandHashes(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
+      // range-cluster on (band, bucket) before the dynamic-partition
+      // write (the stampedStore discipline, applied to a LOW-
+      // cardinality partition key): hash-clustering on `band` alone
+      // would collapse the write to `bands` tasks, so each task takes
+      // one band's contiguous BUCKET range instead — files per band ≈
+      // tasks/bands rather than tasks, still parallel, and the
+      // within-file bucket sort gives parquet row-group min/max stats
+      // the (band, bucket) probe join prunes with
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
 
   /** Fold the LSH store's append log into one file set per band —
     * the small-files counterpart of the ANN store's compaction:
