@@ -162,22 +162,59 @@ object SampleOps {
     * membership rule every sampler in this file uses, so re-runs and
     * cross-engine mirrors agree row-for-row.
     *
-    * Shape at scale: the per-stratum totals are a strata-sized
-    * aggregate (collected — bounded by the number of languages, not
-    * rows); budgets compile to a literal CASE over the stratum
-    * column; the prefix cut is one stratum-partitioned window. A
-    * single giant stratum lands on one partition — pre-thin with
-    * [[deterministicSample]] at an overshooting rate first (hash
-    * order survives prefix-threshold thinning), as with
-    * [[exactKPerGroup]].
+    * Shape at scale: the prefix cut is TWO-PHASE (the
+    * [[StatsOps.globalRank]] discipline), not a stratum-partitioned
+    * window, and the water-fill totals are the per-stratum sum of
+    * the same collected partials (strata-sized driver state, no
+    * separate aggregation scan): rows
+    * range-partition on the full (stratum, md5(id), id) sort key so
+    * a dominant-language stratum spreads across MANY partitions, a
+    * lightweight job sums tokens per (partition, stratum) — at most
+    * partitions + strata rows collected, since each partition holds
+    * a contiguous key slice — and a per-partition pass adds the
+    * broadcast offset to a local running sum and keeps rows while
+    * the exact cumulative total stays ≤ the stratum's budget. No
+    * single task ever owns a whole stratum, so the operator survives
+    * the one-giant-language corpus without pre-thinning.
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
       weightCol: String, budget: Long): DataFrame = {
     require(budget >= 0)
-    val totals = df.where(col(stratumCol).isNotNull)
-      .groupBy(col(stratumCol)).agg(sum(col(weightCol)).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy { case (s, t) => (t, s) }
+    // Two-phase prefix cut (globalRank discipline, keyed by stratum).
+    // Range-partitioning on the FULL sort key keeps each partition a
+    // contiguous (stratum, hash, id) slice, so the partials job
+    // collects ≤ partitions + strata rows and a giant stratum spans
+    // as many tasks as its row share demands. The water-fill totals
+    // are the per-stratum SUM of the same partials — no separate
+    // aggregation scan.
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val base = df.where(col(stratumCol).isNotNull)
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_wl", col(weightCol).cast("long"))
+    val sortCols = Seq(col(stratumCol), col("_h"), col(idCol))
+    val ranged = base.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ranged.schema
+    val sIdx = schema.fieldIndex(stratumCol)
+    val wIdx = schema.fieldIndex("_wl")
+    val rdd = ranged.rdd // one RDD: both jobs below reuse its shuffle
+    // Job 1: per-(partition, stratum) token partials. nNonNull rides
+    // along so the SQL running-sum null semantics (cum stays NULL
+    // until the first non-null weight) survive partition boundaries.
+    val partials = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      it.foreach { r =>
+        val s = r.getString(sIdx)
+        val (t, nn) = m.getOrElse(s, (0L, 0L))
+        if (r.isNullAt(wIdx)) m(s) = (t, nn)
+        else m(s) = (t + r.getLong(wIdx), nn + 1L)
+      }
+      m.iterator.map { case (s, (t, nn)) => (pid, s, t, nn) }
+    }, preservesPartitioning = true).collect()
+    val totals = partials.groupBy(_._2)
+      .map { case (s, rows) => s -> rows.map(_._3).sum }
+      .toArray.sortBy { case (s, t) => (t, s) }
     if (totals.isEmpty) return df.where(lit(false))
     val n = totals.length
     var remaining = budget
@@ -191,15 +228,38 @@ object SampleOps {
       else { if (level == Long.MaxValue) level = share; budgets(s) = level }
       k += 1
     }
-    val budgetExpr = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
-      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    // offsets((pid, stratum)) = (tokens, non-null count) in EARLIER
+    // partitions of the same stratum — strata-by-partitions sized.
+    val offsets = scala.collection.mutable.HashMap[(Int, String), (Long, Long)]()
+    partials.groupBy(_._2).foreach { case (s, rows) =>
+      var t = 0L; var nn = 0L
+      rows.sortBy(_._1).foreach { case (pid, _, pt, pnn) =>
+        offsets((pid, s)) = (t, nn); t += pt; nn += pnn
+      }
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.where(col(stratumCol).isNotNull)
-      .withColumn("_cum", sum(col(weightCol)).over(w))
-      .where(col("_cum") <= budgetExpr)
-      .drop("_cum")
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bcBud = spark.sparkContext.broadcast(budgets.toMap)
+    // Job 2: local running sum + broadcast offset → exact cumulative
+    // total; keep while ≤ budget. Rows before the first non-null
+    // weight have NULL cum in the window spelling — dropped here too.
+    val kept = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      val off = bcOff.value
+      val bud = bcBud.value
+      var cur: String = null
+      var running = 0L
+      var seen = false
+      it.filter { r =>
+        val s = r.getString(sIdx)
+        if (s != cur) {
+          cur = s
+          val (t, nn) = off.getOrElse((pid, s), (0L, 0L))
+          running = t; seen = nn > 0L
+        }
+        if (!r.isNullAt(wIdx)) { running += r.getLong(wIdx); seen = true }
+        seen && running <= bud.getOrElse(s, -1L)
+      }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(kept.map(r => Row.fromSeq(r.toSeq)), schema)
+      .drop("_h", "_wl")
   }
 }
