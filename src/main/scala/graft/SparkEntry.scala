@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.{Envelope, Operation}
-import graft.ops.{ChangelogOps, DedupOps, Parallelism, SampleOps, SimilarityOps, TemporalJoins, TextOps}
+import graft.ops.{ChangelogOps, DedupOps, MultimodalOps, Parallelism, SampleOps, SimilarityOps, TemporalJoins, TextOps}
 import graft.sources.ImportSource
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per
@@ -47,6 +47,25 @@ object SparkEntry {
   private def sqrtCents(s: SparkSession, dir: String): Seq[Seq[Float]] =
     SimilarityOps.sqrtSeedCentroids(
       t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Deterministic 60-bit perceptual-hash stand-ins for the
+    * banded-Hamming oracle rows (q201/q202): the container has no
+    * image/audio codecs, so the DECODE step can't run against real
+    * media here, but the LSH pair machinery — the part with the
+    * scale ceiling — is pure 64-bit arithmetic both engines can
+    * compute from the documents table. 16-doc clusters share a
+    * 60-bit base hash (first 15 md5 hex chars of the cluster id —
+    * fits signed BIGINT in both engines); each member XORs one
+    * distinct low bit (doc_id mod 60 — distinct within any 16
+    * consecutive ids), so intra-cluster pairs sit at Hamming
+    * distance 2 and cluster COUNT (not size) grows with the corpus:
+    * pair output scales linearly, bucket sizes stay ~16. */
+  private def syntheticMediaHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      conv(substring(md5(expr("cast(doc_id div 16 as string)")), 1, 15),
+          16, 10).cast("long")
+        .bitwiseXOR(expr("shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"))
+        .as("phash"))
 
   /** Oracle-side twin of [[sqrtCents]] + ivfAssign: CTEs `e`
     * (vec_id, v), `cent` (cid, cv — row_number over the
@@ -2173,6 +2192,31 @@ object SparkEntry {
         .select(col("embedding")).collect()(0).getSeq[Float](0)
       SimilarityOps.ivfTopKPartitioned(s, path, "vec_id", "embedding",
         query, cents, k = 20)
+    }),
+    // ----- banded-Hamming near-dup pairs over deterministic 60-bit
+    // fingerprints (the image/audio dHash LSH machinery, oracled on
+    // arithmetic the two engines agree on: 16-doc clusters share a
+    // 60-bit md5-derived base hash, each member flips one distinct
+    // bit, so intra-cluster pairs sit at Hamming 2 — inside the
+    // 4-band pigeonhole guarantee). Pair count grows LINEARLY with
+    // the corpus (cluster size fixed, cluster count scales) -----
+    "q201_banded_hamming" -> ((s, dir) => {
+      MultimodalOps.bandedHammingPairs(
+          syntheticMediaHashes(t(s, dir, "documents")),
+          "phash", maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ----- the same family with bands derived from COUNT
+    // (selfScalingBands: width = max(8, ceil(log2 n) - 3) rounded up
+    // to a divisor of 64 — expected bucket ≤ 8 at any corpus size,
+    // the q199 discipline applied to the Hamming family's fixed-band
+    // ceiling n ≈ 2^(64/bands)·failLimit). The oracle re-derives the
+    // identical width from COUNT via an integer-exact threshold CASE -----
+    "q202_banded_hamming_auto" -> ((s, dir) => {
+      MultimodalOps.bandedHammingPairsAuto(
+          syntheticMediaHashes(t(s, dir, "documents")),
+          "phash", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     // ----- multi-probe semantic dedup: the q188 keep rule with
     // candidate pairs from EITHER side's nprobe=2 probe set — the
@@ -4381,6 +4425,55 @@ object SparkEntry {
          |SELECT a.vec_id, round(${duckCosine("a.v", "q.qv")}, 6) AS cosine
          |FROM a JOIN qc ON a.cell = qc.cid CROSS JOIN q
          |ORDER BY cosine DESC, a.vec_id LIMIT 20""".stripMargin,
+    // banded-Hamming LSH mirror: same 60-bit synthetic hashes
+    // (cluster base ⊕ one flipped bit), same 4×16-bit banding, a
+    // candidate = some band's slice matches exactly, confirmed by
+    // bit_count(xor) ≤ 3 — the full algorithm, not an all-pairs
+    // shortcut, so banding recall semantics are what's checked
+    "q201_banded_hamming" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |    xor(CAST(('0x' || substr(md5(CAST(doc_id // 16 AS VARCHAR)), 1, 15)) AS BIGINT),
+        |        CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)) AS ph
+        |  FROM documents),
+        |s AS (SELECT media_id, ph, b AS band, (ph >> (b * 16)) & 65535 AS slice
+        |  FROM h, generate_series(0, 3) AS g(b)),
+        |p AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+        |  FROM s a JOIN s b2 ON a.band = b2.band AND a.slice = b2.slice
+        |    AND a.media_id < b2.media_id)
+        |SELECT id_a, id_b, bit_count(xor(ha.ph, hb.ph)) AS hamming
+        |FROM p JOIN h ha ON p.id_a = ha.media_id
+        |  JOIN h hb ON p.id_b = hb.media_id
+        |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same family, slice width re-derived from COUNT: the threshold
+    // CASE is the integer-exact mirror of selfScalingBands
+    // (width = max(8, ceil(log2 n) - 3) rounded up to a divisor of
+    // 64 ⟺ n ≤ 2^11 → 8, n ≤ 2^19 → 16, n ≤ 2^35 → 32, else 64)
+    "q202_banded_hamming_auto" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |    xor(CAST(('0x' || substr(md5(CAST(doc_id // 16 AS VARCHAR)), 1, 15)) AS BIGINT),
+        |        CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)) AS ph
+        |  FROM documents),
+        |w AS (SELECT CASE WHEN count(*) <= 2048 THEN 8
+        |    WHEN count(*) <= 524288 THEN 16
+        |    WHEN count(*) <= 34359738368 THEN 32 ELSE 64 END AS width
+        |  FROM h),
+        |m AS (SELECT width,
+        |    CASE WHEN width = 64 THEN CAST(-1 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << width) - 1 END AS mask
+        |  FROM w),
+        |s AS (SELECT media_id, ph, b AS band,
+        |    (ph >> (b * m.width)) & m.mask AS slice
+        |  FROM h, m, generate_series(0, 63) AS g(b)
+        |  WHERE b < 64 // m.width),
+        |p AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+        |  FROM s a JOIN s b2 ON a.band = b2.band AND a.slice = b2.slice
+        |    AND a.media_id < b2.media_id)
+        |SELECT id_a, id_b, bit_count(xor(ha.ph, hb.ph)) AS hamming
+        |FROM p JOIN h ha ON p.id_a = ha.media_id
+        |  JOIN h hb ON p.id_b = hb.media_id
+        |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q142_ann_upsert" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |base AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),

@@ -817,6 +817,52 @@ object MultimodalOps {
       perceptualHashes(media).where(col("phash").isNotNull), "phash",
       maxHamming, bands)
 
+  /** Self-scaling band count for [[bandedHammingPairs]] — the
+    * [[graft.ops.SimilarityOps.selfScalingPlanes]] discipline applied
+    * to the 64-bit Hamming family's own ceiling.
+    *
+    * Fixed bands have a STRUCTURAL ceiling the SRP family doesn't:
+    * `bands` slices of `width = 64/bands` bits give `2^width` buckets
+    * per band, so a uniform corpus of n hashes holds n/2^width
+    * members per bucket and trips the in-plan `failLimit` guard
+    * around n_max ≈ 2^(64/bands)·failLimit (bands = 4, failLimit =
+    * 200 ⇒ n_max ≈ 1.3·10⁷ media items) — and unlike SRP the total
+    * bit budget cannot grow past 64 (pigeonhole binds bands·width =
+    * 64). The scale-through is to WIDEN slices as the corpus grows,
+    * trading guaranteed radius (bands − 1) for bucket headroom:
+    *
+    *   width = max(8, ⌈log₂ n⌉ − 3)  rounded up to a divisor of 64
+    *   (expected bucket size n/2^width ≤ 8 by construction)
+    *
+    * n ≤ 2¹¹ ⇒ 8 bands (radius ≤ 7 guaranteed); n ≤ 2¹⁹ ⇒ 4 bands
+    * (≤ 3); n ≤ 2³⁵ ⇒ 2 bands (≤ 1, distance-2/3 pairs found with
+    * P ≈ 0.49/0.24 — the priced recall trade, cf. the q191-q196
+    * nprobe curve); past 2³⁵ ⇒ 1 band (exact-hash duplicates only —
+    * at that corpus size a 64-bit fingerprint is saturated and the
+    * honest near-dup path is a wider fingerprint, not this family).
+    * ⌈log₂ n⌉ is integer-exact (64 − nlz(n−1)) so an oracle deriving
+    * the width from COUNT agrees at power-of-two boundaries.
+    */
+  private[graft] def selfScalingBands(n: Long): Int = {
+    require(n >= 0, "corpus count must be non-negative")
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val w = math.max(8, ceilLog2 - 3)
+    val width = if (w <= 8) 8 else if (w <= 16) 16 else if (w <= 32) 32 else 64
+    64 / width
+  }
+
+  /** [[bandedHammingPairs]] with the band count derived from the
+    * corpus COUNT by [[selfScalingBands]] — the default spelling for
+    * a corpus whose size is not known to sit under the fixed-band
+    * ceiling. One counting job (metadata-cheap: 8-byte hash rows),
+    * then the banded plan at the derived width. */
+  def bandedHammingPairsAuto(hashes: DataFrame, hashCol: String,
+      maxHamming: Int = 3,
+      failLimit: Int = DedupOps.DefaultBucketFailLimit): DataFrame =
+    bandedHammingPairs(hashes, hashCol, maxHamming,
+      selfScalingBands(hashes.count()), failLimit)
+
   /** The banded-Hamming LSH pair emitter shared by the image (dHash)
     * and audio (spectrogram-dHash) near-dup operators: a pair
     * collides iff some `64/bands`-bit slice matches exactly, then

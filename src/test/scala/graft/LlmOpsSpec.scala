@@ -504,6 +504,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nearDuplicateImages(media.where(lit(false))).count() == 0)
   }
 
+  test("multimodal: selfScalingBands widens slices at the integer-exact thresholds") {
+    import MultimodalOps.selfScalingBands
+    // width = max(8, ceil(log2 n) - 3) rounded up to a divisor of 64;
+    // bands = 64/width. Boundaries are exact (64 - nlz), not float-log.
+    assert(selfScalingBands(0L) == 8 && selfScalingBands(1L) == 8)
+    assert(selfScalingBands(500L) == 8)
+    assert(selfScalingBands(2048L) == 8, "n = 2^11 is the last 8-band size")
+    assert(selfScalingBands(2049L) == 4)
+    assert(selfScalingBands(524288L) == 4, "n = 2^19 is the last 4-band size")
+    assert(selfScalingBands(524289L) == 2)
+    assert(selfScalingBands(1L << 35) == 2, "n = 2^35 is the last 2-band size")
+    assert(selfScalingBands((1L << 35) + 1) == 1,
+      "past 2^35 only exact-hash duplicates are honest at 64 bits")
+    // the ceiling the rule holds: expected bucket n/2^(64/bands) <= 8
+    for (n <- Seq(100L, 2048L, 2049L, 1000000L, 524289L, 1L << 30)) {
+      val width = 64 / selfScalingBands(n)
+      if (width < 64)
+        assert(n.toDouble / math.pow(2, width) <= 8.0,
+          s"n=$n width=$width breaks the bucket budget")
+    }
+  }
+
+  test("multimodal: bandedHammingPairsAuto matches the fixed-band spelling at small n") {
+    import MultimodalOps._
+    // synthetic 60-bit hashes, the q201 construction: 16-id clusters
+    // share a base, each member flips one distinct bit
+    val hashes = spark.range(0, 400).toDF("media_id")
+      .select(col("media_id"),
+        conv(substring(md5(expr("cast(media_id div 16 as string)")), 1, 15), 16, 10)
+          .cast("long")
+          .bitwiseXOR(expr("shiftleft(cast(1 as bigint), cast(media_id % 60 as int))"))
+          .as("phash"))
+    // n = 400 => selfScalingBands = 8; radius bands-1 = 7 covers every
+    // distance-2 intra-cluster pair, exactly like the 4-band default
+    val auto = bandedHammingPairsAuto(hashes, "phash", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val fixed = bandedHammingPairs(hashes, "phash", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(auto == fixed && auto.size == 25 * (16 * 15) / 2,
+      s"auto=${auto.size} fixed=${fixed.size}")
+    assert(auto.forall(_._3 == 2), "intra-cluster pairs sit at Hamming 2")
+  }
+
   test("multimodal: ImageIoDecoder decodes a real PNG through the distributed plan") {
     import MultimodalOps._
     // render a real 8x4 PNG in memory: left half pure red, right half
