@@ -540,11 +540,15 @@ object Bench {
     // classes — not the plan (r13 shipped n_unstable=8 under loadavg
     // ~20 and bench_delta.py attributed the round's drift to host
     // context). Each such row gets ONE drained stabilized pass after
-    // every level has run; the shipped reading is the best (min) of
-    // sweep and retime, and the retime's runs APPEND to the row's
-    // history, so the `unstable` flag clears only when the best two
-    // runs overall agree — a retime that reads just as scattered
-    // stays flagged instead of being laundered.
+    // every level has run; the shipped reading is the RETIME when it
+    // converges (the retime exists to supply drained context, not an
+    // extra draw at the minimum — an unconditional min(sweep, retime)
+    // gave only unstable rows a selection bias that always lowered
+    // totals, ADVICE r14) and falls back to the sweep reading when
+    // the retime is just as scattered. The retime's runs APPEND to
+    // the row's history, so the `unstable` flag clears only when the
+    // best two runs overall agree — a scattered retime stays flagged
+    // instead of being laundered.
     val unstable1Names = results1Sweep.collect {
       case (n, v, raw) if v >= 0 && !Protocol.converged(raw.drop(1)) => n
     }
@@ -561,7 +565,8 @@ object Bench {
       results1Sweep.map { case (n, v, raw) =>
         retime1Of.get(n) match {
           case Some((rv, rraw)) if rv >= 0 && v >= 0 =>
-            (n, math.min(v, rv), raw ++ rraw)
+            val shipped = if (Protocol.converged(rraw.drop(1))) rv else v
+            (n, shipped, raw ++ rraw)
           case _ => (n, v, raw)
         }
       }
@@ -694,9 +699,12 @@ object Bench {
          // denominator marker: since r9 the 10x ratios divide by the
          // layout-consistent 32-file factor-1 rewrite (when present),
          // NOT the official single-file 1x sweep — cross-round tools
-         // must not compare r8's ratios_10x to these unflagged
+         // must not compare r8's ratios_10x to these unflagged.
+         // The fallback token names the PRE-RETIME sweep map actually
+         // used (byName1), which diverges from the retime-patched
+         // "queries" rows for unstable rows (ADVICE r14)
          s""","ratios_10x_denom":"${
-           if (byName1L.nonEmpty) "queries_1x_32file" else "queries"}"""" +
+           if (byName1L.nonEmpty) "queries_1x_32file" else "queries_1x_sweep"}"""" +
          s""","ratios_10x":${jsonOf(ratios10)}""") +
       (if (results30.isEmpty) ""
        else s""","queries_30x":${jsonOf(pair(results30))}""" +

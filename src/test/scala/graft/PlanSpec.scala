@@ -104,11 +104,32 @@ class PlanSpec extends AnyFunSuite {
       ImportSource.table(spark, sf, "documents"), "doc_id", "text", 16)
     assert(shuffles(df) <= 2,
       s"expected at most guard + id-agg exchanges:\n${planString(df)}")
-    // the contract the restructure bought: no exchange ships tokens
-    val plan = planString(df)
-    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchangeLines.forall(l => !l.contains("_t#")),
-      s"an exchange carries the raw token array:\n$plan")
+    // the contract the restructure bought: no exchange ships tokens.
+    // Checked on the exchanges' ATTRIBUTES, not the plan string —
+    // toString prints only partitioning expressions on Exchange
+    // lines, so a string match would pass even against the pre-r14
+    // token-keyed shape (ADVICE r14). Execute first so AQE exposes
+    // the final plan, then walk into query stages.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.write.mode("overwrite").format("noop").save()
+    def exchangesOf(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p match {
+        case e: ShuffleExchangeExec => Seq(e); case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(exchangesOf)
+    }
+    val exchanges = exchangesOf(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected the id-agg exchange to be visible")
+    exchanges.foreach { e =>
+      val shipped = e.child.output.map(_.name)
+      assert(!shipped.contains("_t"),
+        s"an exchange carries the raw token array: shipped=$shipped")
+    }
   }
 
   test("per-doc token pipelines: ONE keyed exchange, exploded rows never shuffle") {

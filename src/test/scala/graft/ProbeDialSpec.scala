@@ -217,4 +217,49 @@ class ProbeDialSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     auto.foreach { case (a, b, _) => assert(buckets(a) == buckets(b)) }
   }
+
+  test("degenerate rows under semDedupTwoLevel: the oracle-divergence boundary, pinned") {
+    // The duckTwoLevelAssign oracle (SparkEntry) carries the seeds'
+    // degenerate-vector exclusion but ASSUMES a clean corpus
+    // downstream: a NULL vector there scores NULL against every
+    // centroid and DuckDB's rank tie-break (dot DESC, cid) would
+    // hand it the LOWEST cid — a real cell — where the engine emits
+    // the −1 sentinel. The divergence is documented prose; this case
+    // makes the engine half of the boundary executable: sentinel,
+    // not cell 0, and the documented −1 CO-BLOCK semantics.
+    val dim = embeddings.select($"embedding").as[Seq[Float]].head.size
+    val degen = Seq(
+      (9000001L, null.asInstanceOf[Seq[Float]]),   // NULL vector
+      (9000002L, null.asInstanceOf[Seq[Float]]),   // second NULL: co-blocks
+      (9000003L, Seq.fill(dim + 1)(1.0f)),         // mismatched dims,
+      (9000004L, Seq.fill(dim + 1)(1.0f))          // identical pair
+    ).toDF("vec_id", "embedding")
+    val aug = embeddings.select($"vec_id", $"embedding").unionByName(degen)
+    val out = SimilarityOps.semDedupTwoLevel(aug, "vec_id", "embedding",
+        threshold = 0.3)
+      .select($"id", $"cell", $"kept").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // engine: sentinel cell, NOT the cell-0 the oracle tie-break
+    // would assign a NULL-scored row
+    Seq(9000001L, 9000002L, 9000003L, 9000004L).foreach { id =>
+      assert(out(id)._1 == -1L, s"id=$id cell=${out(id)._1} (want sentinel)")
+      assert(out(id)._1 != 0L, "sentinel must differ from the oracle's tie-break cell")
+    }
+    // caveat semantics in the flesh: NULL vectors co-block but a NULL
+    // cosine never clears the threshold — both kept; two
+    // dimension-mismatched rows sharing the (wrong) −1 block score a
+    // real prefix cosine (1.0 here) — the larger id drops
+    assert(out(9000001L)._2 && out(9000002L)._2,
+      "NULL-vector rows must survive (NULL cosine clears no threshold)")
+    assert(out(9000003L)._2 && !out(9000004L)._2,
+      "identical mismatched-dim rows co-block: larger id drops")
+    // and the clean-corpus rows are untouched by the augmentation
+    val clean = SimilarityOps.semDedupTwoLevel(
+        embeddings.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        threshold = 0.3)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    embeddings.select($"vec_id").as[Long].collect().foreach { id =>
+      assert(clean(id) == out(id)._2, s"id=$id keep decision drifted")
+    }
+  }
 }
