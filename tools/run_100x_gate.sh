@@ -1,25 +1,30 @@
 #!/bin/bash
-# Round-14 100x correctness gate (VERDICT r13 ask #6): the 100x
-# replica has been TIMED for two rounds (Q44ScaleProbe, ScaleNProbe)
-# but never ORACLE-CHECKED — scale-dependent wrongness above 10x was
-# invisible. This hash-checks the ~10 rows whose 100x DuckDB oracle is
-# measured-cheap: the q44 output-bound dedup family and the
-# map-side/single-shuffle envelope + text rows. Heavier rows keep the
-# 10x gate + declared decade laws as their evidence (their 100x oracle
-# is the expensive side, not the engine).
+# Round-15 100x correctness gate (VERDICT r14 ask #6: grow past the
+# output-bound family — 11 rows were hash-checked in r14, target
+# >= 20 with per-row elapsed). Adds the measured-cheap set: the
+# envelope/control-plane rows (tiny result sets over the 100x base
+# tables), scalar rows (q17/q20), linear text-stats (q22/q62), the
+# events mode row (q91), and the new banded-Hamming family (q201 /
+# q202 — at n = 500k the auto width sits just UNDER the 2^19 = 524288
+# four-band boundary, so the threshold rule is exercised at its edge).
+# Heavier rows keep the 10x gate + declared decade laws as their
+# evidence (their 100x oracle is the expensive side, not the engine).
 # Usage: bash tools/run_100x_gate.sh [budget_sec]
 set -e
 cd "$(dirname "$0")/.."
 SF=/tmp/graft_100x_sf0.1_v4
-OUT=/tmp/verify_100x_r14
+OUT=/tmp/verify_100x_r15
 BUDGET=${1:-1800}
 
 # q200 is deliberately NOT in this list: its 100x oracle was measured
 # infeasible on this host's disk — duckSqrtAssign's window rank over
 # the 200k x 448-centroid score table (~90M rows x 64-double lists)
-# spilled ~60 GB of DuckDB temp and died on ENOSPC at 651s. Its
-# evidence stands at sf0.01/sf0.1/10x (CORRECTNESS_10x).
-ROWS="q01_agg,q04_latest_row,q05_txn_sequence,q11_fingerprint,q21_dedup_exact,q23_langid,q24_quality,q44_jaccard_dedup,q160_span_cut,q177_url_dedup,q199_neardups_selfscaling"
+# spilled ~60 GB of DuckDB temp and died on ENOSPC at 651s (r14).
+# The same duckSqrtAssign/duckTwoLevelAssign CTE underlies the whole
+# recall/probed-dedup family (q141/q187-q198), which is why those
+# stand on the 10x gate instead.
+PRIOR="q01_agg,q04_latest_row,q05_txn_sequence,q11_fingerprint,q21_dedup_exact,q23_langid,q24_quality,q44_jaccard_dedup,q160_span_cut,q177_url_dedup,q199_neardups_selfscaling"
+NEW="q02_keyset_page,q03_import_envelope,q06_insert_result,q10_backoff,q12_operation_derive,q17_json_extract,q20_topk,q22_token_stats,q62_vocab,q91_mode,q201_banded_hamming,q202_banded_hamming_auto"
 
 # build the replica if absent (Scale10x.ensure at factor 100)
 if [ ! -d "$SF" ]; then
@@ -27,5 +32,5 @@ if [ ! -d "$SF" ]; then
     "runMain graft.tools.EnsureReplica /root/testdata/sf0.1 100"
 fi
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
-  "runMain graft.Verify $SF $OUT $ROWS"
+  "runMain graft.Verify $SF $OUT $PRIOR,$NEW"
 python3 tools/correctness_10x.py "$SF" "$OUT" "$BUDGET" CORRECTNESS_100x.json
