@@ -78,7 +78,24 @@ def run_oracle(sf_dir, sql, q):
     # explicitly; insertion order is irrelevant because the compare
     # sorts rows either way, and dropping it halves large-result
     # memory
-    con.execute("SET memory_limit='48GB'")
+    # budget = 85% of what the host actually has free (floor 48GB):
+    # the fixed 48GB pin made q149's 10x oracle spill past this
+    # host's ~76GB free disk (ENOSPC at ~540s) while 119GB of RAM sat
+    # idle — the gate's python phase runs after the Spark JVM exits,
+    # so the child can take most of the machine. 85%, not 75%: the
+    # measured q149 boundary — a 100GB limit completes with ~76GB of
+    # temp headroom, an 89GB limit still spills past it
+    avail_kb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    limit_gb = max(48, int(avail_kb / 1024 / 1024 * 0.85))
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # replica tables are Spark-written DIRECTORIES of part files;
@@ -87,7 +104,11 @@ def run_oracle(sf_dir, sql, q):
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-    df = con.sql(sql).df()
+    try:
+        df = con.sql(sql).df()
+    except Exception as e:  # surface the child's error, don't die mute
+        q.put(("error", repr(e)[:300]))
+        return
     if len(df) > DIGEST_ROWS:
         ocols, orows = rows_of(df)
         q.put(("digest", ocols, len(orows), digest_rows(ocols, orows)))
@@ -111,8 +132,13 @@ def main(sf_dir, out_dir, budget_sec=1800, out_json="CORRECTNESS_10x.json"):
         # to the oracle's deadline (a heavy 10x output could otherwise
         # burn minutes of the oracle's 30-min budget before DuckDB
         # runs a single query)
-        q = mp.Queue()
-        proc = mp.Process(target=run_oracle, args=(sf_dir, oracle[name], q))
+        # spawn, not fork: the forked child inherits the parent's
+        # allocator/thread state and DuckDB fails allocations there
+        # that the identical query survives in-parent (q149 at 10x:
+        # in-parent 487s OK, forked child dies ~540s at every limit)
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        proc = ctx.Process(target=run_oracle, args=(sf_dir, oracle[name], q))
         proc.start()
         t0 = time.time()
         payload = None
@@ -140,6 +166,11 @@ def main(sf_dir, out_dir, budget_sec=1800, out_json="CORRECTNESS_10x.json"):
             print(f"{name}: {status} ({elapsed}s)", flush=True)
             continue
         proc.join()
+        if payload[0] == "error":
+            results[name] = {"status": "oracle_error",
+                             "elapsed_sec": elapsed, "reason": payload[1]}
+            print(f"{name}: oracle_error ({elapsed}s) {payload[1]}", flush=True)
+            continue
         if payload[0] == "digest":
             _, ocols, n_orows, odigest = payload
             ok = (list(scols) == list(ocols) and len(srows) == n_orows
