@@ -68,23 +68,13 @@ def digest_rows(cols, rows):
     return h.hexdigest()
 
 
-def run_oracle(sf_dir, sql, q):
-    # fresh process: an over-budget DuckDB query is killed, not joined
-    import duckdb
-    con = duckdb.connect()
-    # the FORKED child misdetects its memory budget (q160's 100x
-    # oracle: "Failed to allocate block of 1.2MB" with 119G free,
-    # while the identical query succeeds in-parent) — pin the limit
-    # explicitly; insertion order is irrelevant because the compare
-    # sorts rows either way, and dropping it halves large-result
-    # memory
-    # budget = 85% of what the host actually has free (floor 48GB):
-    # the fixed 48GB pin made q149's 10x oracle spill past this
-    # host's ~76GB free disk (ENOSPC at ~540s) while 119GB of RAM sat
-    # idle — the gate's python phase runs after the Spark JVM exits,
-    # so the child can take most of the machine. 85%, not 75%: the
-    # measured q149 boundary — a 100GB limit completes with ~76GB of
-    # temp headroom, an 89GB limit still spills past it
+def big_limit_gb():
+    """85% of MemAvailable — the escalation limit for oracles whose
+    48GB-limit spill exceeds this host's free DISK (q149 at 10x needs
+    >76GB of temp under 48GB but completes in RAM at ~100GB; measured
+    boundary: 100GB ok, 89GB still ENOSPC). Not the default: a ~100GB
+    limit plus pandas materialization OOM-killed q160's 100x child,
+    which is fine at 48GB."""
     avail_kb = 0
     try:
         with open("/proc/meminfo") as f:
@@ -94,7 +84,18 @@ def run_oracle(sf_dir, sql, q):
                     break
     except OSError:
         pass
-    limit_gb = max(48, int(avail_kb / 1024 / 1024 * 0.85))
+    return max(48, int(avail_kb / 1024 / 1024 * 0.85))
+
+
+def run_oracle(sf_dir, sql, q, limit_gb=48):
+    # fresh process: an over-budget DuckDB query is killed, not joined
+    import duckdb
+    con = duckdb.connect()
+    # the CHILD misdetects its memory budget (q160's 100x oracle:
+    # "Failed to allocate block of 1.2MB" with 119G free, while the
+    # identical query succeeds in-parent) — pin the limit explicitly;
+    # insertion order is irrelevant because the compare sorts rows
+    # either way, and dropping it halves large-result memory
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
@@ -137,26 +138,41 @@ def main(sf_dir, out_dir, budget_sec=1800, out_json="CORRECTNESS_10x.json"):
         # that the identical query survives in-parent (q149 at 10x:
         # in-parent 487s OK, forked child dies ~540s at every limit)
         ctx = mp.get_context("spawn")
-        q = ctx.Queue()
-        proc = ctx.Process(target=run_oracle, args=(sf_dir, oracle[name], q))
-        proc.start()
+
+        def attempt(limit_gb, deadline_at):
+            qq = ctx.Queue()
+            proc = ctx.Process(target=run_oracle,
+                               args=(sf_dir, oracle[name], qq, limit_gb))
+            proc.start()
+            payload = None
+            while proc.is_alive() and time.time() < deadline_at \
+                    and payload is None:
+                try:
+                    payload = qq.get(timeout=2)
+                except Exception:
+                    pass
+            if payload is None:
+                try:
+                    payload = qq.get(timeout=2)
+                except Exception:
+                    pass
+            if payload is None:
+                proc.terminate()
+            proc.join()
+            return payload
+
         t0 = time.time()
-        payload = None
         deadline = t0 + budget_sec
-        while proc.is_alive() and time.time() < deadline and payload is None:
-            try:
-                payload = q.get(timeout=2)
-            except Exception:
-                pass
-        if payload is None:
-            try:
-                payload = q.get(timeout=2)
-            except Exception:
-                pass
+        payload = attempt(48, deadline)
+        # escalate ONCE on a disk-spill failure: some oracles (q149 at
+        # 10x) spill past this host's free disk under the proven 48GB
+        # default but complete in RAM at the big limit
+        if (payload is not None and payload[0] == "error"
+                and "No space left on device" in payload[1]
+                and time.time() < deadline):
+            payload = attempt(big_limit_gb(), deadline)
         elapsed = round(time.time() - t0, 1)
         if payload is None:
-            proc.terminate()
-            proc.join()
             status = ("oracle_timeout" if elapsed >= budget_sec
                       else "oracle_error")
             results[name] = {"status": status, "elapsed_sec": elapsed,
@@ -165,7 +181,6 @@ def main(sf_dir, out_dir, budget_sec=1800, out_json="CORRECTNESS_10x.json"):
                              else "oracle subprocess died"}
             print(f"{name}: {status} ({elapsed}s)", flush=True)
             continue
-        proc.join()
         if payload[0] == "error":
             results[name] = {"status": "oracle_error",
                              "elapsed_sec": elapsed, "reason": payload[1]}
