@@ -15,12 +15,11 @@
 #     TPC-H tail (q102/q110), vector top-k (q27/q126/q133), plus the
 #     two rows the r14 driver flagged unstable (q91/q163) so their
 #     CORRECTNESS at the decade is on record beside the retimes.
-#   r16 candidates (still never 10x-checked): q100-q108 tail,
-#   q111-q114, q116-q125, q127/q130-q132/q134-q138, q142-q147,
-#   q150-q153, q155-q157/q159/q161/q162/q166-q169, q172/q176/
-#   q178-q180/q182/q184/q185/q187/q189/q190, q19/q22/q30/q32/q48/
-#   q51/q52/q57/q59/q65/q70/q73/q76/q77/q79/q81-q83/q86-q89/q94/
-#   q95/q97.
+#   - REST (r15, second pass): the remaining 85 never-checked rows ran
+#     through the same flow (same replica, budget 1800) and merged in —
+#     CORRECTNESS_10x.json now carries ALL 202 oracle rows green at the
+#     decade; future rounds keep the full surface green rather than
+#     rotating.
 # Usage: bash tools/run_10x_gate.sh [budget_sec]
 set -e
 cd "$(dirname "$0")/.."
