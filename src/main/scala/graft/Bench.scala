@@ -58,7 +58,14 @@ object Bench {
     // fixed-plane sibling — q199 adjudicates against ~linear
     // (planes = ⌈log₂ n⌉ ⇒ pairs ≤ n), q34 against its declared
     // n²/2^planes quadratic
-    "q199_neardups_selfscaling")
+    "q199_neardups_selfscaling",
+    // r15: the banded-Hamming family's first standing decade rows
+    // (fixed 4-band vs count-derived width — the q34/q199 pairing
+    // replayed for the 64-bit Hamming family) and the re-spelled
+    // two-phase token-budget cut, whose straggler fix is a decade
+    // claim and should be re-measured every sweep
+    "q201_banded_hamming", "q202_banded_hamming_auto",
+    "q164_token_budget")
 
   /** Measurement-protocol constants. The protocol string shipped in
     * the JSON is DERIVED from these (see [[protocolName]]), so the

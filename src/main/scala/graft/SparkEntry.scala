@@ -3038,10 +3038,15 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+    // mean_component's `+ 0` normalizes DuckDB's signed zero: round()
+    // there preserves the sign of a tiny negative mean (-0.0), Spark's
+    // BigDecimal round has no signed zero — numerically equal values
+    // that repr-diverge in a float-exact compare (first seen at 100x:
+    // 5 of 200k vectors round to exactly zero from below)
     "q32_vector_stats" ->
       """SELECT vec_id,
         |  round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2_norm,
-        |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_component
+        |  round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) + 0 AS mean_component
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q39_percentiles" ->
       """SELECT o_orderpriority,

@@ -36,6 +36,10 @@ def canon(v):
     if isinstance(v, float):
         if v != v:
             return "NULL"
+        if v == 0.0:
+            return "0.0"  # -0.0 == 0.0: DuckDB round() is sign-preserving
+            # (a tiny negative mean rounds to -0.0), Spark's BigDecimal
+            # round has no signed zero — numerically equal, repr-distinct
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()

@@ -25,6 +25,12 @@ BUDGET=${1:-1800}
 # stand on the 10x gate instead.
 PRIOR="q01_agg,q04_latest_row,q05_txn_sequence,q11_fingerprint,q21_dedup_exact,q23_langid,q24_quality,q44_jaccard_dedup,q160_span_cut,q177_url_dedup,q199_neardups_selfscaling"
 NEW="q02_keyset_page,q03_import_envelope,q06_insert_result,q10_backoff,q12_operation_derive,q17_json_extract,q20_topk,q22_token_stats,q62_vocab,q91_mode,q201_banded_hamming,q202_banded_hamming_auto"
+# second r15 pass: 33 measured-cheap linear-oracle rows across the
+# remaining families (scalars/stats/windows/sampling/joins/vector
+# top-k) — q32 caught the DuckDB signed-zero round divergence here
+# (5 of 200k means round to -0.0 there, +0.0 in Spark; normalized in
+# the oracle spelling and in canon())
+ROT="q07_reconcile_anti,q09_tables_listing,q13_table_filter,q15_job_acquire,q27_cosine_topk,q32_vector_stats,q33_salted_agg,q36_cdc_apply,q39_percentiles,q42_stratified_sample,q46_weighted_sample,q56_pivot,q57_rank_windows,q66_histogram,q67_setops,q72_full_outer,q77_monthly,q88_winsorize,q92_moments,q96_retention,q98_gini,q117_length_band,q124_hash_split,q126_dot_topk,q129_date_features,q130_string_funcs,q131_nullsafe_join,q133_l2_topk,q139_pii_scrub,q140_url_normalize,q146_group_sample,q152_alpha_sample,q176_domain_gate"
 
 # build the replica if absent (Scale10x.ensure at factor 100)
 if [ ! -d "$SF" ]; then
@@ -32,5 +38,5 @@ if [ ! -d "$SF" ]; then
     "runMain graft.tools.EnsureReplica /root/testdata/sf0.1 100"
 fi
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
-  "runMain graft.Verify $SF $OUT $PRIOR,$NEW"
+  "runMain graft.Verify $SF $OUT $PRIOR,$NEW,$ROT"
 python3 tools/correctness_10x.py "$SF" "$OUT" "$BUDGET" CORRECTNESS_100x.json
