@@ -60,7 +60,7 @@ object SparkEntry {
     * consecutive ids), so intra-cluster pairs sit at Hamming
     * distance 2 and cluster COUNT (not size) grows with the corpus:
     * pair output scales linearly, bucket sizes stay ~16. */
-  private def syntheticMediaHashes(docs: DataFrame): DataFrame =
+  private[graft] def syntheticMediaHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
       conv(substring(md5(expr("cast(doc_id div 16 as string)")), 1, 15),
           16, 10).cast("long")
