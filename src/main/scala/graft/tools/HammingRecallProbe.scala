@@ -28,21 +28,52 @@ object HammingRecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.sources.ImportSource.table(spark, sfDir, "documents")
-    val hashes = graft.SparkEntry.syntheticMediaHashes(docs)
-    val n = hashes.count()
-    println(s"corpus n=$n selfScalingBands=" +
-      graft.ops.MultimodalOps.selfScalingBands(n))
-    var truth = -1L
-    for (bands <- Seq(4, 2, 1)) {
-      val t0 = System.nanoTime()
-      val pairs = graft.ops.MultimodalOps
-        .bandedHammingPairs(hashes, "phash", maxHamming = 3, bands = bands)
-        .count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (bands == 4) truth = pairs
-      val recall = if (truth > 0) pairs.toDouble / truth else Double.NaN
-      println(f"bands=$bands%d width=${64 / bands}%d pairs=$pairs%d " +
-        f"recall=$recall%.4f elapsed=$sec%.2fs")
+
+    /** Adversarial twin of the q201 corpus: one 2-member cluster per
+      * doc, the copy differing in two INDEPENDENT md5-uniform bit
+      * positions in [0, 64) (distinct by construction), so band
+      * recall has no locality to exploit — the measured number should
+      * land on the uniform-bit analytic 2·(32·31)/(64·63) ≈ 0.492
+      * for bands = 2. Ground truth stays the 4-band run (pigeonhole:
+      * 2 dirty bits ≤ bands − 1 ⇒ complete at maxHamming 3). */
+    def uniformPairHashes = {
+      val base = conv(substring(md5(concat(lit("u"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val b1 = conv(substring(md5(concat(lit("a"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 64
+      // second position: uniform over the other 63, never equal to b1
+      val b2 = (b1 + 1L + conv(substring(md5(concat(lit("b"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 63) % 64
+      docs.select(col("doc_id"), base.as("base"),
+          b1.as("b1"), b2.as("b2"))
+        .withColumn("flipped", expr(
+          "base ^ shiftleft(cast(1 as bigint), cast(b1 as int)) " +
+          "^ shiftleft(cast(1 as bigint), cast(b2 as int))"))
+        .select(col("doc_id"), explode(array(
+          struct(lit(0L).as("m"), col("base").as("h")),
+          struct(lit(1L).as("m"), col("flipped").as("h")))).as("e"))
+        .select((col("doc_id") * 2 + col("e.m")).as("media_id"),
+          col("e.h").as("phash"))
+    }
+
+    for ((label, hashes) <- Seq(
+        ("clustered(q201)", graft.SparkEntry.syntheticMediaHashes(docs)),
+        ("uniform2bit", uniformPairHashes))) {
+      val n = hashes.count()
+      println(s"[$label] corpus n=$n selfScalingBands=" +
+        graft.ops.MultimodalOps.selfScalingBands(n))
+      var truth = -1L
+      for (bands <- Seq(4, 2, 1)) {
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.MultimodalOps
+          .bandedHammingPairs(hashes, "phash", maxHamming = 3, bands = bands)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (bands == 4) truth = pairs
+        val recall = if (truth > 0) pairs.toDouble / truth else Double.NaN
+        println(f"[$label] bands=$bands%d width=${64 / bands}%d " +
+          f"pairs=$pairs%d recall=$recall%.4f elapsed=$sec%.2fs")
+      }
     }
     spark.stop()
   }
