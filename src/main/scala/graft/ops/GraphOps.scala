@@ -80,12 +80,15 @@ object GraphOps {
     // round 12).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true, storage)
-    // node universe = sources ∪ sinks; out_deg 0 for pure sinks
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val base = nodes.join(outDegrees(e).withColumnRenamed("src", "id"),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+    // node universe + out-degrees in ONE aggregation: each edge
+    // contributes 1 under its src and 0 under its dst, so sum(_d) per
+    // id is the out-degree (0 for pure sinks) over exactly the
+    // sources ∪ sinks universe — row-for-row what the previous
+    // spelling (distinct node union ⟕ outDegrees(e)) produced through
+    // two aggregations and a join.
+    val base = e.select(col("src").as("id"), lit(1L).as("_d"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("_d")))
+      .groupBy(col("id")).agg(sum(col("_d")).as("out_deg"))
       .localCheckpoint(true, storage)
     val n = base.count()
     def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
