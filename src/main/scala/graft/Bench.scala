@@ -411,14 +411,28 @@ object Bench {
       levelHost += ((level, loadavg(), measureFloor()))
 
     val allNames = SparkEntry.queries.keys.toSeq.sorted
-    val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "1") != "0"
+    // r16 PROTOCOL FIX (the r15 rc=124 post-mortem): the 10x/30x
+    // replica builds + full decade sweeps + paired retimes are
+    // BUILDER-SIDE evidence gathering (~45-90 min wall under load) —
+    // the driver's contract is the stabilized 1x sweep + the one JSON
+    // line. Round 15's driver invocations were timeout-killed at BOTH
+    // core counts (BENCH_r15/BENCH_r15_c8: rc 124, no parseable line,
+    // so the round shipped NO bench artifact at all) with the decade
+    // levels still running. Decades are now OPT-IN
+    // (SPARK_GRAFT_SCALE10=1); the 1x protocol, readings and JSON
+    // shape are unchanged, so totals stay round-over-round comparable.
+    val scale10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10", "0") == "1"
 
     // ---- official 1x sweep: the ORIGINAL testdata layout — the
     // protocol input every earlier round used and the one the DuckDB
     // oracle times against, so totals stay round-over-round and
-    // engine-vs-oracle comparable.
+    // engine-vs-oracle comparable. Per-run watchdog (second half of
+    // the rc=124 fix): a 1x run that somehow hangs — the worst healthy
+    // row reads ~4s, so 600s is pure backstop — cancels and ships the
+    // -2.0 sentinel as DATA instead of letting the driver's timeout
+    // kill the whole artifact.
     levelFingerprint("1x")
-    val results1Sweep = sweep(allNames, sfDir, Protocol.minWarm1x, None,
+    val results1Sweep = sweep(allNames, sfDir, Protocol.minWarm1x, Some(600),
       recordJobs = true)
     // ratio denominators keep the SWEEP reading (layout-consistent
     // 32-file denominators are preferred anyway); the unstable-1x
@@ -450,7 +464,8 @@ object Bench {
     // (~0.1s/query scheduling cost), so per-query 1x→10x ratios are
     // the scale evidence the totals can't provide: a shuffle-bound
     // plan reads ~linear, a quadratic or driver-bound one jumps out.
-    // Disable with SPARK_GRAFT_SCALE10=0 (dev iteration).
+    // OPT-IN with SPARK_GRAFT_SCALE10=1 (builder evidence runs; the
+    // r16 protocol fix — see the scale10 declaration above).
     val results10: Seq[(String, Double, Seq[Double])] =
       if (!scale10) Seq.empty
       else {
@@ -474,7 +489,8 @@ object Bench {
     // read AGAINST THE 10x ROW (linear ⇒ ~3x; the √n blockers' n^1.5
     // law ⇒ ~5.2x): several 1x rows are floor-bound, so a 30x/1x
     // ratio would measure floors, not growth.
-    // Disable with SPARK_GRAFT_SCALE30=0.
+    // Runs only when the 10x level ran (SPARK_GRAFT_SCALE10=1);
+    // disable separately with SPARK_GRAFT_SCALE30=0.
     val scale30 = scale10 && results10.nonEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_SCALE30", "1") != "0"
     val results30: Seq[(String, Double, Seq[Double])] =
@@ -565,7 +581,7 @@ object Bench {
         hygiene()
         Thread.sleep(1000) // let the cleaner fully drain post-sweep
         levelFingerprint("retime_1x")
-        sweep(unstable1Names, sfDir, Protocol.minWarm1x, None)
+        sweep(unstable1Names, sfDir, Protocol.minWarm1x, Some(600))
       }
     val retime1Of = retimed1.map(r => r._1 -> (r._2, r._3)).toMap
     val results: Seq[(String, Double, Seq[Double])] =

@@ -2235,17 +2235,20 @@ object SparkEntry {
     // from ONE assignment at nprobe=4 whose probe-list PREFIX is the
     // lower dials' probe set by the ranking contract -----
     "q194_probe_pair_cost" -> ((s, dir) => {
-      val assigned = SimilarityOps.twoLevelProbe(
-          t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 4)
-        .localCheckpoint()
-      Seq(1, 2, 4).map { np =>
-        SimilarityOps.probePairCost(
-            assigned.withColumn("probe_cells",
-              slice(col("probe_cells"), 1, np)),
-            "cell", "probe_cells")
-          .select(lit(np).as("nprobe"), col("n_cells"),
-            col("pairs").cast("long").as("pairs"))
-      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+      // r16: all three dials from ONE posexplode pass over ONE
+      // evaluation of the nprobe=4 assignment (probePairCostPrefix —
+      // the np probe set is the probe list's prefix and probe_cells[0]
+      // is the own cell, so owners = the pos-0 count and each dial is
+      // a conditional count). The previous spelling checkpointed the
+      // assignment and ran the full two-aggregation + join pipeline
+      // once per dial; numbers are identical term for term.
+      SimilarityOps.probePairCostPrefix(
+          SimilarityOps.twoLevelProbe(
+            t(s, dir, "embeddings"), "vec_id", "embedding", nprobe = 4),
+          "cell", "probe_cells", Seq(1, 2, 4))
+        .select(col("nprobe"), col("n_cells"),
+          col("pairs").cast("long").as("pairs"))
+        .orderBy(col("nprobe"))
     }),
     // ----- ANN store upsert: base write + generation append to the
     // cell-partitioned IVF store, read back merge-on-read (latest

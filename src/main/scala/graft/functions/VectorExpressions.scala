@@ -977,6 +977,17 @@ object VectorExpressions {
     org.apache.spark.sql.graftbridge.Bridge.column(VectorTopDot(
       org.apache.spark.sql.graftbridge.Bridge.expression(vec), cents, n))
 
+  /** Column over the fused seed-derivation aggregate: one pass
+    * yielding STRUCT<n, seeds> — the full count beside the k
+    * smallest-(hash, id) vectors (see [[CountAndTopVectors]]). */
+  def countAndTopVectors(hash: Column, id: Column, vec: Column,
+      k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(CountAndTopVectors(
+      org.apache.spark.sql.graftbridge.Bridge.expression(hash),
+      org.apache.spark.sql.graftbridge.Bridge.expression(id),
+      org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+      k).toAggregateExpression())
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
 

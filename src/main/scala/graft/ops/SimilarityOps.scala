@@ -300,26 +300,35 @@ object SimilarityOps {
     * `_probed` membership flag, rank exact vs probed top-k from the
     * SAME qid-keyed exchange and emit (qid, n_hits, recall). Rounded
     * cosine + id tie-break keeps ranks engine-exact (the q187 oracle
-    * discipline). */
+    * discipline).
+    *
+    * ONE window pass over ONE evaluation of `pairs` (r16): the probed
+    * rank of a probed row equals the running count of probed rows in
+    * the same (cos DESC, id) order, so both rankings come from a
+    * single sort — the previous spelling ranked `pairs` twice (two
+    * branches of a self-join, each re-evaluating the upstream
+    * crossJoin + cosine scoring) and joined the top-k sets back
+    * together. n_hits = |exact top-k ∩ probed top-k| =
+    * count(rows with exact rank ≤ k that are probed with probed rank
+    * ≤ k) — identical by definition, at half the pair-scoring cost
+    * and one exchange + one join fewer. */
   private def recallFromPairs(pairs: DataFrame, idCol: String,
       k: Int): DataFrame = {
     val byQ = org.apache.spark.sql.expressions.Window.partitionBy(col("_qid"))
       .orderBy(col("_cos").desc, col(idCol))
-    val exact = pairs.withColumn("_r", row_number().over(byQ))
-      .where(col("_r") <= k).select(col("_qid"), col(idCol))
-    // both top-k frames descend from `pairs`, so rename the probe
-    // side's columns BEFORE the join — an attribute-equality condition
-    // between two lineage-shared frames leans on Spark's self-join
-    // disambiguation and warns about a trivially-true predicate
-    val probed = pairs.where(col("_probed"))
+    // row_number's implicit frame is ROWS UNBOUNDED PRECEDING..CURRENT
+    // ROW — spelling the running probed-count over the same frame puts
+    // both functions in one Window operator over one sort
+    val runFrame = byQ.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    pairs
       .withColumn("_r", row_number().over(byQ))
-      .where(col("_r") <= k)
-      .select(col("_qid").as("_pqid"), col(idCol).as("_pid"))
-    exact.join(probed,
-        col("_qid") === col("_pqid") && col(idCol) === col("_pid"),
-        "left")
+      .withColumn("_pr",
+        sum(when(col("_probed"), 1L).otherwise(0L)).over(runFrame))
       .groupBy(col("_qid").as("qid"))
-      .agg(count(col("_pid")).as("n_hits"))
+      .agg(count(when(col("_r") <= k && col("_probed") && col("_pr") <= k,
+        lit(1))).as("n_hits"))
       .select(col("qid"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 6).as("recall"))
   }
@@ -404,6 +413,48 @@ object SimilarityOps {
           .cast("decimal(38,0)").as("pairs"))
   }
 
+  /** [[probePairCost]] for a FAMILY of prefix dials in one pass —
+    * the q194 shape: the np-dial probe set is slice(probeCol, 1, np)
+    * of one maximal assignment, so every dial's (n_cells, pairs) can
+    * be read from a single posexplode + one per-cell aggregation with
+    * a conditional count per dial, instead of re-running the full
+    * two-aggregation + join pipeline once per dial.
+    *
+    * PRECONDITION (the [[twoLevelProbe]]/[[ivfProbe]] ranking
+    * contract, documented on both): probeCol[0] == cellCol for every
+    * row — then owners(cell) equals the pos-0 probe count and the
+    * separate owner aggregation + join disappear. Per dial:
+    * pairs = Σ_cell probers_np(cell)·owners(cell) (cells without
+    * owners contribute zero — exactly the inner join's row set) and
+    * n_cells counts cells with both owners and np-probers, matching
+    * [[probePairCost]] term for term. Output: one (nprobe, n_cells,
+    * pairs) row per dial, pairs in the same decimal(38,0) arithmetic.
+    */
+  def probePairCostPrefix(assigned: DataFrame, cellCol: String,
+      probeCol: String, dials: Seq[Int]): DataFrame = {
+    require(dials.nonEmpty && dials.forall(_ > 0),
+      "probePairCostPrefix: dials must be positive")
+    val perCell = assigned
+      .select(posexplode(col(probeCol)).as(Seq("_pos", "_cell")))
+      .groupBy(col("_cell"))
+      .agg(count(when(col("_pos") === 0, lit(1))).as("_own"),
+        dials.map(np =>
+          count(when(col("_pos") < np, lit(1))).as(s"_p$np")): _*)
+    val measures = dials.flatMap { np =>
+      Seq(
+        count(when(col("_own") > 0 && col(s"_p$np") > 0, lit(1)))
+          .as(s"_nc$np"),
+        sum(col(s"_p$np").cast("decimal(38,0)") *
+            col("_own").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(s"_pair$np"))
+    }
+    val one = perCell.agg(measures.head, measures.tail: _*)
+    val stackArgs = dials
+      .map(np => s"$np, _nc$np, _pair$np").mkString(", ")
+    one.select(expr(
+      s"stack(${dials.size}, $stackArgs) as (nprobe, n_cells, pairs)"))
+  }
+
   /** Flat argmax over score expressions: each score is evaluated
     * exactly once, then `array_position(scores, array_max(scores))`
     * picks the winner (ties to the lower index, -1 when every score
@@ -474,10 +525,6 @@ object SimilarityOps {
       vecCol: String, maxSeeds: Int = 4096): Seq[Seq[Float]] = {
     require(maxSeeds > 0, "sqrtSeedCentroids: maxSeeds must be positive")
     val base = embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    val n = base.count()
-    val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
-      maxSeeds.toLong).toInt
-    if (k == 0) return Seq.empty
     // seed candidates exclude degenerate vectors (null vec / null
     // element — floatSeq would NPE at the driver), the same pure SQL
     // predicate twoLevelParts applies to its coarse seeds; k still
@@ -486,11 +533,43 @@ object SimilarityOps {
     // (duckSqrtAssign / duckTwoLevelAssign) carry the identical
     // predicate in their seed CTEs, so both engines pick the same
     // seed prefix even on corpora with degenerate rows.
-    base.where(col("_v").isNotNull && !exists(col("_v"), _.isNull))
-      .withColumn("_h", md5(col("_id").cast("string")))
-      .orderBy(col("_h"), col("_id")).limit(k)
-      .select(col("_v")).collect()
-      .map(floatSeq(_, 0)).toSeq
+    val (rows, n) = seedPrefixAndCount(base, "_id", "_v", maxSeeds)
+    val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
+      maxSeeds.toLong).toInt
+    if (k == 0) return Seq.empty
+    rows.take(k)
+  }
+
+  /** ONE scheduler job for the count + seed-prefix pair every seed
+    * derivation needs (r16): a single hash aggregation whose buffer
+    * is [[graft.functions.CountAndTopVectors]] — the FULL corpus
+    * count (degenerate rows included, exactly the separate
+    * `base.count()` this replaces) beside a bounded heap of the
+    * `maxSeeds` smallest (md5(id), id) candidate vectors, degenerate
+    * vectors excluded by the same predicate the old collect filtered
+    * on. Partial aggregation keeps per-task state at maxSeeds rows
+    * and the merged result is one row of ≤ maxSeeds·dims floats
+    * (~1 MB at the defaults) whatever the corpus size; the previous
+    * two-job spelling paid a full extra pass + a scheduling floor
+    * per caller. (An Observation-based count was tried and rejected:
+    * observed metrics re-fire when the plan re-executes a subtree —
+    * range-partition SAMPLING double-counted the corpus whenever the
+    * optimizer dropped the limit on a small input.) Returns
+    * (ordered candidate vectors, full corpus count).
+    */
+  private def seedPrefixAndCount(base: DataFrame, idCol: String,
+      vecCol: String, maxSeeds: Int): (Seq[Seq[Float]], Long) = {
+    // array<double> embeddings cast per element to float — the same
+    // Number.floatValue truncation floatSeq applied on the driver
+    val row = base.select(graft.functions.VectorExpressions
+        .countAndTopVectors(md5(col(idCol).cast("string")),
+          col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+          maxSeeds).as("_ct"))
+      .collect()(0).getStruct(0)
+    // external conversion yields mutable.ArraySeq cells — normalize
+    // to the immutable Seq[Seq[Float]] the centroid literals expect
+    (row.getSeq[scala.collection.Seq[Float]](1).map(_.toIndexedSeq).toSeq,
+      row.getLong(0))
   }
 
   /** Two-level IVF cell assignment — the declared path PAST the
@@ -650,21 +729,19 @@ object SimilarityOps {
     require(oversample > 0, s"$op: oversample must be positive")
     val base = Parallelism.ensure(
       embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val n = base.count()
-    val t = math.ceil(math.sqrt(n.toDouble)).toLong
-    val k1 = math.min(math.ceil(math.sqrt(t.toDouble)).toLong,
-      maxSeeds.toLong).toInt
-    if (k1 == 0) return Left(base)
     // seed candidates exclude degenerate vectors (null vec / null
     // element — floatSeq would NPE at the driver); dimension-mixed
     // but well-formed rows stay eligible (scorers skip mismatched
     // centroids). Pure SQL predicate → the oracle re-derives the
-    // identical seed prefix.
-    val coarse: Seq[Seq[Float]] = base
-      .where(col("vec").isNotNull && !exists(col("vec"), _.isNull))
-      .withColumn("_h", md5(col("id").cast("string")))
-      .orderBy(col("_h"), col("id")).limit(k1)
-      .select(col("vec")).collect().map(floatSeq(_, 0)).toSeq
+    // identical seed prefix. Count + candidate prefix in ONE job
+    // (seedPrefixAndCount, r16) — k1 ≤ maxSeeds, so the k1-prefix of
+    // the over-fetched candidates IS the previous limit(k1) collect.
+    val (cands, n) = seedPrefixAndCount(base, "id", "vec", maxSeeds)
+    val t = math.ceil(math.sqrt(n.toDouble)).toLong
+    val k1 = math.min(math.ceil(math.sqrt(t.toDouble)).toLong,
+      maxSeeds.toLong).toInt
+    if (k1 == 0) return Left(base)
+    val coarse: Seq[Seq[Float]] = cands.take(k1)
     if (coarse.isEmpty) return Left(base)
     val assigned = base.select(col("id"), col("vec"),
       ivfAssign(col("vec"), coarse).as("_coarse"))

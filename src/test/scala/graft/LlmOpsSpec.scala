@@ -1055,6 +1055,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r1 > 0.0 && c1 > 0)
   }
 
+  test("probePairCostPrefix: every dial equals probePairCost on the sliced probe set (the r16 q194 fusion)") {
+    val a = SimilarityOps.twoLevelProbe(
+      embeddings, "vec_id", "embedding", nprobe = 4).localCheckpoint()
+    val dials = Seq(1, 2, 4)
+    val fused = SimilarityOps.probePairCostPrefix(
+        a, "cell", "probe_cells", dials)
+      .select($"nprobe", $"n_cells", $"pairs".cast("string"))
+      .as[(Int, Long, String)].collect().sortBy(_._1)
+    val perDial = dials.map { np =>
+      val r = SimilarityOps.probePairCost(
+          a.withColumn("probe_cells", slice($"probe_cells", 1, np)),
+          "cell", "probe_cells")
+        .select($"n_cells", $"pairs".cast("string"))
+        .as[(Long, String)].collect()(0)
+      (np, r._1, r._2)
+    }
+    assert(fused.toSeq == perDial,
+      s"fused=$fused per-dial=$perDial — the one-pass prefix " +
+        "aggregation must reproduce the per-dial pipeline term for term")
+  }
+
+  test("countAndTopVectors: one pass = the count job + the TakeOrdered seed collect, degenerates counted but never seeds") {
+    // sparse ids (k must derive from COUNT) + degenerate rows (null
+    // vec / null element) + forced partial-aggregation merges
+    val ids = (0L until 100L).map(i => i * 1000000L + 7L)
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val good = ids.map(i => (i, Seq(i.toFloat, 1.0f)))
+    // two degenerate rows (null vec / null element) — the null
+    // ELEMENT has to survive construction, so build rows explicitly
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = good.map { case (i, v) => Row(i, v) } ++
+      Seq(Row(900000001L, null), Row(900000002L, Seq[Any](1.0f, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 7), schema)
+    val got = df.select(graft.functions.VectorExpressions
+        .countAndTopVectors(md5($"vec_id".cast("string")),
+          $"vec_id", $"embedding", 16).as("ct"))
+      .collect()(0).getStruct(0)
+    assert(got.getLong(0) == 102L,
+      "n counts the FULL corpus, degenerate rows included")
+    val want = ids.sortBy(i => (hex(i.toString), i)).take(16)
+      .map(i => Seq(i.toFloat, 1.0f))
+    val seeds = got.getSeq[scala.collection.Seq[Float]](1).map(_.toSeq)
+    assert(seeds == want,
+      "seeds = the 16 smallest-(md5, id) eligible vectors in order, " +
+        "exactly the old orderBy(limit) collect")
+    // cap larger than the eligible set: every eligible row, in order
+    val all = df.select(graft.functions.VectorExpressions
+        .countAndTopVectors(md5($"vec_id".cast("string")),
+          $"vec_id", $"embedding", 4096).as("ct"))
+      .collect()(0).getStruct(0)
+    assert(all.getSeq[scala.collection.Seq[Float]](1).size == 100,
+      "degenerate rows are never seed candidates")
+  }
+
   test("twoLevelProbeWide: nprobeCoarse=1 IS twoLevelProbe; widening the coarse beam lifts recall") {
     // one coarse candidate ⇒ the merged ranking IS the fine ranking:
     // wide(nc=1, nf) must be row-identical to the fine-only probe
