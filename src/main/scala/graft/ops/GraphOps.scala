@@ -78,8 +78,13 @@ object GraphOps {
     // Stability under memory pressure is the property a fourth-decade
     // run needs; the ~20% best-case penalty is the price (SCALING
     // round 12).
+    // LAZY checkpoints (r16): e and base both materialize inside the
+    // ONE `base.count()` job below — the duplicateClusters discipline
+    // — instead of paying two eager checkpoint jobs AND a count job
+    // (three sequential passes where one suffices; the count reads
+    // the blocks the iterations need anyway).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true, storage)
+      .distinct().localCheckpoint(false, storage)
     // node universe + out-degrees in ONE aggregation: each edge
     // contributes 1 under its src and 0 under its dst, so sum(_d) per
     // id is the out-degree (0 for pure sinks) over exactly the
@@ -89,7 +94,7 @@ object GraphOps {
     val base = e.select(col("src").as("id"), lit(1L).as("_d"))
       .unionByName(e.select(col("dst").as("id"), lit(0L).as("_d")))
       .groupBy(col("id")).agg(sum(col("_d")).as("out_deg"))
-      .localCheckpoint(true, storage)
+      .localCheckpoint(false, storage)
     val n = base.count()
     def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
     val teleport = halfUp((q - p) * scale, q * n)

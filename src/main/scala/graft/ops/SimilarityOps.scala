@@ -1468,9 +1468,15 @@ object SimilarityOps {
   private def requireProbePairBudget(assigned: DataFrame, op: String,
       maxPairs: Long): Unit = {
     if (maxPairs == Long.MaxValue) return
-    val est = probePairCost(assigned, "cell", "probe_cells").collect()(0)
-    val pairs = if (est.isNullAt(1)) BigDecimal(0)
-      else BigDecimal(est.getDecimal(1))
+    // one-pass estimate (r16): every probe-family assignment honors
+    // probe_cells[0] == cell (sentinel rows carry cell=-1,
+    // probe_cells=[-1]), so the prefix fusion's single posexplode
+    // aggregation replaces probePairCost's two aggregations + join —
+    // same Σ probers·owners, term for term (probePairCostPrefix doc).
+    val est = probePairCostPrefix(assigned, "cell", "probe_cells",
+      Seq(Int.MaxValue)).collect()(0)
+    val pairs = if (est.isNullAt(2)) BigDecimal(0)
+      else BigDecimal(est.getDecimal(2))
     require(pairs <= BigDecimal(maxPairs),
       s"$op: the probe rule implies $pairs candidate pairs (> maxPairs=" +
         s"$maxPairs). Lower nprobe, derive the blocking from corpus " +
