@@ -817,15 +817,26 @@ object SimilarityOps {
         base.select(col("id"), col("vec"), lit(-1L).as("cell"),
           array(lit(-1L)).as("probe_cells"))
       case Right(p) =>
+        // posexplode_OUTER keeps degenerate rows (null vec, null
+        // element, mismatched dims — their topDot is EMPTY) as one
+        // (_cr=null, _coarse=null) row, and the LEFT broadcast join
+        // keeps candidates whose coarse cell has no sub-centroids
+        // (_subcents null → topDotCells empty — same rows the old
+        // inner join dropped, contributing nothing). `vec` rides the
+        // candidate rows through the merge, so the id-keyed
+        // re-attachment join of the WHOLE corpus the previous
+        // spelling ended with (p.base ⟕ merged — one more exchange
+        // and one more corpus scan) is gone (r16); every group holds
+        // copies of one row's vec, so first() is deterministic.
         val cands = p.base.select(col("id"), col("vec"),
-          posexplode(graft.functions.VectorExpressions.topDot(col("vec"),
-            unitCentroids(p.coarse), nprobeCoarse))
+          posexplode_outer(graft.functions.VectorExpressions.topDot(
+            col("vec"), unitCentroids(p.coarse), nprobeCoarse))
             .as(Seq("_cr", "_coarse")))
         val composite = col("_coarse").cast("long") * lit(4294967296L)
-        val scored = cands.join(broadcast(p.subcents), Seq("_coarse"))
+        val scored = cands.join(broadcast(p.subcents), Seq("_coarse"), "left")
           .withColumn("_fines", graft.functions.VectorExpressions
             .topDotCells(col("vec"), col("_subcents"), nprobe))
-          .select(col("id"), col("_cr"),
+          .select(col("id"), col("vec"), col("_cr"),
             // (−dot, cell) structs: ascending struct order = dot DESC
             // with lower-cell tie-break; the dot re-evaluates the
             // winner's exact left-to-right accumulation
@@ -839,18 +850,14 @@ object SimilarityOps {
                   element_at(col("_fines"), 1).cast("long")))
               .as("_own"))
         val merged = scored.groupBy(col("id")).agg(
+          first(col("vec")).as("vec"),
           // only the rank-0 candidate carries _own; max ignores nulls
           max(col("_own")).as("_own"),
           flatten(collect_list(col("_scored"))).as("_all"))
         val others = transform(
           array_sort(filter(col("_all"), x => x.getField("cell") =!= col("_own"))),
           x => x.getField("cell"))
-        // LEFT join: a degenerate row (null vec, null element,
-        // mismatched dims) yields an empty topDot, so posexplode
-        // drops it from `cands` and it is absent from `merged` — the
-        // null branches below then produce the sentinel (cell=-1,
-        // probe_cells=[-1]) that twoLevelAssign/twoLevelProbe honor.
-        p.base.join(merged, Seq("id"), "left")
+        merged
           .select(col("id"), col("vec"),
             coalesce(col("_own"), lit(-1L)).as("cell"),
             when(col("_own").isNull || col("_own") === -1L, array(lit(-1L)))
